@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the same configs are what we'd submit with
+``spark-submit --py-files`` on a real cluster (AQE, skew-join handling,
+Arrow batching for pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rdf2smw_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to max(cores, 32) locally. On a real
+    cluster this would be sized to ~2-3x total executor cores, or left to
+    AQE coalescing (enabled below).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{env}]"
+        n = os.cpu_count() or 8 if env == "*" else int(env)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of post-shuffle partitions + skew-join
+        # splitting. Complements (does not replace) our explicit salting of
+        # skewed collect_list aggregations (operators/aggregate.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow: all pandas UDF traffic is Arrow-batched (no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # At 100 TB these two govern scan parallelism; defaults are sane but
+        # we pin them so plans are reproducible across environments.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
