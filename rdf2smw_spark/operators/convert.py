@@ -1,0 +1,218 @@
+"""Triples → WikiPage records (reference converter, SURVEY.md §3.3).
+
+Re-expresses TripleAggregateToWikiPageConverter.Run
+(/root/reference/components/triplestowikipageconv.go:78-175) as a
+relational plan:
+
+  stage A (dims, cheap):   subject_types, best_titles, class_depth,
+                           pred_titles, pred_smw_types
+  stage B (one shuffle):   enrich the triple stream with broadcast dims,
+                           then ONE salted groupBy(subj) assembling facts,
+                           categories and the specific category
+  stage C (tiny):          property-page merge (predPageIndex semantics,
+                           :98-100,154-174) via full-outer join on title
+
+Everything is pyspark.sql built-ins — the whole plan is Catalyst-visible,
+whole-stage-codegen'd, and free of Python in the hot path.
+
+Determinism pins vs the reference's arrival-order/map-order semantics
+(SURVEY.md §4.3): facts and categories sorted lexicographically with
+first-occurrence dedup; Equivalent URI appended last (as the reference
+does); specific-category ties broken by min name among max depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.functions.textnorm import (
+    sql_clean_literal,
+    sql_local_name,
+    sql_smw_type,
+    sql_wiki_title_full,
+)
+from rdf2smw_spark.operators.dimensions import (
+    best_titles,
+    class_depth,
+    pred_smw_types,
+    subject_types,
+)
+from rdf2smw_spark.schemas import (
+    SUBCLASS_PROPERTY_URI,
+    TYPE_PROPERTY_URI,
+    URI_TYPE_CLASS,
+    URI_TYPE_PREDICATE,
+    URI_TYPE_UNDEFINED,
+)
+
+EQUIVALENT_URI_PROP = "Equivalent URI"  # triplestowikipageconv.go:148-150
+
+
+def _title_expr(raw_col: str) -> F.Column:
+    return F.expr(sql_wiki_title_full(raw_col))
+
+
+def pred_titles(triples: DataFrame, bt: DataFrame) -> DataFrame:
+    """factTitle for every distinct predicate (convertUriToWikiTitle with
+    URITypePredicate, :95). Tiny dim — one row per predicate."""
+    preds = triples.select("pred").distinct()
+    return (
+        preds.join(bt, preds.pred == bt.subj, "left")
+        .select(
+            "pred",
+            F.coalesce(F.col("raw_title"), F.expr(sql_local_name("pred"))).alias("__raw"),
+        )
+        .select("pred", _title_expr("__raw").alias("pred_title"))
+    )
+
+
+def triples_to_pages(
+    spark: SparkSession,
+    triples: DataFrame,
+    n_salt: int = 16,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Full conversion pass. Returns the WikiPage DataFrame
+    (title, page_type, facts, categories, specific_category).
+
+    broadcast_dims: broadcast best_titles for the object-side title
+    lookup. Correct default for dims up to the broadcast threshold; at
+    10^12 documents the titled-entity dim may exceed it — set False and
+    the same plan runs as a sort-merge join (ideally on bucketed tables).
+    """
+    bc = F.broadcast if broadcast_dims else (lambda df: df)
+
+    st = subject_types(triples)
+    bt = best_titles(triples)
+    cd = class_depth(spark, triples)
+    pt = pred_titles(triples, bt)
+    pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
+
+    # --- stage B: enrich + one salted groupBy(subj) -------------------------
+    bt_obj = bt.select(F.col("subj").alias("__ouri"), F.col("raw_title").alias("__oraw"))
+    cd_obj = cd.select(F.col("uri").alias("__curi"), "depth")
+
+    e = (
+        triples.join(bc(pt), "pred")
+        .join(bc(bt_obj), F.col("obj") == F.col("__ouri"), "left")
+        .join(bc(cd_obj), F.col("obj") == F.col("__curi"), "left")
+    )
+
+    is_cat = F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
+    obj_raw = F.coalesce(F.col("__oraw"), F.expr(sql_local_name("obj")))
+    e = e.withColumn("__vraw", F.when(F.col("obj_is_iri"), obj_raw))
+    value = F.when(F.col("obj_is_iri"), _title_expr("__vraw")).otherwise(
+        F.expr(sql_clean_literal("obj"))
+    )
+
+    rows = e.select(
+        "subj",
+        F.when(~is_cat, F.struct(F.col("pred_title").alias("property"), value.alias("value")))
+        .alias("fact"),
+        F.when(is_cat, value).alias("cat"),
+        # specific category: max depth wins, min name tiebreaks; depth==0
+        # never qualifies (strict > against initial 0, :138)
+        F.when(is_cat & (F.col("depth") > 0), F.struct((-F.col("depth")).alias("nd"), value.alias("name")))
+        .alias("cat_sel"),
+    )
+
+    # two-phase salted aggregation (hot-subject skew; see operators/aggregate.py)
+    if n_salt and n_salt > 1:
+        salted = rows.withColumn(
+            "__salt", F.pmod(F.hash(F.coalesce(F.col("fact.value"), F.col("cat"))), F.lit(n_salt))
+        )
+        partial = salted.groupBy("subj", "__salt").agg(
+            F.collect_list("fact").alias("pf"),
+            F.collect_list("cat").alias("pc"),
+            F.min("cat_sel").alias("ps"),
+        )
+        agg = partial.groupBy("subj").agg(
+            F.flatten(F.collect_list("pf")).alias("facts_raw"),
+            F.flatten(F.collect_list("pc")).alias("cats_raw"),
+            F.min("ps").alias("sel"),
+        )
+    else:
+        agg = rows.groupBy("subj").agg(
+            F.collect_list("fact").alias("facts_raw"),
+            F.collect_list("cat").alias("cats_raw"),
+            F.min("cat_sel").alias("sel"),
+        )
+
+    bt_subj = bt.select(F.col("subj").alias("__suri"), F.col("raw_title").alias("__sraw"))
+    pages0 = (
+        agg.join(st, "subj", "left")
+        .join(bc(bt_subj), F.col("subj") == F.col("__suri"), "left")
+        .withColumn("uri_type", F.coalesce(F.col("uri_type"), F.lit(URI_TYPE_UNDEFINED)))
+        .withColumn("__traw", F.coalesce(F.col("__sraw"), F.expr(sql_local_name("subj"))))
+        .withColumn("fact_title", _title_expr("__traw"))
+        .withColumn(
+            "facts",
+            F.array_distinct(
+                F.concat(
+                    F.array_distinct(F.sort_array(F.col("facts_raw"))),
+                    F.array(
+                        F.struct(
+                            F.lit(EQUIVALENT_URI_PROP).alias("property"),
+                            F.col("subj").alias("value"),
+                        )
+                    ),
+                )
+            ),
+        )
+        .withColumn("categories", F.array_distinct(F.sort_array(F.col("cats_raw"))))
+        .withColumn("specific_category", F.col("sel.name"))
+        .withColumn(
+            "title",
+            F.when(F.col("uri_type") == URI_TYPE_PREDICATE, F.concat(F.lit("Property:"), F.col("fact_title")))
+            .when(F.col("uri_type") == URI_TYPE_CLASS, F.concat(F.lit("Category:"), F.col("fact_title")))
+            .otherwise(F.col("fact_title")),
+        )
+        .select("subj", "title", F.col("uri_type").alias("page_type"), "facts", "categories", "specific_category")
+    )
+
+    # --- stage C: property-page accumulation + merge (A3) --------------------
+    # predPageIndex is keyed by page TITLE (:98), so same-title predicates
+    # merge; 'Has type' facts from the whole stream come first.
+    prop_base = (
+        pt.join(pst, "pred", "left")
+        .select(
+            F.concat(F.lit("Property:"), F.col("pred_title")).alias("title"),
+            F.coalesce(F.col("has_types"), F.array().cast("array<string>")).alias("has_types"),
+        )
+        .groupBy("title")
+        .agg(F.array_distinct(F.sort_array(F.flatten(F.collect_list("has_types")))).alias("has_types"))
+        .withColumn(
+            "ht_facts",
+            F.transform(
+                "has_types",
+                lambda t: F.struct(F.lit("Has type").alias("property"), t.alias("value")),
+            ),
+        )
+        .select("title", "ht_facts")
+    )
+
+    subj_pred_pages = pages0.filter(F.col("page_type") == URI_TYPE_PREDICATE).select(
+        F.col("title").alias("sp_title"), "facts", "categories", "specific_category"
+    )
+    empty_facts = F.array().cast("array<struct<property:string,value:string>>")
+    merged_props = (
+        prop_base.join(subj_pred_pages, prop_base.title == subj_pred_pages.sp_title, "full_outer")
+        .select(
+            F.coalesce(F.col("title"), F.col("sp_title")).alias("title"),
+            F.lit(URI_TYPE_PREDICATE).alias("page_type"),
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("ht_facts"), empty_facts),
+                    F.coalesce(F.col("facts"), empty_facts),
+                )
+            ).alias("facts"),
+            F.coalesce(F.col("categories"), F.array().cast("array<string>")).alias("categories"),
+            F.col("specific_category"),
+        )
+    )
+
+    regular = pages0.filter(F.col("page_type") != URI_TYPE_PREDICATE).select(
+        "title", "page_type", "facts", "categories", "specific_category"
+    )
+    return regular.unionByName(merged_props)

@@ -1,0 +1,134 @@
+"""Dimension tables replacing the reference's whole-dataset ResourceIndex.
+
+The reference materializes every aggregate in one in-memory map
+(residxcreator.go:15-24) and probes it three ways (SURVEY.md §1.3). A
+naive port would broadcast the entire dataset; instead each probe becomes
+a small projected dimension:
+
+- subject_types (T1, determineType: triplestowikipageconv.go:177-195)
+- best_titles   (J2, findTitleInTriples: triplestowikipageconv.go:200-208,267-276)
+- pred_smw_types (A3/T2: triplestowikipageconv.go:110,120-132)
+- class_depth   (J3, countSuperCategories: triplestowikipageconv.go:278-292)
+
+Determinism pins (SURVEY.md §4.3): T1 Predicate-beats-Class precedence;
+J2 min-object tiebreak within the same title property; J3 bounded walk
+(cycle-safe where the reference recurses forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.schemas import (
+    CATEGORY_TYPES,
+    PROPERTY_TYPES,
+    SUBCLASS_PROPERTY_URI,
+    TITLE_PROPERTIES,
+    TYPE_PROPERTY_URI,
+    URI_TYPE_CLASS,
+    URI_TYPE_PREDICATE,
+)
+
+
+def subject_types(triples: DataFrame) -> DataFrame:
+    """T1 → (subj, uri_type) for subjects that are Predicates (2) or
+    Classes (3); absent subjects are Undefined (callers coalesce to 1).
+
+    The filter on rdf:type + the two obj lists is pushed into the scan;
+    the aggregation input is tiny relative to the triple stream."""
+    typed = triples.filter(
+        (F.col("pred") == TYPE_PROPERTY_URI)
+        & (F.col("obj").isin(PROPERTY_TYPES + CATEGORY_TYPES))
+    )
+    rank = F.when(F.col("obj").isin(PROPERTY_TYPES), F.lit(URI_TYPE_PREDICATE)).otherwise(
+        F.lit(URI_TYPE_CLASS)
+    )
+    # min() pins Predicate (2) over Class (3) when both are asserted —
+    # the reference picks whichever type-triple arrived first (file
+    # order); documented divergence within the P/R budget.
+    return typed.groupBy("subj").agg(F.min(rank).alias("uri_type"))
+
+
+def best_titles(triples: DataFrame) -> DataFrame:
+    """J2 → (subj, raw_title): first match in the 6-property priority
+    list; within one property the reference takes arrival order — we pin
+    min(obj). Only subjects carrying a title property appear (small dim:
+    one row per *titled* entity, 2 short strings)."""
+    prio = F.array_position(
+        F.array(*[F.lit(p) for p in TITLE_PROPERTIES]), F.col("pred")
+    )
+    cand = triples.filter(F.col("pred").isin(TITLE_PROPERTIES)).select(
+        "subj", F.col("obj").alias("raw_title"), prio.alias("prio")
+    )
+    w = Window.partitionBy("subj").orderBy("prio", "raw_title")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("subj", "raw_title")
+    )
+
+
+def pred_smw_types(triples: DataFrame, smw_type_col) -> DataFrame:
+    """A3/T2 → (pred, has_types array, sorted): the SMW 'Has type' values
+    observed for each predicate across the whole stream. Distinct-first
+    (pred, type) projection keeps the shuffle tiny."""
+    obs = (
+        triples.select("pred", smw_type_col.alias("smw_type"))
+        .where(F.col("smw_type").isNotNull())
+        .distinct()
+    )
+    return obs.groupBy("pred").agg(F.sort_array(F.collect_list("smw_type")).alias("has_types"))
+
+
+def class_edges(triples: DataFrame) -> DataFrame:
+    """The rdf:type / rdfs:subClassOf edge set restricted to the class
+    layer: edges whose source is itself used as a category value (object
+    of a type/subclass triple). Instance-level type edges (the bulk at
+    web scale) are excluded by the semi-join, which is exactly the set
+    countSuperCategories can ever walk: every walked node is the object
+    of some type/subclass triple."""
+    edges = triples.filter(
+        F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]) & F.col("obj_is_iri")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    cat_nodes = edges.select(F.col("dst").alias("node")).distinct()
+    return edges.join(cat_nodes, edges.src == cat_nodes.node, "left_semi").distinct()
+
+
+def class_depth(spark: SparkSession, triples: DataFrame, max_depth: int = 50) -> DataFrame:
+    """J3 → (uri, depth) for every class-layer node.
+
+    depth(n) = 0 if n has no type/subclass out-edges,
+               else max over out-edges (n,m) of 1 + depth(m).
+
+    The class layer is tiny relative to instance data (10^4–10^6 nodes
+    even against 10^12 documents), so we collect it and run a memoized
+    DFS on the driver — exact, one pass, cycle-safe (the reference
+    recurses forever on cyclic ontologies; a revisit on the active stack
+    contributes 0 and `max_depth` bounds pathological chains). The result
+    is a broadcastable (uri, depth) dim."""
+    edges = class_edges(triples).collect()
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for r in edges:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        nodes.add(r["src"])
+        nodes.add(r["dst"])
+
+    memo: dict[str, int] = {}
+
+    def depth(n: str, stack: set[str], d: int) -> int:
+        if n in memo:
+            return memo[n]
+        if n in stack or d > max_depth:
+            return 0
+        stack.add(n)
+        best = 0
+        for m in adj.get(n, ()):  # no out-edges -> 0
+            best = max(best, 1 + depth(m, stack, d + 1))
+        stack.remove(n)
+        memo[n] = best
+        return best
+
+    rows = [(n, depth(n, set(), 0)) for n in sorted(nodes)]
+    return spark.createDataFrame(rows, "uri string, depth int")

@@ -1,0 +1,180 @@
+"""Conversion semantics on micro-fixtures, mirroring the reference's
+behavioral tests (tripleaggregator_test.go:25-112) plus the converter
+semantics the reference never tested (SURVEY.md §5 gap)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators.aggregate import aggregate_triples
+from rdf2smw_spark.operators.convert import triples_to_pages
+from rdf2smw_spark.operators.dimensions import best_titles, class_depth, subject_types
+from rdf2smw_spark.schemas import (
+    DT_INTEGER,
+    DT_STRING,
+    SUBCLASS_PROPERTY_URI,
+    TRIPLE_SCHEMA,
+    TYPE_PROPERTY_URI,
+    URI_TYPE_CLASS,
+    URI_TYPE_PREDICATE,
+    URI_TYPE_UNDEFINED,
+)
+
+RDF_TYPE = TYPE_PROPERTY_URI
+SUBCLASS = SUBCLASS_PROPERTY_URI
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+OWL_DT_PROP = "http://www.w3.org/2002/07/owl#DatatypeProperty"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, iri, dt, None) for (s, p, o, iri, dt) in rows], TRIPLE_SCHEMA
+    )
+
+
+def test_aggregate_groups_by_subject(spark):
+    # 6 triples / 2 subjects — the reference fixture pattern
+    # (tripleaggregator_test.go:28-35)
+    t = _triples(
+        spark,
+        [
+            ("http://e/s1", "http://e/p1", "o1", False, DT_STRING),
+            ("http://e/s1", "http://e/p2", "o2", False, DT_STRING),
+            ("http://e/s1", "http://e/p3", "o3", False, DT_STRING),
+            ("http://e/s2", "http://e/p1", "o4", False, DT_STRING),
+            ("http://e/s2", "http://e/p2", "o5", False, DT_STRING),
+            ("http://e/s2", "http://e/p3", "o6", False, DT_STRING),
+        ],
+    )
+    agg = aggregate_triples(t, n_salt=4).collect()
+    assert len(agg) == 2
+    m = {r["subj"]: r["triples"] for r in agg}
+    assert [x["pred"] for x in m["http://e/s1"]] == ["http://e/p1", "http://e/p2", "http://e/p3"]
+    assert [x["obj"] for x in m["http://e/s2"]] == ["o4", "o5", "o6"]
+
+
+def test_salting_invariance(spark):
+    rows = [
+        ("http://e/hot", f"http://e/p{i % 7}", f"o{i}", False, DT_STRING) for i in range(500)
+    ] + [("http://e/cold", "http://e/p1", "x", False, DT_STRING)]
+    t = _triples(spark, rows)
+    a1 = {r["subj"]: r["triples"] for r in aggregate_triples(t, n_salt=1).collect()}
+    a16 = {r["subj"]: r["triples"] for r in aggregate_triples(t, n_salt=16).collect()}
+    assert a1 == a16
+
+
+def test_subject_types_and_precedence(spark):
+    t = _triples(
+        spark,
+        [
+            ("http://e/P", RDF_TYPE, OWL_DT_PROP, True, None),
+            ("http://e/C", RDF_TYPE, OWL_CLASS, True, None),
+            ("http://e/both", RDF_TYPE, OWL_DT_PROP, True, None),
+            ("http://e/both", RDF_TYPE, OWL_CLASS, True, None),
+            ("http://e/none", "http://e/p", "v", False, DT_STRING),
+        ],
+    )
+    m = {r["subj"]: r["uri_type"] for r in subject_types(t).collect()}
+    assert m["http://e/P"] == URI_TYPE_PREDICATE
+    assert m["http://e/C"] == URI_TYPE_CLASS
+    assert m["http://e/both"] == URI_TYPE_PREDICATE  # pinned precedence
+    assert "http://e/none" not in m
+
+
+def test_best_title_priority(spark):
+    # rdfs:label (rank 2) must beat foaf:name (rank 6)
+    t = _triples(
+        spark,
+        [
+            ("http://e/s", FOAF_NAME, "by name", False, DT_STRING),
+            ("http://e/s", LABEL, "by label", False, DT_STRING),
+            ("http://e/u", FOAF_NAME, "only name", False, DT_STRING),
+        ],
+    )
+    m = {r["subj"]: r["raw_title"] for r in best_titles(t).collect()}
+    assert m["http://e/s"] == "by label"
+    assert m["http://e/u"] == "only name"
+
+
+def test_class_depth_chain_and_cycle(spark):
+    t = _triples(
+        spark,
+        [
+            ("http://e/i", RDF_TYPE, "http://e/c1", True, None),
+            ("http://e/c1", SUBCLASS, "http://e/c2", True, None),
+            ("http://e/c2", SUBCLASS, "http://e/c3", True, None),
+            # cycle — the reference recurses forever here; we must terminate
+            ("http://e/x", RDF_TYPE, "http://e/a", True, None),
+            ("http://e/a", SUBCLASS, "http://e/b", True, None),
+            ("http://e/b", SUBCLASS, "http://e/a", True, None),
+        ],
+    )
+    m = {r["uri"]: r["depth"] for r in class_depth(spark, t).collect()}
+    assert m["http://e/c3"] == 0
+    assert m["http://e/c2"] == 1
+    assert m["http://e/c1"] == 2
+    assert m["http://e/a"] >= 1  # cycle-bounded, terminates
+
+
+def test_full_conversion_semantics(spark):
+    t = _triples(
+        spark,
+        [
+            # instance with two categories of different depth
+            ("http://e/i", RDF_TYPE, "http://e/deep", True, None),
+            ("http://e/i", RDF_TYPE, "http://e/shallow", True, None),
+            ("http://e/i", "http://e/age", "42", False, DT_INTEGER),
+            ("http://e/i", LABEL, "The Thing", False, DT_STRING),
+            ("http://e/deep", SUBCLASS, "http://e/super", True, None),
+            ("http://e/deep", RDF_TYPE, OWL_CLASS, True, None),
+            ("http://e/shallow", RDF_TYPE, OWL_CLASS, True, None),
+            # predicate declared AND used
+            ("http://e/age", RDF_TYPE, OWL_DT_PROP, True, None),
+            # literal with qualifier to strip
+            ("http://e/i", "http://e/note", "val (ns:q) end", False, DT_STRING),
+        ],
+    )
+    pages = {r["title"]: r for r in triples_to_pages(spark, t, n_salt=4).collect()}
+
+    thing = pages["The Thing"]
+    assert thing["page_type"] == URI_TYPE_UNDEFINED
+    # deep has 2 super-edges-chain, shallow has 1 -> specific = Deep
+    assert thing["specific_category"] == "Deep"
+    assert sorted(thing["categories"]) == ["Deep", "Shallow"]
+    facts = {(f["property"], f["value"]) for f in thing["facts"]}
+    assert ("Age", "42") in facts
+    assert ("Note", "val end") in facts  # P2 strip
+    assert ("Label", "The Thing") in facts
+    assert ("Equivalent URI", "http://e/i") in facts
+
+    age = pages["Property:Age"]
+    assert age["page_type"] == URI_TYPE_PREDICATE
+    age_facts = {(f["property"], f["value"]) for f in age["facts"]}
+    assert ("Has type", "Number") in age_facts  # from xsd:integer observation
+    assert ("Equivalent URI", "http://e/age") in age_facts  # merged subject page
+
+    # predicate never appearing as subject still gets a Property page
+    note = pages["Property:Note"]
+    note_facts = {(f["property"], f["value"]) for f in note["facts"]}
+    assert ("Has type", "Text") in note_facts
+    assert not any(p == "Equivalent URI" for p, _ in note_facts)
+
+    deep = pages["Category:Deep"]
+    assert deep["page_type"] == URI_TYPE_CLASS
+
+
+def test_fact_dedup_first_wins(spark):
+    t = _triples(
+        spark,
+        [
+            ("http://e/s", "http://e/p", "same", False, DT_STRING),
+            ("http://e/s", "http://e/p", "same", False, DT_STRING),
+            ("http://e/s", "http://e/p", "other", False, DT_STRING),
+        ],
+    )
+    pages = {r["title"]: r for r in triples_to_pages(spark, t, n_salt=4).collect()}
+    s = pages["S"]
+    vals = [(f["property"], f["value"]) for f in s["facts"]]
+    assert len(vals) == len(set(vals))  # AddFactUnique semantics
+    assert ("P", "same") in vals and ("P", "other") in vals
