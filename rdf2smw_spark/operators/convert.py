@@ -72,6 +72,7 @@ def triples_to_pages(
     triples: DataFrame,
     n_salt: int = 16,
     broadcast_dims: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Full conversion pass. Returns the WikiPage DataFrame
     (title, page_type, facts, categories, specific_category).
@@ -83,6 +84,14 @@ def triples_to_pages(
     """
     bc = F.broadcast if broadcast_dims else (lambda df: df)
 
+    # The triple stream feeds five dimension derivations plus the main
+    # enrichment — persist it once instead of recomputing the source plan
+    # per consumer (the reference's ResourceIndexFanOut D1 is exactly this
+    # DAG-reuse, residxfanout.go:15-25). MEMORY_AND_DISK: at cluster scale
+    # a 100 TB stream would instead be a checkpointed table (plans/lineage).
+    if cache:
+        triples = triples.persist()
+
     st = subject_types(triples)
     bt = best_titles(triples)
     cd = class_depth(spark, triples)
@@ -90,19 +99,29 @@ def triples_to_pages(
     pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
 
     # --- stage B: enrich + one salted groupBy(subj) -------------------------
-    bt_obj = bt.select(F.col("subj").alias("__ouri"), F.col("raw_title").alias("__oraw"))
+    # Object titles are computed ONCE per distinct IRI (small dim), not
+    # inline per triple: the title chain is a large expression (13
+    # replaces + regexes + truncation fold) — evaluating it on the
+    # distinct-URI dim keeps the stream-side stages small and cheap.
+    objs = triples.filter(F.col("obj_is_iri")).select(F.col("obj").alias("__ouri")).distinct()
+    obj_titles = (
+        objs.join(bt, objs.__ouri == bt.subj, "left")
+        .select(
+            "__ouri",
+            F.coalesce(F.col("raw_title"), F.expr(sql_local_name("__ouri"))).alias("__oraw"),
+        )
+        .select("__ouri", _title_expr("__oraw").alias("__otitle"))
+    )
     cd_obj = cd.select(F.col("uri").alias("__curi"), "depth")
 
     e = (
         triples.join(bc(pt), "pred")
-        .join(bc(bt_obj), F.col("obj") == F.col("__ouri"), "left")
+        .join(bc(obj_titles), F.col("obj") == F.col("__ouri"), "left")
         .join(bc(cd_obj), F.col("obj") == F.col("__curi"), "left")
     )
 
     is_cat = F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
-    obj_raw = F.coalesce(F.col("__oraw"), F.expr(sql_local_name("obj")))
-    e = e.withColumn("__vraw", F.when(F.col("obj_is_iri"), obj_raw))
-    value = F.when(F.col("obj_is_iri"), _title_expr("__vraw")).otherwise(
+    value = F.when(F.col("obj_is_iri"), F.col("__otitle")).otherwise(
         F.expr(sql_clean_literal("obj"))
     )
 
@@ -170,6 +189,10 @@ def triples_to_pages(
         )
         .select("subj", "title", F.col("uri_type").alias("page_type"), "facts", "categories", "specific_category")
     )
+    if cache:
+        # pages0 feeds both the regular-page branch and the predicate-page
+        # merge — persist to avoid running the aggregation twice.
+        pages0 = pages0.persist()
 
     # --- stage C: property-page accumulation + merge (A3) --------------------
     # predPageIndex is keyed by page TITLE (:98), so same-title predicates

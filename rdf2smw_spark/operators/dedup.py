@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash banded LSH, n-gram Jaccard, SimHash, and
+embedding-cosine near-dup. Everything is pyspark.sql built-ins over
+md5-based hashing so each operator has an exactly mirrored DuckDB oracle
+(colocated *_sql generators).
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on a 32-hex fingerprint; AQE-coalesced.
+- shingle join (n-gram Jaccard): the classic blowup is stop-shingles
+  shared by millions of docs — `max_df` caps document frequency before
+  the self-join (both engines), the standard frequency-pruning trick.
+- minhash LSH: candidate generation joins on (band_id, band_hash) —
+  cardinality ~n_docs*bands, each group tiny by construction; the
+  verify step recomputes exact Jaccard on candidates only.
+- simhash: signature is a pure map-side computation (explode tokens x 32
+  bits, two aggregations); near-dup pairs join on byte-bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- normalization / shingling ----------------------------------------------
+
+NORM_RX = "[^a-z0-9 ]+"
+SHINGLE_LEN = 9
+MINHASH_K = 12
+MINHASH_BANDS = 4  # rows per band = MINHASH_K / MINHASH_BANDS = 3
+
+
+def norm_text_sql(expr: str, dialect: str = "spark") -> str:
+    g = ", 'g'" if dialect == "duckdb" else ""
+    inner = f"regexp_replace(lower({expr}), '{NORM_RX}', ' '{g})"
+    collapsed = f"regexp_replace({inner}, ' +', ' '{g})"
+    return f"trim({collapsed})"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, canonical_id, group_size): md5 of normalized
+    text; canonical = min doc_id per group."""
+    fp = docs.select(
+        "doc_id", F.expr(f"md5({norm_text_sql('text')})").alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "fingerprint").select(
+        "doc_id", "fingerprint", "canonical_id", "group_size"
+    )
+
+
+def exact_dedup_sql(docs_sql: str) -> str:
+    norm = norm_text_sql("text", "duckdb")
+    return f"""
+    WITH fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM {docs_sql}),
+    grp AS (SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+            FROM fp GROUP BY fingerprint)
+    SELECT fp.doc_id, fp.fingerprint, grp.canonical_id, grp.group_size
+    FROM fp JOIN grp USING (fingerprint)
+    """
+
+
+def near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate augmentation: every 7th doc gets a
+    variant (doc_id + 1_000_000) with a short suffix — planted positives
+    for the MinHash / Jaccard operators (no external data)."""
+    variants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words appended here")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+def near_dup_corpus_sql(docs_sql: str) -> str:
+    return f"""(
+    SELECT doc_id, text FROM {docs_sql}
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' extra tail words appended here'
+    FROM {docs_sql} WHERE (doc_id % 7) = 0
+)"""
+
+
+def char_shingles(docs: DataFrame, n: int = SHINGLE_LEN, max_df: int | None = None) -> DataFrame:
+    """Distinct character n-gram shingles of normalized text:
+    (doc_id, shingle). max_df drops shingles appearing in more than
+    max_df docs (stop-shingle pruning before any self-join)."""
+    normed = docs.select("doc_id", F.expr(norm_text_sql("text")).alias("norm"))
+    sh = (
+        normed.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(norm) - {n - 1}, 1)),"
+                    f" i -> substring(norm, i, {n}))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle").select(
+            "doc_id", "shingle"
+        )
+    return sh
+
+
+def char_shingles_sql(docs_sql: str, n: int = SHINGLE_LEN, max_df: int | None = None) -> str:
+    norm = norm_text_sql("text", "duckdb")
+    # generate_series as a scalar (list-returning) function — DuckDB's
+    # table-function form doesn't accept lateral column arguments
+    base = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, greatest(length(norm) - {n - 1}, 1)),
+                   i -> substring(norm, i, {n}))) AS shingle
+        FROM (SELECT doc_id, {norm} AS norm FROM {docs_sql})
+    ) WHERE length(shingle) = {n}
+    """
+    if max_df is None:
+        return f"({base})"
+    return f"""(
+    WITH sh AS ({base}),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE freq.df <= {max_df}
+)"""
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
+    Self-join on shingle -> |intersection|; sizes -> |union|."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(shingles_sql: str, threshold: float = 0.6) -> str:
+    return f"""
+    WITH sh AS (SELECT * FROM {shingles_sql}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= {threshold}
+    """
+
+
+def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): sig_i = min md5('<i>:' || shingle).
+    Hex-string min is a valid uniform minhash (md5 is the permutation);
+    identical and portable in both engines."""
+    aggs = [
+        F.min(F.expr(f"md5(concat('{i}:', shingle))")).alias(f"sig_{i}") for i in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(
+    shingles: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """LSH banding: hash each band of r=k/bands signature values; docs
+    colliding in any band are candidates. (doc_a, doc_b) distinct."""
+    r = k // bands
+    sigs = minhash_signatures(shingles, k)
+    band_rows = []
+    for bnd in range(bands):
+        cols = ", ".join(f"sig_{bnd * r + j}" for j in range(r))
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.expr(f"md5(concat_ws('|', {cols}))").alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for df in band_rows[1:]:
+        banded = banded.unionByName(df)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidates from LSH banding, verified with exact Jaccard —
+    the scalable near-dup pipeline (shingle->minhash->band->bucket-join
+    ->verify)."""
+    cands = minhash_candidates(shingles, k, bands)
+    verified = jaccard_pairs(shingles, threshold)
+    return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_near_dups_sql(
+    shingles_sql: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> str:
+    r = k // bands
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(k)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || '|' || ".join(f"sig_{bnd * r + j}" for j in range(r))
+        + ") AS band_hash FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT * FROM {shingles_sql}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= {threshold}
+    )
+    SELECT c.doc_a, c.doc_b, v.jaccard
+    FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+    """
+
+
+# --- simhash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit simhash over distinct normalized tokens.
+    Token hash = first 8 md5 hex chars as int; bit b of the signature is
+    the sign of sum over tokens of (+1 if token-bit b else -1)."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(f"split({norm_text_sql('text')}, ' ')")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+    )
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b")
+    ).withColumn(
+        "v", F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+def simhash_sql(docs_sql: str) -> str:
+    norm = norm_text_sql("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, UNNEST(string_split({norm}, ' ')) AS tok FROM {docs_sql})
+        WHERE tok <> ''
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM toks, generate_series(0, {SIMHASH_BITS - 1}) t(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, candidate-blocked on
+    equal signature bytes (a 32-bit signature with distance <= 3 must
+    agree on at least one of its 4 bytes — pigeonhole)."""
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("byte_i"),
+    ).withColumn("byte_v", F.expr("(simhash >> (byte_i * 8)) & 255"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "byte_i", "byte_v"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "byte_i", "byte_v"
+    )
+    pairs = (
+        a.join(b, ["byte_i", "byte_v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")

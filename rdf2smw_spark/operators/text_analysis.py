@@ -1,0 +1,155 @@
+"""Text analysis operators for training-data curation: language ID
+(marker-token heuristic), quality scoring, token counting, document
+fingerprinting. All built-in expressions with mirrored DuckDB oracles —
+the hot path is JVM-side regex/arithmetic, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators.dedup import norm_text_sql
+
+# tiny marker vocabularies (deterministic heuristic, not a model)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "para", "con", "una"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+# BPE-ish token pattern: words, numbers, or single punctuation marks
+BPE_RX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(expr: str, dialect: str = "spark") -> str:
+    g = ", 'g'" if dialect == "duckdb" else ""
+    split = "string_split_regex" if dialect == "duckdb" else "split"
+    return f"{split}(lower({expr}), '{TOKEN_SPLIT}')"
+
+
+def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "duckdb":
+        return f"len(list_filter({tokens_expr}, t -> list_contains([{lst}], t)))"
+    return f"size(filter({tokens_expr}, t -> t IN ({lst})))"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, score): argmax marker-hit count, ties broken
+    by language code order; 'und' when nothing matches."""
+    return docs.select("doc_id", *_lang_cols("spark")).select(
+        "doc_id", "lang_pred", "score"
+    )
+
+
+def _lang_cols(dialect: str):
+    toks = _tokens("text", dialect)
+    scores = {lang: _count_in(toks, words, dialect) for lang, words in LANG_MARKERS.items()}
+    # deterministic argmax: max (score, -ord(lang)) via CASE chain in lang order
+    best = " ".join(
+        f"WHEN {expr} = __best AND __best > 0 THEN '{lang}'" for lang, expr in scores.items()
+    )
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    if dialect == "spark":
+        return [
+            F.expr(f"CASE {best.replace('__best', greatest)} ELSE 'und' END").alias("lang_pred"),
+            F.expr(greatest).cast("long").alias("score"),
+        ]
+    return (
+        f"CASE {best.replace('__best', greatest)} ELSE 'und' END AS lang_pred",
+        f"CAST({greatest} AS BIGINT) AS score",
+    )
+
+
+def lang_id_sql(docs_sql: str) -> str:
+    pred, score = _lang_cols("duckdb")
+    return f"SELECT doc_id, {pred}, {score} FROM {docs_sql}"
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_obs, n_tokens, stopword_ratio, punct_ratio,
+    quality): length/stopword/punctuation heuristics -> [0,1] score."""
+    return docs.select("doc_id", *_quality_cols("spark"))
+
+
+def _quality_exprs(dialect: str) -> dict[str, str]:
+    toks = _tokens("text", dialect)
+    g = ", 'g'" if dialect == "duckdb" else ""
+    split = "string_split_regex" if dialect == "duckdb" else "split"
+    n_tok = f"len({toks})" if dialect == "duckdb" else f"size({toks})"
+    n_stop = _count_in(toks, STOPWORDS, dialect)
+    n_punct = f"length(regexp_replace(text, '[a-zA-Z0-9 ]', ''{g}))"
+    return {
+        "n_chars_obs": "length(text)",
+        "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "stopword_ratio": f"ROUND({n_stop} / greatest({n_tok}, 1), 4)",
+        "punct_ratio": f"ROUND({n_punct} / greatest(length(text), 1), 4)",
+        "quality": (
+            f"ROUND(least(greatest({n_tok}, 1) / 100.0, 1.0) * "
+            f"(1.0 - least({n_punct} / greatest(length(text), 1), 1.0)), 4)"
+        ),
+    }
+
+
+def _quality_cols(dialect: str):
+    exprs = _quality_exprs(dialect)
+    if dialect == "spark":
+        return [F.expr(e).alias(name) for name, e in exprs.items()]
+    return ", ".join(f"{e} AS {name}" for name, e in exprs.items())
+
+
+def quality_score_sql(docs_sql: str) -> str:
+    return f"SELECT doc_id, {_quality_cols('duckdb')} FROM {docs_sql}"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_unique, n_bpe): whitespace tokens, distinct
+    tokens, BPE-ish regex token count."""
+    return docs.select("doc_id", *_token_cols("spark"))
+
+
+def _token_cols(dialect: str):
+    toks = _tokens("text", dialect)
+    if dialect == "duckdb":
+        n = f"len(list_filter({toks}, t -> t <> ''))"
+        u = f"len(list_distinct(list_filter({toks}, t -> t <> '')))"
+        bpe = f"len(regexp_extract_all(lower(text), '{BPE_RX}'))"
+        return ", ".join(
+            [f"CAST({n} AS BIGINT) AS n_tokens", f"CAST({u} AS BIGINT) AS n_unique", f"CAST({bpe} AS BIGINT) AS n_bpe"]
+        )
+    n = f"size(filter({toks}, t -> t != ''))"
+    u = f"size(array_distinct(filter({toks}, t -> t != '')))"
+    bpe = f"size(regexp_extract_all(lower(text), '{BPE_RX}', 0))"
+    return [
+        F.expr(n).cast("long").alias("n_tokens"),
+        F.expr(u).cast("long").alias("n_unique"),
+        F.expr(bpe).cast("long").alias("n_bpe"),
+    ]
+
+
+def token_stats_sql(docs_sql: str) -> str:
+    return f"SELECT doc_id, {_token_cols('duckdb')} FROM {docs_sql}"
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_full, fp_prefix): md5 of normalized text + of its
+    first 64 normalized chars (cheap clustering key for prefix dups)."""
+    norm = norm_text_sql("text", "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("fp_full"),
+        F.expr(f"md5(substring({norm}, 1, 64))").alias("fp_prefix"),
+    )
+
+
+def fingerprints_sql(docs_sql: str) -> str:
+    norm = norm_text_sql("text", "duckdb")
+    return (
+        f"SELECT doc_id, md5({norm}) AS fp_full, "
+        f"md5(substring({norm}, 1, 64)) AS fp_prefix FROM {docs_sql}"
+    )

@@ -1,0 +1,72 @@
+"""Checkpoint + lineage layer (north rule: every stage checkpoints with
+per-partition lineage rows; the pipeline resumes idempotently).
+
+Storage is parquet + a _SUCCESS-gated manifest (the Iceberg runtime jar
+is not available offline — the interface is format-agnostic, so swapping
+`parquet` for `iceberg` is a one-line change; snapshot semantics here
+come from the atomic _SUCCESS marker Spark writes last).
+
+Lineage rows: (run_id, stage, partition_id, input_split, rows_out,
+wall_ms) — one per output file, derived from the files actually written,
+so a resumed run can audit exactly what each task produced.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str, run_id: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, "_lineage")
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self.stage_path(stage), "_SUCCESS"))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.stage_path(stage))
+
+    def _append_lineage(self, stage: str, wall_ms: int) -> None:
+        out = self.read(stage)
+        lin = (
+            out.groupBy(F.input_file_name().alias("input_split"))
+            .agg(F.count("*").alias("rows_out"))
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                (F.dense_rank().over(Window.orderBy("input_split")) - 1).alias("partition_id"),
+                "input_split",
+                F.col("rows_out").cast("long"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+            )
+        )
+        lin.write.mode("append").parquet(self.lineage_path())
+
+    def materialize(self, df: DataFrame, stage: str, resume: bool = True) -> DataFrame:
+        """Write-once stage checkpoint: skip if a complete snapshot
+        exists (resume), else compute, write atomically, record lineage.
+        Always returns the on-disk DataFrame so downstream stages read
+        the checkpoint, not the recomputed plan."""
+        if resume and self.is_complete(stage):
+            return self.read(stage)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(self.stage_path(stage))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._append_lineage(stage, wall_ms)
+        return self.read(stage)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path())

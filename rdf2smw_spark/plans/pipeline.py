@@ -1,0 +1,83 @@
+"""End-to-end pipeline (SURVEY.md §7 stage architecture):
+
+  pages --EXTRACT--> text_extracted --TRIPLIFY--> raw_triples
+        --LINK--> linked (optional) --AGGREGATE+CONVERT--> pages
+        --RENDER--> pages_xml / properties_xml / templates_xml
+
+Each stage checkpoints through CheckpointStore (resume = skip completed
+stages); the N-triples entry point covers the reference's original CLI
+use case (.nt in → SMW XML out).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.extract import extract_text, latest_capture
+from rdf2smw_spark.operators.convert import triples_to_pages
+from rdf2smw_spark.operators.render import collect_xml_file, render_all
+from rdf2smw_spark.plans.lineage import CheckpointStore
+from rdf2smw_spark.sources.ntriples import read_ntriples
+from rdf2smw_spark.triplify import triplify
+
+
+def run_web_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    work_dir: str,
+    resume: bool = True,
+    n_salt: int = 16,
+    run_id: str | None = None,
+) -> dict:
+    """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
+    Returns stage row counts (the bench harness derives throughput from
+    these + lineage wall_ms)."""
+    store = CheckpointStore(spark, work_dir, run_id=run_id)
+
+    deduped = latest_capture(pages)
+    extracted = store.materialize(extract_text(deduped), "text_extracted", resume)
+    raw_triples = store.materialize(triplify(extracted), "raw_triples", resume)
+    wiki_pages = store.materialize(
+        triples_to_pages(spark, raw_triples, n_salt=n_salt), "wiki_pages", resume
+    )
+    content, props, tpls = render_all(wiki_pages, use_templates=True)
+    content_x = store.materialize(content, "pages_xml", resume)
+    props_x = store.materialize(props, "properties_xml", resume)
+    tpls_x = store.materialize(tpls, "templates_xml", resume)
+
+    return {
+        "pages_in": pages.count(),
+        "extracted": extracted.count(),
+        "triples": raw_triples.count(),
+        "wiki_pages": wiki_pages.count(),
+        "pages_xml": content_x.count(),
+        "properties_xml": props_x.count(),
+        "templates_xml": tpls_x.count(),
+        "run_id": store.run_id,
+    }
+
+
+def run_nt_pipeline(
+    spark: SparkSession,
+    nt_path: str,
+    out_dir: str,
+    use_templates: bool = True,
+    n_salt: int = 16,
+) -> dict:
+    """The reference CLI's job (main.go:38-151): .nt file(s) → three XML
+    documents (pages / properties / templates), single-file envelopes."""
+    triples, bad = read_ntriples(spark, nt_path)
+    pages = triples_to_pages(spark, triples, n_salt=n_salt)
+    content, props, tpls = render_all(pages, use_templates=use_templates)
+    os.makedirs(out_dir, exist_ok=True)
+    outputs = {}
+    for name, df in [("pages", content), ("properties", props), ("templates", tpls)]:
+        doc = collect_xml_file(df)
+        path = os.path.join(out_dir, f"{name}.xml")
+        with open(path, "w") as fh:
+            fh.write(doc)
+        outputs[name] = path
+    return {"outputs": outputs, "bad_lines": bad.count(), "n_pages": pages.count()}

@@ -1,0 +1,403 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame, with a mirrored DuckDB oracle SQL string.
+
+__spark_entry__.py re-exports QUERIES/ORACLES; bench.py drives the
+headline subset. Column names and logical types match between each pair
+(the driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf2smw_spark import oracle as orc
+from rdf2smw_spark.extract import duckdb_extract_sql, extract_text, latest_capture
+from rdf2smw_spark.functions.textnorm import sql_local_name, sql_wiki_title_full
+from rdf2smw_spark.operators import dedup as dd
+from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import similarity as sim
+from rdf2smw_spark.operators import text_analysis as ta
+from rdf2smw_spark.operators.convert import triples_to_pages
+from rdf2smw_spark.operators.dimensions import (
+    best_titles,
+    class_depth,
+    pred_smw_types,
+    subject_types,
+)
+from rdf2smw_spark.schemas import URI_TYPE_PREDICATE
+from rdf2smw_spark.sources.testdata import duckdb_triples_sql, testdata_triples
+from rdf2smw_spark.sources.webpages import duckdb_pages_sql, synth_pages
+from rdf2smw_spark.triplify import duckdb_triplify_sql, triplify
+from rdf2smw_spark.functions.textnorm import sql_smw_type
+
+TRIPLES_SQL = duckdb_triples_sql()
+PAGES_SQL = duckdb_pages_sql()
+WEB_TRIPLES_SQL = (
+    f"(WITH pages AS {PAGES_SQL} SELECT * FROM {duckdb_triplify_sql('pages')})"
+)
+DOCS_ND_SQL = dd.near_dup_corpus_sql("documents")
+SHINGLES_SQL = dd.char_shingles_sql(DOCS_ND_SQL, max_df=100)
+
+
+# --- KG pipeline over testdata-derived triples --------------------------------
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return testdata_triples(spark, sf_dir)
+
+
+def q_kg_triple_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = testdata_triples(spark, sf_dir)
+    return t.groupBy("subj").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("pred").alias("n_preds"),
+        F.concat_ws(",", F.sort_array(F.collect_set("pred"))).alias("preds"),
+    )
+
+
+def q_kg_subject_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subject_types(testdata_triples(spark, sf_dir))
+
+
+def q_kg_best_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return best_titles(testdata_triples(spark, sf_dir))
+
+
+def q_kg_class_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return class_depth(spark, testdata_triples(spark, sf_dir))
+
+
+def q_kg_pred_smw_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = testdata_triples(spark, sf_dir)
+    p = pred_smw_types(t, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
+    return p.select("pred", F.concat_ws(",", "has_types").alias("has_types"))
+
+
+def _wiki_titles(spark: SparkSession, triples: DataFrame) -> DataFrame:
+    st = subject_types(triples)
+    bt = best_titles(triples)
+    subjects = triples.select("subj").distinct()
+    return (
+        subjects.join(bt, "subj", "left")
+        .join(st, "subj", "left")
+        .withColumn("uri_type", F.coalesce("uri_type", F.lit(1)))
+        .withColumn("__raw", F.coalesce("raw_title", F.expr(sql_local_name("subj"))))
+        .withColumn("__t", F.expr(sql_wiki_title_full("__raw")))
+        .select(
+            "subj",
+            F.when(F.col("uri_type") == 2, F.concat(F.lit("Property:"), "__t"))
+            .when(F.col("uri_type") == 3, F.concat(F.lit("Category:"), "__t"))
+            .otherwise(F.col("__t"))
+            .alias("page_title"),
+            "uri_type",
+        )
+    )
+
+
+def q_kg_wiki_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wiki_titles(spark, testdata_triples(spark, sf_dir))
+
+
+def _fact_rows(spark: SparkSession, triples: DataFrame) -> DataFrame:
+    pages = triples_to_pages(spark, triples)
+    return pages.select(
+        F.col("title").alias("page_title"), F.explode("facts").alias("f")
+    ).select("page_title", F.col("f.property").alias("property"), F.col("f.value").alias("value")).distinct()
+
+
+def q_kg_fact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fact_rows(spark, testdata_triples(spark, sf_dir))
+
+
+def q_kg_category_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = triples_to_pages(spark, testdata_triples(spark, sf_dir))
+    return (
+        pages.select(F.col("title").alias("page_title"), F.explode("categories").alias("category"))
+        .distinct()
+    )
+
+
+def q_kg_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = triples_to_pages(spark, testdata_triples(spark, sf_dir))
+    return pages.filter(F.col("page_type") != URI_TYPE_PREDICATE).select(
+        "title",
+        F.size("facts").cast("long").alias("n_facts"),
+        F.size("categories").cast("long").alias("n_categories"),
+        "specific_category",
+    )
+
+
+def q_kg_pages_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full render (non-SQL-expressible output formatting — rows-only check)."""
+    from rdf2smw_spark.operators.render import render_all
+
+    pages = triples_to_pages(spark, testdata_triples(spark, sf_dir))
+    content, props, tpls = render_all(pages, use_templates=True)
+    return content.unionByName(props).unionByName(tpls).select("title", "page_type", "xml")
+
+
+# --- web front end ------------------------------------------------------------
+
+def q_web_pages_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_pages(spark, sf_dir).select("url", "warc_ts", "lang")
+
+
+def q_web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_text(synth_pages(spark, sf_dir)).select("url", "warc_ts", "text")
+
+
+def q_web_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_capture(synth_pages(spark, sf_dir)).select("url", "warc_ts", "lang")
+
+
+def q_web_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triplify(synth_pages(spark, sf_dir))
+
+
+def q_web_kg_fact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end: html pages -> triples -> wiki-page fact rows."""
+    return _fact_rows(spark, triplify(synth_pages(spark, sf_dir)))
+
+
+# --- text analysis -------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_ta_lang_id(spark, sf_dir):
+    return ta.lang_id(_docs(spark, sf_dir))
+
+
+def q_ta_quality(spark, sf_dir):
+    return ta.quality_score(_docs(spark, sf_dir))
+
+
+def q_ta_token_stats(spark, sf_dir):
+    return ta.token_stats(_docs(spark, sf_dir))
+
+
+def q_ta_fingerprints(spark, sf_dir):
+    return ta.fingerprints(_docs(spark, sf_dir))
+
+
+# --- dedup ----------------------------------------------------------------------
+
+def q_dd_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def _shingles(spark, sf_dir):
+    return dd.char_shingles(dd.near_dup_corpus(_docs(spark, sf_dir)), max_df=100)
+
+
+def q_dd_jaccard_pairs(spark, sf_dir):
+    return dd.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+
+
+def q_dd_minhash_near_dups(spark, sf_dir):
+    return dd.minhash_near_dups(_shingles(spark, sf_dir), threshold=0.5)
+
+
+def q_dd_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def q_dd_simhash_near_dups(spark, sf_dir):
+    """Hamming-banded simhash pairs (Spark-only; verified by pytest)."""
+    return dd.simhash_near_dups(dd.near_dup_corpus(_docs(spark, sf_dir)), max_hamming=3)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dd_embed_cosine(spark, sf_dir):
+    return sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.9)
+
+
+# --- similarity ------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    df = sim.ann_topk_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    df = sim.ann_topk_lsh(_emb(spark, sf_dir), n_queries=10, k=5)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- linking ----------------------------------------------------------------------
+
+def q_link_entity_dict(spark, sf_dir):
+    d = lk.corpus_entity_dict(_docs(spark, sf_dir))
+    return d.withColumn("priority", F.col("priority").cast("long"))
+
+
+def q_link_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return lk.link_exact(docs, lk.corpus_entity_dict(docs))
+
+
+def q_link_fuzzy(spark, sf_dir):
+    """MinHash fuzzy surface matching (Spark-only; pytest-verified)."""
+    docs = _docs(spark, sf_dir)
+    d = lk.corpus_entity_dict(docs)
+    # plant deterministic typos of dictionary surfaces as mentions
+    mentions = d.select(
+        F.concat(F.expr("substring(surface, 1, length(surface) - 1)"), F.lit("x")).alias("mention")
+    )
+    return lk.link_fuzzy(mentions, d, threshold=0.3)
+
+
+# --- events: windows / sessionization ----------------------------------------------
+
+def q_ev_window_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_ev_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+# --- registry -----------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_triples": q_kg_triples,
+    "kg_triple_agg": q_kg_triple_agg,
+    "kg_subject_types": q_kg_subject_types,
+    "kg_best_title": q_kg_best_title,
+    "kg_class_depth": q_kg_class_depth,
+    "kg_pred_smw_types": q_kg_pred_smw_types,
+    "kg_wiki_titles": q_kg_wiki_titles,
+    "kg_fact_rows": q_kg_fact_rows,
+    "kg_category_rows": q_kg_category_rows,
+    "kg_page_stats": q_kg_page_stats,
+    "kg_pages_xml": q_kg_pages_xml,
+    "web_pages_meta": q_web_pages_meta,
+    "web_extract_text": q_web_extract_text,
+    "web_latest_capture": q_web_latest_capture,
+    "web_triples": q_web_triples,
+    "web_kg_fact_rows": q_web_kg_fact_rows,
+    "ta_lang_id": q_ta_lang_id,
+    "ta_quality": q_ta_quality,
+    "ta_token_stats": q_ta_token_stats,
+    "ta_fingerprints": q_ta_fingerprints,
+    "dd_exact": q_dd_exact,
+    "dd_jaccard_pairs": q_dd_jaccard_pairs,
+    "dd_minhash_near_dups": q_dd_minhash_near_dups,
+    "dd_simhash": q_dd_simhash,
+    "dd_simhash_near_dups": q_dd_simhash_near_dups,
+    "dd_embed_cosine": q_dd_embed_cosine,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "link_entity_dict": q_link_entity_dict,
+    "link_exact": q_link_exact,
+    "link_fuzzy": q_link_fuzzy,
+    "ev_window_counts": q_ev_window_counts,
+    "ev_sessionize": q_ev_sessionize,
+}
+
+_EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
+
+ORACLES: dict[str, str] = {
+    "kg_triples": f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples",
+    "kg_triple_agg": f"""
+        WITH triples AS {TRIPLES_SQL},
+        d AS (SELECT DISTINCT subj, pred FROM triples)
+        SELECT t.subj, t.n_triples, d2.n_preds, d2.preds FROM
+        (SELECT subj, COUNT(*) AS n_triples FROM triples GROUP BY subj) t
+        JOIN (SELECT subj, COUNT(*) AS n_preds,
+                     string_agg(pred, ',' ORDER BY pred) AS preds
+              FROM d GROUP BY subj) d2 USING (subj)
+    """,
+    "kg_subject_types": orc.subject_types_sql(TRIPLES_SQL),
+    "kg_best_title": orc.best_titles_sql(TRIPLES_SQL),
+    "kg_class_depth": orc.class_depth_sql(TRIPLES_SQL),
+    "kg_pred_smw_types": orc.pred_smw_types_sql(TRIPLES_SQL),
+    "kg_wiki_titles": orc.wiki_titles_sql(TRIPLES_SQL),
+    "kg_fact_rows": orc.fact_rows_sql(TRIPLES_SQL),
+    "kg_category_rows": orc.category_rows_sql(TRIPLES_SQL),
+    "kg_page_stats": orc.page_stats_sql(TRIPLES_SQL),
+    # kg_pages_xml: rows-only (XML formatting not SQL-expressible)
+    "web_pages_meta": f"WITH pages AS {PAGES_SQL} SELECT url, warc_ts, lang FROM pages",
+    "web_extract_text": (
+        f"WITH pages AS {PAGES_SQL} "
+        f"SELECT url, warc_ts, {duckdb_extract_sql('html_str')} AS text FROM pages"
+    ),
+    "web_latest_capture": f"""
+        WITH pages AS {PAGES_SQL}
+        SELECT url, warc_ts, lang FROM (
+            SELECT url, warc_ts, lang,
+                   ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+            FROM pages
+        ) WHERE rn = 1
+    """,
+    "web_triples": (
+        f"WITH pages AS {PAGES_SQL} SELECT * FROM {duckdb_triplify_sql('pages')}"
+    ),
+    "web_kg_fact_rows": orc.fact_rows_sql(WEB_TRIPLES_SQL),
+    "ta_lang_id": ta.lang_id_sql("documents"),
+    "ta_quality": ta.quality_score_sql("documents"),
+    "ta_token_stats": ta.token_stats_sql("documents"),
+    "ta_fingerprints": ta.fingerprints_sql("documents"),
+    "dd_exact": dd.exact_dedup_sql("documents"),
+    "dd_jaccard_pairs": dd.jaccard_pairs_sql(SHINGLES_SQL, threshold=0.5),
+    "dd_minhash_near_dups": dd.minhash_near_dups_sql(SHINGLES_SQL, threshold=0.5),
+    "dd_simhash": dd.simhash_sql("documents"),
+    # dd_simhash_near_dups: rows-only (banding strategy is the Spark artifact)
+    "dd_embed_cosine": sim.cosine_pairs_sql(_EMB_SQL, threshold=0.9),
+    "ann_topk": sim.ann_topk_sql(_EMB_SQL, n_queries=10, k=5),
+    # ann_topk_lsh: rows-only (hyperplane constants live in the Spark plan)
+    "link_entity_dict": f"SELECT * FROM {lk.corpus_entity_dict_sql('documents')}",
+    "link_exact": lk.link_exact_sql("documents", lk.corpus_entity_dict_sql("documents")),
+    # link_fuzzy: rows-only
+    "ev_window_counts": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "ev_sessionize": """
+        WITH lagd AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev IS NULL
+                           OR date_diff('second', prev, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+            FROM lagd
+        ),
+        sess AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM sess GROUP BY 1, 2
+    """,
+}

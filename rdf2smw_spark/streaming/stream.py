@@ -1,0 +1,56 @@
+"""Structured Streaming front end (SURVEY.md §2.9 — the reference is a
+batch CLI; streaming is a new capability for continuous crawl ingestion).
+
+The same EXTRACT/TRIPLIFY transforms run unchanged on a readStream
+DataFrame (they are plain column expressions / mapInPandas); this module
+adds the streaming-specific pieces: watermarked event-time windows over
+crawl captures and a file-source → parquet-sink wiring with availableNow
+for deterministic draining in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.triplify import triplify
+
+
+def stream_pages(spark: SparkSession, src_dir: str, schema) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def windowed_capture_counts(
+    pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window capture counts per language with late-data
+    watermarking — the canonical streaming agg over crawl snapshots."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_captures"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_captures",
+        )
+    )
+
+
+def run_stream_triplify(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str, schema
+) -> None:
+    """Drain all available page files through TRIPLIFY into parquet —
+    exactly-once via the streaming checkpoint (complements the batch
+    lineage layer for continuous ingestion)."""
+    pages = stream_pages(spark, src_dir, schema)
+    q = (
+        triplify(pages)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
