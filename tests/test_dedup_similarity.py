@@ -1,0 +1,122 @@
+"""Dedup / similarity / linking operator semantics on planted fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators import dedup as dd
+from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog again and AGAIN!"),  # near dup
+        (3, "completely different content about spark query engines at scale"),
+        (4, "another unrelated document mentioning parquet shuffle partitions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r for r in dd.exact_dedup(docs).collect()}
+    assert out[0]["canonical_id"] == 0 and out[1]["canonical_id"] == 0
+    assert out[0]["group_size"] == 3  # 2 normalizes to the same text (case/punct)
+    assert out[3]["group_size"] == 1
+
+
+def test_jaccard_and_minhash_find_planted_pair(docs):
+    # drop the exact dup, keep the near dup
+    d = docs.filter(F.col("doc_id") != 1)
+    sh = dd.char_shingles(d)
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.jaccard_pairs(sh, 0.5).collect()}
+    assert (0, 2) in jac and jac[(0, 2)] > 0.8
+    assert all(a == 0 and b == 2 for (a, b) in jac)
+    mh = {(r["doc_a"], r["doc_b"]) for r in dd.minhash_near_dups(sh, 0.5).collect()}
+    assert (0, 2) in mh
+
+
+def test_minhash_candidates_subset_of_all_pairs(docs):
+    sh = dd.char_shingles(docs)
+    cands = dd.minhash_candidates(sh).collect()
+    ids = {r for rr in cands for r in (rr["doc_a"], rr["doc_b"])}
+    assert ids <= {0, 1, 2, 3, 4}
+    # identical docs MUST collide in every band
+    assert (0, 1) in {(r["doc_a"], r["doc_b"]) for r in cands}
+
+
+def test_simhash_identical_and_hamming(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert out[0] == out[1]  # identical normalized text -> same signature
+    assert out[0] == out[2]  # normalization kills case/punct difference
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_near_dups(docs, 3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_max_df_prunes_stop_shingles(spark):
+    rows = [(i, "shared prefix stopword blob " + f"unique{i}") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    unpruned = dd.char_shingles(d).count()
+    pruned = dd.char_shingles(d, max_df=5).count()
+    assert pruned < unpruned
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7071, 0.7071, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_pairs_math(emb):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in sim.cosine_pairs(emb, 0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+    # verify against plain python
+    assert math.isclose(pairs[(0, 1)], 0.999 / math.sqrt(0.999**2 + 0.01**2), rel_tol=1e-3)
+
+
+def test_ann_topk_exact_ordering(emb):
+    out = sim.ann_topk_bruteforce(emb, n_queries=1, k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1 and ranked[1] == 4  # nearest then diagonal
+
+
+def test_ann_lsh_finds_same_bucket_neighbor(emb):
+    out = sim.ann_topk_lsh(emb, n_queries=1, k=3, n_planes=2).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 1 in ids  # near-identical vector must share every bucket
+
+
+def test_fuzzy_linking_matches_typos(spark):
+    d = spark.createDataFrame(
+        [("pipeline", "http://e/pipeline", 1), ("partition", "http://e/partition", 2)],
+        "surface string, uri string, priority int",
+    )
+    mentions = spark.createDataFrame([("pipelinex",), ("partitionz",), ("zzzz",)], ["mention"])
+    out = lk.link_fuzzy(mentions, d, threshold=0.3).collect()
+    got = {(r["mention"], r["surface"]) for r in out}
+    assert ("pipelinex", "pipeline") in got
+    assert ("partitionz", "partition") in got
+    assert not any(m == "zzzz" for m, _ in got)
+
+
+def test_exact_linking_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle pipeline"), (2, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    d = spark.createDataFrame(
+        [("pipeline", "http://e/pipeline", 1)], "surface string, uri string, priority int"
+    )
+    out = lk.link_exact(docs, d).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1 and out[0]["uri"] == "http://e/pipeline"

@@ -1,0 +1,63 @@
+"""Multimodal plumbing + structured-streaming front end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators import multimodal as mm
+from rdf2smw_spark.sources.webpages import synth_pages
+from rdf2smw_spark.streaming.stream import run_stream_triplify, windowed_capture_counts
+from rdf2smw_spark.triplify import triplify
+
+
+def test_feature_extraction_plumbing(spark):
+    media = mm.synth_media(spark, n=24)
+    feats = mm.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r["feature"]) == mm.FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # deterministic across partitioning
+    again = {r["media_id"]: r["checksum"] for r in mm.extract_features(media.repartition(7)).collect()}
+    assert again == {r["media_id"]: r["checksum"] for r in rows}
+
+
+def test_real_decode_is_explicit_stub(spark):
+    media = mm.synth_media(spark, n=3)
+    with pytest.raises(Exception) as exc:
+        mm.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "real decode" in str(exc.value)
+
+
+def test_frame_sampling_counts(spark):
+    media = mm.synth_media(spark, n=9)
+    frames = mm.frame_sample(media, every_ms=250)
+    per = frames.groupBy("media_id").count().collect()
+    durations = {r["media_id"]: r["duration_ms"] for r in media.filter("kind = 'video'").collect()}
+    for r in per:
+        expected = len(range(0, durations[r["media_id"]], 250))
+        assert r["count"] == expected
+
+
+def test_stream_triplify_matches_batch(spark, sf_dir, tmp_path):
+    pages = synth_pages(spark, sf_dir).limit(50)
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_stream_triplify(spark, src, out, ck, schema)
+    streamed = spark.read.parquet(out).toPandas()
+    batch = triplify(spark.read.parquet(src)).toPandas()
+    key = lambda df: sorted(map(tuple, df.fillna("").astype(str).values.tolist()))
+    assert key(streamed) == key(batch)
+
+
+def test_windowed_capture_counts_batch_semantics(spark, sf_dir):
+    # the same agg runs on the batch frame (streaming uses withWatermark)
+    pages = synth_pages(spark, sf_dir)
+    out = (
+        pages.groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n_captures"))
+    )
+    total = out.agg(F.sum("n_captures")).first()[0]
+    assert total == pages.count()

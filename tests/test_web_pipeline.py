@@ -1,0 +1,90 @@
+"""EXTRACT/TRIPLIFY invariants + checkpoint/resume semantics."""
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.extract import extract_text, latest_capture, py_extract_text
+from rdf2smw_spark.plans.pipeline import run_web_pipeline
+from rdf2smw_spark.sources.webpages import synth_pages
+from rdf2smw_spark.triplify import triplify
+
+
+def test_extract_byte_identical_per_url(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    a = extract_text(pages).select("url", "warc_ts", "text").toPandas()
+    b = extract_text(pages.repartition(13)).select("url", "warc_ts", "text").toPandas()
+    ka = {(r.url, r.warc_ts): hashlib.sha256(r.text.encode()).hexdigest() for r in a.itertuples()}
+    kb = {(r.url, r.warc_ts): hashlib.sha256(r.text.encode()).hexdigest() for r in b.itertuples()}
+    assert ka == kb
+    assert len(ka) > 0
+
+
+def test_extract_rules(spark):
+    html = (
+        b"<html><head><title>T</title></head><body><nav>n</nav>"
+        b"<script>var x=1;</script><p>Hello &amp; world</p>"
+        b"<footer>f</footer></body></html>"
+    )
+    assert py_extract_text(html.decode()) == "Hello & world"
+
+
+def test_latest_capture_keeps_newest(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    total = pages.count()
+    deduped = latest_capture(pages)
+    n_urls = pages.select("url").distinct().count()
+    assert deduped.count() == n_urls < total
+    # kept rows are the max warc_ts per url
+    mx = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    assert deduped.select("url", "warc_ts").exceptAll(mx).count() == 0
+
+
+def test_triplify_provenance_and_kinds(spark, sf_dir):
+    t = triplify(synth_pages(spark, sf_dir).limit(20))
+    rows = t.collect()
+    assert all(r["subj"] == r["src_url"] for r in rows)
+    kinds = {r["pred"].split("#")[-1] for r in rows}
+    assert kinds == {"title", "source", "nchars", "sameAs"}
+    iri = [r for r in rows if r["obj_is_iri"]]
+    assert iri and all(r["obj_datatype"] is None for r in iri)
+
+
+def test_pipeline_resume_is_idempotent(spark, sf_dir, tmp_path):
+    pages = synth_pages(spark, sf_dir).limit(60)
+    work = str(tmp_path / "work")
+    r1 = run_web_pipeline(spark, pages, work, resume=True, run_id="r1")
+    lineage1 = spark.read.parquet(os.path.join(work, "_lineage"))
+    n_lineage1 = lineage1.count()
+    triples1 = spark.read.parquet(os.path.join(work, "raw_triples")).toPandas()
+
+    # second run resumes: no stage recomputed, no lineage appended
+    r2 = run_web_pipeline(spark, pages, work, resume=True, run_id="r2")
+    lineage2 = spark.read.parquet(os.path.join(work, "_lineage"))
+    assert lineage2.count() == n_lineage1
+    triples2 = spark.read.parquet(os.path.join(work, "raw_triples")).toPandas()
+    key = lambda df: sorted(map(tuple, df.fillna("").astype(str).values.tolist()))
+    assert key(triples1) == key(triples2)
+    assert {k: v for k, v in r1.items() if k != "run_id"} == {
+        k: v for k, v in r2.items() if k != "run_id"
+    }
+    # lineage row counts reconcile with the stage output
+    tl = lineage1.filter(F.col("stage") == "raw_triples").agg(F.sum("rows_out")).first()[0]
+    assert tl == r1["triples"]
+
+
+def test_pipeline_partial_resume(spark, sf_dir, tmp_path):
+    """Simulate a mid-run kill: only the first stage exists; rerun must
+    complete the rest and leave the first stage untouched."""
+    import shutil
+
+    pages = synth_pages(spark, sf_dir).limit(40)
+    work = str(tmp_path / "work2")
+    run_web_pipeline(spark, pages, work, resume=True, run_id="a")
+    # wipe everything after text_extracted (simulated crash before stage 2)
+    for stage in ["raw_triples", "wiki_pages", "pages_xml", "properties_xml", "templates_xml"]:
+        shutil.rmtree(os.path.join(work, stage))
+    r = run_web_pipeline(spark, pages, work, resume=True, run_id="b")
+    assert r["wiki_pages"] > 0
+    assert os.path.exists(os.path.join(work, "pages_xml", "_SUCCESS"))
