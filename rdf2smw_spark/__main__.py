@@ -1,0 +1,59 @@
+"""CLI mirroring the reference binary's interface
+(/root/reference/main.go:38-56: `rdf2smw --in triples.nt --out pages.xml`),
+plus the web-pipeline mode the reference doesn't have.
+
+    python -m rdf2smw_spark --in triples.nt --out outdir/
+    python -m rdf2smw_spark --pages pages_parquet/ --out outdir/ --mode web
+
+Run on a cluster with:
+    ./scripts/submit.sh --in triples.nt --out outdir/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rdf2smw_spark")
+    ap.add_argument("--in", dest="infile", help="input N-Triples file(s)")
+    ap.add_argument("--pages", help="input pages table (parquet) for web mode")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--mode", choices=["nt", "web"], default="nt")
+    ap.add_argument("--no-templates", action="store_true",
+                    help="plain [[fact::value]] wikitext instead of template calls")
+    ap.add_argument("--salt", type=int, default=16, help="aggregation salt buckets")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--resume", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    from rdf2smw_spark.session import get_spark
+
+    spark = get_spark(app_name="rdf2smw_spark-cli", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.mode == "nt":
+        if not args.infile:
+            ap.error("--in required for nt mode (reference: main.go:47-50)")
+        from rdf2smw_spark.plans.pipeline import run_nt_pipeline
+
+        res = run_nt_pipeline(
+            spark, args.infile, args.out,
+            use_templates=not args.no_templates, n_salt=args.salt,
+        )
+    else:
+        if not args.pages:
+            ap.error("--pages required for web mode")
+        from rdf2smw_spark.plans.pipeline import run_web_pipeline
+
+        pages = spark.read.parquet(args.pages)
+        res = run_web_pipeline(spark, pages, args.out, resume=args.resume, n_salt=args.salt)
+
+    print(json.dumps(res, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

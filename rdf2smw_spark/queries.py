@@ -129,6 +129,20 @@ def q_kg_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CATEGORY_ALLOW_LIST = ["Class"]  # every class node carries rdf:type owl:Class
+
+
+def q_kg_category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 CategoryFilterer (catfilterer.go:17-36): pages with >=1
+    allow-listed category."""
+    from rdf2smw_spark.operators.filters import filter_pages_by_category
+
+    pages = triples_to_pages(spark, testdata_triples(spark, sf_dir))
+    return filter_pages_by_category(pages, CATEGORY_ALLOW_LIST).select(
+        F.col("title").alias("page_title")
+    ).distinct()
+
+
 def q_kg_pages_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full render (non-SQL-expressible output formatting — rows-only check)."""
     from rdf2smw_spark.operators.render import render_all
@@ -295,6 +309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_fact_rows": q_kg_fact_rows,
     "kg_category_rows": q_kg_category_rows,
     "kg_page_stats": q_kg_page_stats,
+    "kg_category_filter": q_kg_category_filter,
     "kg_pages_xml": q_kg_pages_xml,
     "web_pages_meta": q_web_pages_meta,
     "web_extract_text": q_web_extract_text,
@@ -341,6 +356,11 @@ ORACLES: dict[str, str] = {
     "kg_fact_rows": orc.fact_rows_sql(TRIPLES_SQL),
     "kg_category_rows": orc.category_rows_sql(TRIPLES_SQL),
     "kg_page_stats": orc.page_stats_sql(TRIPLES_SQL),
+    "kg_category_filter": (
+        "SELECT DISTINCT page_title FROM ("
+        + orc.category_rows_sql(TRIPLES_SQL)
+        + ") WHERE category IN ('Class')"
+    ),
     # kg_pages_xml: rows-only (XML formatting not SQL-expressible)
     "web_pages_meta": f"WITH pages AS {PAGES_SQL} SELECT url, warc_ts, lang FROM pages",
     "web_extract_text": (

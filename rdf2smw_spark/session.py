@@ -52,7 +52,9 @@ def get_spark(
         # we pin them so plans are reproducible across environments.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g measured sweet spot on this box: 8g borderline for the 30M-row
+        # bench probes, 32g+ degrades G1 young-gen geometry 2x (measured)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
