@@ -91,8 +91,13 @@ def class_edges(triples: DataFrame) -> DataFrame:
     edges = triples.filter(
         F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]) & F.col("obj_is_iri")
     ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    # cat_nodes (distinct classes) is tiny even when the edge set is
+    # instance-dominated — broadcast the semi-join so the big side never
+    # shuffles; the distinct() afterwards runs on the class layer only.
     cat_nodes = edges.select(F.col("dst").alias("node")).distinct()
-    return edges.join(cat_nodes, edges.src == cat_nodes.node, "left_semi").distinct()
+    return edges.join(
+        F.broadcast(cat_nodes), edges.src == cat_nodes.node, "left_semi"
+    ).distinct()
 
 
 def class_depth(spark: SparkSession, triples: DataFrame, max_depth: int = 50) -> DataFrame:
