@@ -185,14 +185,42 @@ def spark_truncate_title(expr: str) -> str:
     )
 
 
+def _let(expr: str, var: str, body: str) -> str:
+    """SQL let-binding via a single-element transform(): evaluates `expr`
+    exactly once and binds it to `var` inside `body`. Without this, the
+    generated title chain is textually re-inlined at every reference
+    (~6x per row, and the truncation fold blocks whole-stage codegen, so
+    each copy is interpreted) — measured 2x+ on the conversion stage."""
+    return f"element_at(transform(array({expr}), {var} -> {body}), 1)"
+
+
 def sql_wiki_title_full(expr: str) -> str:
     """Complete factTitle conversion (Spark dialect, all JVM):
     P4 chars → P2 regexes → P5 truncation → P6 upper-first.
-    Reference order: triplestowikipageconv.go:223-254."""
-    out = _replace_chain(expr, TITLE_REPLACEMENTS)
-    out = _regexp_strip(out, "spark")
-    out = spark_truncate_title(out)
-    return sql_upper_first(out, "spark")
+    Reference order: triplestowikipageconv.go:223-254.
+
+    The cleaned value and the truncated value are each computed once via
+    let-bindings; all later references are O(1) lambda-variable reads."""
+    cleaned = _regexp_strip(_replace_chain(expr, TITLE_REPLACEMENTS), "spark")
+    words = "split(__t, ' ')"
+    folded = (
+        f"aggregate({words}, named_struct('k', 0, 'len', 0, 'best', 0), "
+        f"(acc, w) -> named_struct("
+        f"'k', acc.k + 1, "
+        f"'len', acc.len + octet_length(w) + IF(acc.k = 0, 0, 1), "
+        f"'best', IF(acc.len + octet_length(w) + IF(acc.k = 0, 0, 1) < {TITLE_MAX}, acc.k + 1, acc.best)), "
+        f"acc -> acc.best)"
+    )
+    truncated = (
+        f"IF(octet_length(__t) < {TITLE_MAX}, __t, "
+        f"concat(array_join(slice({words}, 1, {folded}), ' '), ' ...'))"
+    )
+    uppered = (
+        "CASE WHEN ascii(__s) BETWEEN 97 AND 122 "
+        "THEN concat(upper(substring(__s, 1, 1)), substring(__s, 2)) "
+        "ELSE __s END"
+    )
+    return _let(cleaned, "__t", _let(truncated, "__s", uppered))
 
 
 def wiki_title_col(expr: str) -> F.Column:
