@@ -42,7 +42,7 @@ HEADLINE = [
 ]
 
 
-REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
+REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "16"))
 
 
 def _replicated_triples(spark, sf_dir: str, factor: int):

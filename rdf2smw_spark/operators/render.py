@@ -219,9 +219,9 @@ def write_xml_shards(xml_pages: DataFrame, path: str) -> None:
     """Sharded output: each partition is a standalone <mediawiki> document
     (importable in parallel by MediaWiki's importDump workers)."""
     (
-        xml_pages.select("xml")
-        .sortWithinPartitions("xml")
+        xml_pages.select("title", "xml")
+        .sortWithinPartitions("title")
+        .select("xml")
         .write.mode("overwrite")
-        .option("header", False)
         .text(path)
     )
