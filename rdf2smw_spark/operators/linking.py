@@ -86,6 +86,36 @@ def link_exact_sql(docs_sql: str, dict_sql: str) -> str:
     """
 
 
+def link_triples(triples: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """LINK stage (pipeline stage 3): canonicalize literal objects whose
+    normalized surface matches the entity dictionary — the fact value
+    becomes the canonical URI (an IRI object), so downstream aggregation
+    groups mentions of the same entity together.
+
+    Broadcast left join on the normalized surface; unmatched literals
+    pass through untouched. Ambiguous surfaces resolve by min priority
+    (deterministic)."""
+    from pyspark.sql import Window
+
+    best = entity_dict.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("surface").orderBy("priority", "uri"))
+    ).filter(F.col("__rn") == 1).select(F.col("surface").alias("__surf"), F.col("uri").alias("__euri"))
+    surf = F.trim(F.lower(F.col("obj")))
+    joined = triples.join(
+        F.broadcast(best), (~F.col("obj_is_iri")) & (surf == F.col("__surf")), "left"
+    )
+    return joined.select(
+        "subj",
+        "pred",
+        F.coalesce(F.col("__euri"), F.col("obj")).alias("obj"),
+        (F.col("obj_is_iri") | F.col("__euri").isNotNull()).alias("obj_is_iri"),
+        F.when(F.col("__euri").isNotNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("obj_datatype"))
+        .alias("obj_datatype"),
+        "src_url",
+    )
+
+
 def _char3grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(

@@ -31,15 +31,24 @@ def run_web_pipeline(
     resume: bool = True,
     n_salt: int = 16,
     run_id: str | None = None,
+    entity_dict: DataFrame | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
-    Returns stage row counts (the bench harness derives throughput from
-    these + lineage wall_ms)."""
+    entity_dict (surface, uri, priority) enables the LINK stage
+    (broadcast canonicalization of literal mentions). Returns stage row
+    counts (the bench harness derives throughput from these + lineage
+    wall_ms)."""
     store = CheckpointStore(spark, work_dir, run_id=run_id)
 
     deduped = latest_capture(pages)
     extracted = store.materialize(extract_text(deduped), "text_extracted", resume)
     raw_triples = store.materialize(triplify(extracted), "raw_triples", resume)
+    if entity_dict is not None:
+        from rdf2smw_spark.operators.linking import link_triples
+
+        raw_triples = store.materialize(
+            link_triples(raw_triples, entity_dict), "linked_triples", resume
+        )
     wiki_pages = store.materialize(
         triples_to_pages(spark, raw_triples, n_salt=n_salt), "wiki_pages", resume
     )

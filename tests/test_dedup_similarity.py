@@ -120,3 +120,23 @@ def test_exact_linking_broadcast(spark):
     )
     out = lk.link_exact(docs, d).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 1 and out[0]["uri"] == "http://e/pipeline"
+
+
+def test_link_triples_canonicalizes_literals(spark):
+    from rdf2smw_spark.schemas import TRIPLE_SCHEMA
+
+    triples = spark.createDataFrame(
+        [
+            ("http://e/s", "http://e/mentions", "Spark", False, "http://www.w3.org/2001/XMLSchema#string", None),
+            ("http://e/s", "http://e/mentions", "unknown thing", False, "http://www.w3.org/2001/XMLSchema#string", None),
+            ("http://e/s", "http://e/rel", "http://e/o", True, None, None),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    d = spark.createDataFrame(
+        [("spark", "http://e/entity/spark", 1)], "surface string, uri string, priority int"
+    )
+    out = {(r["obj"], r["obj_is_iri"]) for r in lk.link_triples(triples, d).collect()}
+    assert ("http://e/entity/spark", True) in out      # linked mention
+    assert ("unknown thing", False) in out             # untouched literal
+    assert ("http://e/o", True) in out                 # IRIs pass through
