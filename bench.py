@@ -119,8 +119,11 @@ def run_scaling() -> dict:
     _ensure_probe_input()
     out = {}
     # interleave the parallelism levels twice and keep per-level minima:
-    # cancels the host-level interference drift observed on this sandbox
-    for cores in (2, 8, 32, 2, 8, 32):
+    # cancels the host-level interference drift observed on this sandbox.
+    # (The additional 2->8 pair, below this VM's shuffle-bandwidth
+    # ceiling, is recorded in BASELINE.md; per-round we keep the N/4N
+    # pair the north rule names to bound bench wall time.)
+    for cores in (8, 32, 8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scale-probe", str(cores)],
@@ -148,7 +151,7 @@ def run_scaling() -> dict:
         "replication": REPLICATION,
         "n_triples": out[32]["n_triples"],
         "n_pages": out[32]["n_pages"],
-        "pairs": [eff(2, 8), eff(8, 32)],
+        "pairs": [eff(8, 32)],
     }
 
 

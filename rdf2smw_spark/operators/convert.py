@@ -92,9 +92,22 @@ def triples_to_pages(
     if cache:
         triples = triples.persist()
 
-    st = subject_types(triples)
-    bt = best_titles(triples)
-    cd = class_depth(spark, triples)
+    # subject_types / best_titles / class_depth only read rdf:type,
+    # rdfs:subClassOf and the 6 title predicates — pre-filter once so the
+    # three dimension derivations scan a small cached frame instead of
+    # the full stream (at web scale: ~1 type edge + <1 title triple per
+    # entity vs dozens of fact triples).
+    from rdf2smw_spark.schemas import TITLE_PROPERTIES
+
+    dim_src = triples.filter(
+        F.col("pred").isin(TITLE_PROPERTIES + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
+    )
+    if cache:
+        dim_src = dim_src.persist()
+
+    st = subject_types(dim_src)
+    bt = best_titles(dim_src)
+    cd = class_depth(spark, dim_src)
     pt = pred_titles(triples, bt)
     pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
 

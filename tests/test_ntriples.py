@@ -57,3 +57,28 @@ def test_distributed_parse_quarantine(spark):
     assert bad.count() == 1
     row = good.orderBy("pred").first()
     assert row["subj"] == "http://e/s1" and row["obj"] == "v1"
+
+
+def test_roundtrip_property():
+    """Hypothesis-style round trip: serialize arbitrary terms to N-Triples
+    and parse back (SURVEY.md §5 property-based gap)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    safe_uri = st.from_regex(r"http://e\.org/[A-Za-z0-9_/#\-]{1,30}", fullmatch=True)
+    literal = st.text(min_size=0, max_size=60).filter(lambda s: "\x00" not in s)
+
+    def escape(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
+
+    @settings(max_examples=150, deadline=None)
+    @given(safe_uri, safe_uri, literal)
+    def roundtrip(s, p, o):
+        line = f'<{s}> <{p}> "{escape(o)}" .'
+        parsed = parse_ntriples_line(line)
+        assert parsed == (s, p, o, False, DT_STRING)
+
+    roundtrip()
