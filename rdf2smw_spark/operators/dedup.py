@@ -216,10 +216,15 @@ def minhash_near_dups(
     threshold: float = 0.5,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidates from LSH banding, verified with exact Jaccard —
     the scalable near-dup pipeline (shingle->minhash->band->bucket-join
-    ->verify)."""
+    ->verify). The shingle frame feeds the signature agg plus both sides
+    of the verify join — persist it once instead of recomputing the
+    shingling 4x."""
+    if cache:
+        shingles = shingles.persist()
     cands = minhash_candidates(shingles, k, bands)
     verified = jaccard_pairs(shingles, threshold)
     return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
