@@ -32,6 +32,7 @@ from rdf2smw_spark.functions.textnorm import (
     sql_smw_type,
     sql_wiki_title_full,
 )
+from rdf2smw_spark.operators.aggregate import dedup_sorted
 from rdf2smw_spark.operators.dimensions import (
     best_titles,
     class_depth,
@@ -178,21 +179,22 @@ def triples_to_pages(
         .withColumn("uri_type", F.coalesce(F.col("uri_type"), F.lit(URI_TYPE_UNDEFINED)))
         .withColumn("__traw", F.coalesce(F.col("__sraw"), F.expr(sql_local_name("subj"))))
         .withColumn("fact_title", _title_expr("__traw"))
+        .withColumn("__deduped", dedup_sorted(F.sort_array(F.col("facts_raw"))))
         .withColumn(
-            "facts",
-            F.array_distinct(
-                F.concat(
-                    F.array_distinct(F.sort_array(F.col("facts_raw"))),
-                    F.array(
-                        F.struct(
-                            F.lit(EQUIVALENT_URI_PROP).alias("property"),
-                            F.col("subj").alias("value"),
-                        )
-                    ),
-                )
+            "__equiv",
+            F.struct(
+                F.lit(EQUIVALENT_URI_PROP).alias("property"), F.col("subj").alias("value")
             ),
         )
-        .withColumn("categories", F.array_distinct(F.sort_array(F.col("cats_raw"))))
+        .withColumn(
+            # AddFactUnique for the Equivalent-URI fact: append last unless
+            # an identical fact already exists (O(n) contains, not the
+            # O(n^2) array_distinct — see aggregate.dedup_sorted)
+            "facts",
+            F.when(F.array_contains("__deduped", F.col("__equiv")), F.col("__deduped"))
+            .otherwise(F.concat("__deduped", F.array("__equiv"))),
+        )
+        .withColumn("categories", dedup_sorted(F.sort_array(F.col("cats_raw"))))
         .withColumn("specific_category", F.col("sel.name"))
         .withColumn(
             "title",
@@ -217,7 +219,7 @@ def triples_to_pages(
             F.coalesce(F.col("has_types"), F.array().cast("array<string>")).alias("has_types"),
         )
         .groupBy("title")
-        .agg(F.array_distinct(F.sort_array(F.flatten(F.collect_list("has_types")))).alias("has_types"))
+        .agg(dedup_sorted(F.sort_array(F.flatten(F.collect_list("has_types")))).alias("has_types"))
         .withColumn(
             "ht_facts",
             F.transform(
@@ -237,11 +239,14 @@ def triples_to_pages(
         .select(
             F.coalesce(F.col("title"), F.col("sp_title")).alias("title"),
             F.lit(URI_TYPE_PREDICATE).alias("page_type"),
-            F.array_distinct(
-                F.concat(
-                    F.coalesce(F.col("ht_facts"), empty_facts),
+            # ht_facts is tiny (<=3 'Has type' rows) and subject facts are
+            # already deduped — drop only cross-duplicates, O(3n)
+            F.concat(
+                F.coalesce(F.col("ht_facts"), empty_facts),
+                F.filter(
                     F.coalesce(F.col("facts"), empty_facts),
-                )
+                    lambda f: ~F.array_contains(F.coalesce(F.col("ht_facts"), empty_facts), f),
+                ),
             ).alias("facts"),
             F.coalesce(F.col("categories"), F.array().cast("array<string>")).alias("categories"),
             F.col("specific_category"),

@@ -178,3 +178,43 @@ def test_fact_dedup_first_wins(spark):
     vals = [(f["property"], f["value"]) for f in s["facts"]]
     assert len(vals) == len(set(vals))  # AddFactUnique semantics
     assert ("P", "same") in vals and ("P", "other") in vals
+
+
+def test_hot_subject_skew_stress(spark):
+    """FIXTURES.md §8: one hot subject with 50k triples among 1k normal
+    subjects — the salted two-phase aggregation must keep every distinct
+    fact and agree with the unsalted plan. Data generated Spark-side
+    (py4j row shipping would dominate), sizes asserted Spark-side."""
+    hot = spark.range(50_000).selectExpr(
+        "'http://e/hot' AS subj",
+        "concat('http://e/p', id % 5) AS pred",
+        "concat('v', id) AS obj",
+        "false AS obj_is_iri",
+        "'http://www.w3.org/2001/XMLSchema#string' AS obj_datatype",
+        "CAST(NULL AS STRING) AS src_url",
+    )
+    cold = spark.range(1_000).selectExpr(
+        "concat('http://e/s', id) AS subj",
+        "'http://e/p0' AS pred",
+        "concat('w', id) AS obj",
+        "false AS obj_is_iri",
+        "'http://www.w3.org/2001/XMLSchema#string' AS obj_datatype",
+        "CAST(NULL AS STRING) AS src_url",
+    )
+    t = hot.unionByName(cold).repartition(16)
+    pages = triples_to_pages(spark, t, n_salt=16, cache=True)
+    sizes = {
+        r["title"]: r["n"]
+        for r in pages.select("title", F.size("facts").alias("n")).collect()
+    }
+    assert sizes["Hot"] == 50_001  # 50k distinct facts + Equivalent URI
+    assert sizes["S42"] == 2
+    # salted and unsalted plans agree on the hot page's fact set
+    salted = pages.filter("title = 'Hot'").select(F.explode("facts").alias("f"))
+    unsalted = (
+        triples_to_pages(spark, t, n_salt=1, cache=False)
+        .filter("title = 'Hot'")
+        .select(F.explode("facts").alias("f"))
+    )
+    assert salted.exceptAll(unsalted).count() == 0
+    assert unsalted.exceptAll(salted).count() == 0
