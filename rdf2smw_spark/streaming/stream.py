@@ -38,6 +38,48 @@ def windowed_capture_counts(
     )
 
 
+def dedup_stream_by_url(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit only the
+    first capture of each url across ALL micro-batches — cross-batch
+    dedup that dropDuplicates-with-watermark can't express once the
+    watermark passes. State per url: a seen flag.
+
+    NoTimeout keeps drain-style (availableNow) triggers terminating — a
+    registered processing-time timeout holds the query open to fire it.
+    A 24/7 crawl would use a processing-time trigger plus
+    ProcessingTimeTimeout + state.remove() to bound state size."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "url string, warc_ts timestamp, lang string"
+    state_schema = "seen boolean"
+
+    def dedup(key, pdf_iter, state: GroupState):
+        first = None
+        for pdf in pdf_iter:
+            if not state.exists and first is None and len(pdf):
+                row = pdf.sort_values("warc_ts").iloc[0]
+                first = row
+        if first is not None and not state.exists:
+            state.update((True,))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"url": [key[0]], "warc_ts": [first["warc_ts"]], "lang": [first["lang"]]}
+            )
+
+    return (
+        pages.select("url", "warc_ts", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_triplify(
     spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str, schema
 ) -> None:

@@ -61,3 +61,32 @@ def test_windowed_capture_counts_batch_semantics(spark, sf_dir):
     )
     total = out.agg(F.sum("n_captures")).first()[0]
     assert total == pages.count()
+
+
+def test_stateful_url_dedup_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: first capture per url survives, the
+    duplicate capture (same url, +1h) is suppressed by keyed state."""
+    from rdf2smw_spark.streaming.stream import dedup_stream_by_url
+
+    pages = synth_pages(spark, sf_dir).limit(120)
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream_by_url(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    urls = [r["url"] for r in got.select("url").collect()]
+    assert len(urls) == len(set(urls))  # one row per url
+    # kept row is the EARLIEST capture
+    import pyspark.sql.functions as F
+    mn = pages.groupBy("url").agg(F.min("warc_ts").alias("warc_ts"))
+    assert got.select("url", "warc_ts").exceptAll(mn.join(got.select("url"), "url")).count() == 0
