@@ -135,8 +135,13 @@ def triples_to_pages(
     )
 
     is_cat = F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
-    value = F.when(F.col("obj_is_iri"), F.col("__otitle")).otherwise(
-        F.expr(sql_clean_literal("obj"))
+    # Three term kinds (triplestowikipageconv.go:104-133): IRI -> resolved
+    # wiki title; literal (obj_datatype set) -> cleaned lexical form;
+    # blank node (neither) -> the reference's valueStr stays "" .
+    value = (
+        F.when(F.col("obj_is_iri"), F.col("__otitle"))
+        .when(F.col("obj_datatype").isNotNull(), F.expr(sql_clean_literal("obj")))
+        .otherwise(F.lit(""))
     )
 
     rows = e.select(

@@ -88,8 +88,12 @@ def class_edges(triples: DataFrame) -> DataFrame:
     web scale) are excluded by the semi-join, which is exactly the set
     countSuperCategories can ever walk: every walked node is the object
     of some type/subclass triple."""
+    # Resources = IRIs or blank nodes (obj_datatype NULL); the reference
+    # walks countSuperCategories through blank-node objects too (it looks
+    # up index[obj.String()] without a kind check, triplestowikipageconv.go:285).
+    is_resource = F.col("obj_is_iri") | F.col("obj_datatype").isNull()
     edges = triples.filter(
-        F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]) & F.col("obj_is_iri")
+        F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]) & is_resource
     ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     # cat_nodes (distinct classes) is tiny even when the edge set is
     # instance-dominated — broadcast the semi-join so the big side never

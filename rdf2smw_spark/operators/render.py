@@ -216,12 +216,32 @@ def collect_xml_file(xml_pages: DataFrame) -> str:
 
 
 def write_xml_shards(xml_pages: DataFrame, path: str) -> None:
-    """Sharded output: each partition is a standalone <mediawiki> document
-    (importable in parallel by MediaWiki's importDump workers)."""
-    (
+    """Sharded output: each non-empty partition is wrapped in its own
+    <mediawiki> envelope, so every part file is a standalone document
+    importable in parallel by MediaWiki's importDump workers
+    (mwxmlcreator.go:59-60,137-140 emit the envelope once per run; the
+    sharded form repeats it per shard). RDD mapPartitions is the one
+    place per-partition imperative logic is genuinely required — a
+    column expression can't know partition boundaries."""
+
+    def _envelope(it):
+        first = True
+        for row in it:
+            if first:
+                yield "<mediawiki>"
+                first = False
+            # each <page> block already starts/ends with \n; strip the
+            # trailing newline so .text() rows don't double-space
+            yield row.xml.rstrip("\n")
+        if not first:
+            yield "</mediawiki>"
+
+    shard_lines = (
         xml_pages.select("title", "xml")
         .sortWithinPartitions("title")
-        .select("xml")
-        .write.mode("overwrite")
-        .text(path)
+        .rdd.mapPartitions(_envelope)
     )
+    spark = xml_pages.sparkSession
+    spark.createDataFrame(shard_lines.map(lambda s: (s,)), "value string").write.mode(
+        "overwrite"
+    ).text(path)

@@ -102,9 +102,44 @@ def ann_topk_sql(emb_sql: str, n_queries: int = 10, k: int = 5) -> str:
     """
 
 
+def near_dup_embeddings(emb: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate augmentation (embedding analogue of
+    dedup.near_dup_corpus): every 5th vector gets a variant
+    (vec_id + 1_000_000) with additive noise 0.01*(((vec_id+i) % 11) - 5)
+    per component — planted positives so threshold queries compare
+    non-empty result sets (the raw corpus is random, max pairwise cosine
+    ~0.51). Arithmetic is mirrored operation-for-operation in
+    near_dup_embeddings_sql so Spark and DuckDB agree bit-for-bit."""
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x as double) + 0.01 * (((vec_id + i) % 11) - 5))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(variants)
+
+
+def near_dup_embeddings_sql(emb_sql: str) -> str:
+    # DuckDB 1.0 list_transform has no index form — generate_series(1, n)
+    # provides the (1-based) index, hence the -1 to match Spark's 0-based i.
+    return f"""(
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM {emb_sql}
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> embedding[i]::DOUBLE + 0.01 * (((vec_id + i - 1) % 11) - 5))
+    FROM {emb_sql} WHERE (vec_id % 5) = 0
+)"""
+
+
 # --- LSH scale path -----------------------------------------------------------
 
 N_PLANES = 6  # 64 buckets — sized so local test corpora keep ~n/64 candidates per bucket
+EMBEDDING_DIM = 64  # testdata embeddings.parquet vector width
 
 
 def _plane_component(plane: int, dim: int) -> float:
@@ -115,47 +150,122 @@ def _plane_component(plane: int, dim: int) -> float:
     return (h / 2**32) * 2.0 - 1.0
 
 
-def lsh_bucket_col(dim: int, n_planes: int = N_PLANES) -> F.Column:
-    """Signature = concat of sign bits of dot(v, plane_i)."""
+def lsh_bucket_col(dim: int, n_planes: int = N_PLANES, first_plane: int = 0) -> F.Column:
+    """Signature = concat of sign bits of dot(v, plane_i). Plane
+    components are md5-derived literals, so Catalyst constant-folds each
+    plane array and the per-row cost is n_planes JVM dot products."""
     bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
-        dot = F.expr(
-            DOT.format(a="embedding", b=f"array({', '.join(str(_plane_component(p, d)) for d in range(dim))})")
-        )
+    for p in range(first_plane, first_plane + n_planes):
+        components = ", ".join(str(_plane_component(p, d)) for d in range(dim))
+        dot = F.expr(DOT.format(a="embedding", b=f"array({components})"))
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
+def _banded_sigs(emb: DataFrame, n_bands: int, band_bits: int, dim: int) -> DataFrame:
+    """(vec_id, band_id, sig): n_bands independent band_bits-bit
+    hyperplane signatures per vector — the slim frame both LSH operators
+    join on. A pair is a candidate iff it agrees on >=1 full band
+    (OR-amplification: p = 1-(1-(1-theta/pi)^r)^b)."""
+    bands = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            lsh_bucket_col(dim, band_bits, first_plane=i * band_bits).alias("sig"),
+        )
+        for i in range(n_bands)
+    ]
+    return emb.select("vec_id", F.explode(F.array(*bands)).alias("b")).select(
+        "vec_id", F.col("b.band_id").alias("band_id"), F.col("b.sig").alias("sig")
+    )
+
+
 def ann_topk_lsh(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = N_PLANES
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bands: int = 16,
+    band_bits: int = 2,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket
-    (multi-probe: exact bucket only — recall traded for a linear join).
-    Same output schema as the brute-force variant."""
+    """Approximate top-k via banded hyperplane LSH: candidates agree on
+    >=1 of n_bands band_bits-bit signatures, then exact cosine + window
+    rank. Same output schema as the brute-force variant.
+
+    band_bits is the selectivity knob: 2 bits/band keeps recall ~0.99
+    even for near-orthogonal neighbors (test corpus); a 10^12-row
+    deployment with genuinely clustered embeddings raises band_bits (and
+    n_bands) so candidate lists stay ~constant per query. `dim` is a
+    parameter (fixed by the table schema), not probed with .first(): a
+    query builder composes a plan, never runs one, and must not fail on
+    empty input."""
     from pyspark.sql import Window
 
-    dim = len(emb.select("embedding").first()["embedding"])
-    bucketed = _with_norm(emb.select("vec_id", "embedding")).withColumn(
-        "bucket", lsh_bucket_col(dim, n_planes)
+    e = _with_norm(emb.select("vec_id", "embedding"))
+    banded = _banded_sigs(e, n_bands, band_bits, dim)
+    qb = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band_id", "sig"
     )
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq"),
-        F.col("norm").alias("nq"), "bucket",
+    cands = (
+        qb.join(banded, ["band_id", "sig"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vc"),
-        F.col("norm").alias("nc"), "bucket",
-    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq"), F.col("norm").alias("nq"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vc"), F.col("norm").alias("nc"))
     cos = F.round(F.expr(DOT.format(a="vq", b="vc")) / (F.col("nq") * F.col("nc")), 4)
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    scored = cands.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id", "neighbor_id", cos.alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    band_bits: int = 2,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Threshold near-dup pairs, LSH-bucketed — the 100-TB path that
+    replaces cosine_pairs' cartesian. Same output schema/semantics:
+    (id_a, id_b, cosine) with cosine >= threshold.
+
+    Banded random-hyperplane amplification: a pair is a candidate iff it
+    agrees on ALL band_bits sign bits of >=1 of n_bands bands; candidates
+    are then verified with the exact cosine, so precision is always 1.0
+    and recall is the OR-amplified 1-(1-(1-θ/π)^r)^b. With r=2, b=16 a
+    pair at cosine 0.8 (θ/π≈0.205) is missed with p≈(1-0.632)^16≈1e-7;
+    bench/test corpora are deterministic, so the green oracle comparison
+    against the exact cartesian is stable, not luck.
+
+    Plan shape: one narrow (vec_id, band_id, sig) frame exploded b times,
+    self-joined on (band_id, sig) — shuffle is b slim rows per vector,
+    never the full vector; the verify join rejoins embeddings by vec_id.
+    """
+    sigs = _with_norm(emb.select("vec_id", "embedding"))
+    banded = _banded_sigs(sigs, n_bands, band_bits, dim)
+
+    la = banded.select(F.col("vec_id").alias("id_a"), "band_id", "sig")
+    lb = banded.select(F.col("vec_id").alias("id_b"), "band_id", "sig")
+    cands = (
+        la.join(lb, ["band_id", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ea = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("norm").alias("na"))
+    eb = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
+    cos = F.round(F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

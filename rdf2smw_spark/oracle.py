@@ -62,7 +62,7 @@ def class_depth_sql(triples_sql: str, max_iter: int = 50) -> str:
     WITH RECURSIVE triples AS {triples_sql},
     edges0 AS (
         SELECT DISTINCT subj AS src, obj AS dst FROM triples
-        WHERE pred IN ({_CAT_PREDS}) AND obj_is_iri
+        WHERE pred IN ({_CAT_PREDS}) AND (obj_is_iri OR obj_datatype IS NULL)
     ),
     cat_nodes AS (SELECT DISTINCT dst AS node FROM edges0),
     cedges AS (SELECT e.* FROM edges0 e JOIN cat_nodes c ON e.src = c.node),
@@ -143,7 +143,9 @@ def fact_rows_sql(triples_sql: str) -> str:
     WITH {_titles_cte(triples_sql)},
     facts AS (
         SELECT tr.subj, pt.t AS property,
-               CASE WHEN tr.obj_is_iri THEN ot.t ELSE {lit_clean} END AS value
+               CASE WHEN tr.obj_is_iri THEN ot.t
+                    WHEN tr.obj_datatype IS NOT NULL THEN {lit_clean}
+                    ELSE '' END AS value
         FROM triples tr
         JOIN titles pt ON pt.uri = tr.pred
         LEFT JOIN titles ot ON tr.obj_is_iri AND ot.uri = tr.obj
@@ -172,7 +174,9 @@ def category_rows_sql(triples_sql: str) -> str:
     WITH {_titles_cte(triples_sql)},
     cats AS (
         SELECT tr.subj,
-               CASE WHEN tr.obj_is_iri THEN ot.t ELSE {lit_clean} END AS category
+               CASE WHEN tr.obj_is_iri THEN ot.t
+                    WHEN tr.obj_datatype IS NOT NULL THEN {lit_clean}
+                    ELSE '' END AS category
         FROM triples tr
         LEFT JOIN titles ot ON tr.obj_is_iri AND ot.uri = tr.obj
         WHERE tr.pred IN ({_CAT_PREDS})
@@ -191,7 +195,7 @@ def page_stats_sql(triples_sql: str, max_iter: int = 50) -> str:
     WITH RECURSIVE {_titles_cte(triples_sql)},
     edges0 AS (
         SELECT DISTINCT subj AS src, obj AS dst FROM triples
-        WHERE pred IN ({_CAT_PREDS}) AND obj_is_iri
+        WHERE pred IN ({_CAT_PREDS}) AND (obj_is_iri OR obj_datatype IS NULL)
     ),
     cat_nodes AS (SELECT DISTINCT dst AS node FROM edges0),
     cedges AS (SELECT e.* FROM edges0 e JOIN cat_nodes c ON e.src = c.node),
@@ -205,7 +209,9 @@ def page_stats_sql(triples_sql: str, max_iter: int = 50) -> str:
     depth AS (SELECT start AS uri, MAX(len) AS depth FROM chain GROUP BY start),
     cats AS (
         SELECT tr.subj, tr.obj,
-               CASE WHEN tr.obj_is_iri THEN ot.t ELSE {lit_clean} END AS category
+               CASE WHEN tr.obj_is_iri THEN ot.t
+                    WHEN tr.obj_datatype IS NOT NULL THEN {lit_clean}
+                    ELSE '' END AS category
         FROM triples tr
         LEFT JOIN titles ot ON tr.obj_is_iri AND ot.uri = tr.obj
         WHERE tr.pred IN ({_CAT_PREDS})
@@ -221,7 +227,9 @@ def page_stats_sql(triples_sql: str, max_iter: int = 50) -> str:
     ),
     facts AS (
         SELECT tr.subj, pt.t AS property,
-               CASE WHEN tr.obj_is_iri THEN ot.t ELSE {lit_clean} END AS value
+               CASE WHEN tr.obj_is_iri THEN ot.t
+                    WHEN tr.obj_datatype IS NOT NULL THEN {lit_clean}
+                    ELSE '' END AS value
         FROM triples tr
         JOIN titles pt ON pt.uri = tr.pred
         LEFT JOIN titles ot ON tr.obj_is_iri AND ot.uri = tr.obj

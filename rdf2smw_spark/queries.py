@@ -229,7 +229,17 @@ def _emb(spark, sf_dir):
 
 
 def q_dd_embed_cosine(spark, sf_dir):
-    return sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.9)
+    """Exact cosine near-dup pairs over the planted-near-dup corpus
+    (the raw corpus has no pair above 0.52, which made a 0.9-threshold
+    oracle vacuously green — round-1 verdict fix #2)."""
+    return sim.cosine_pairs(sim.near_dup_embeddings(_emb(spark, sf_dir)), threshold=0.9)
+
+
+def q_dd_embed_cosine_lsh(spark, sf_dir):
+    """Banded-LSH scale path; oracled by the SAME exact cartesian SQL —
+    green means recall 1.0 on this corpus (precision is 1.0 by
+    construction: candidates are verified with the exact cosine)."""
+    return sim.cosine_pairs_lsh(sim.near_dup_embeddings(_emb(spark, sf_dir)), threshold=0.9)
 
 
 # --- similarity ------------------------------------------------------------------
@@ -326,6 +336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash": q_dd_simhash,
     "dd_simhash_near_dups": q_dd_simhash_near_dups,
     "dd_embed_cosine": q_dd_embed_cosine,
+    "dd_embed_cosine_lsh": q_dd_embed_cosine_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "link_entity_dict": q_link_entity_dict,
@@ -388,7 +399,8 @@ ORACLES: dict[str, str] = {
     "dd_minhash_near_dups": dd.minhash_near_dups_sql(SHINGLES_SQL, threshold=0.5),
     "dd_simhash": dd.simhash_sql("documents"),
     # dd_simhash_near_dups: rows-only (banding strategy is the Spark artifact)
-    "dd_embed_cosine": sim.cosine_pairs_sql(_EMB_SQL, threshold=0.9),
+    "dd_embed_cosine": sim.cosine_pairs_sql(sim.near_dup_embeddings_sql(_EMB_SQL), threshold=0.9),
+    "dd_embed_cosine_lsh": sim.cosine_pairs_sql(sim.near_dup_embeddings_sql(_EMB_SQL), threshold=0.9),
     "ann_topk": sim.ann_topk_sql(_EMB_SQL, n_queries=10, k=5),
     # ann_topk_lsh: rows-only (hyperplane constants live in the Spark plan)
     "link_entity_dict": f"SELECT * FROM {lk.corpus_entity_dict_sql('documents')}",

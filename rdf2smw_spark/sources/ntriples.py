@@ -67,7 +67,13 @@ def parse_ntriples_line(line: str) -> tuple[str, str, str, bool, str | None] | N
     if objtok.startswith("<") and objtok.endswith(">"):
         return (subj, pred, objtok[1:-1], True, None)
     if objtok.startswith("_:"):
-        return (subj, pred, objtok, True, None)
+        # Blank-node object: neither IRI nor Literal in the reference
+        # (knakk rdf.TermBlank; triplestowikipageconv.go:104,113 match
+        # TermIRI/TermLiteral only, so the fact value stays "" and no
+        # 'Has type' is inferred). Encoded as (obj_is_iri=false,
+        # obj_datatype=NULL) — literals always carry a datatype, so the
+        # combination is unambiguous. See test_parity_pr 'blank' fixture.
+        return (subj, pred, objtok, False, None)
     lm = _LIT_RE.match(objtok)
     if not lm:
         raise ValueError(f"malformed object term: {objtok[:120]!r}")

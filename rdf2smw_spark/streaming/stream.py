@@ -54,10 +54,16 @@ def dedup_stream_by_url(pages: DataFrame) -> DataFrame:
     state_schema = "seen boolean"
 
     def dedup(key, pdf_iter, state: GroupState):
+        # A key's rows may span several Arrow chunks within one
+        # micro-batch (spark.sql.execution.arrow.maxRecordsPerBatch) —
+        # fold the min-warc_ts row across ALL chunks before deciding,
+        # not just the first non-empty one.
         first = None
         for pdf in pdf_iter:
-            if not state.exists and first is None and len(pdf):
-                row = pdf.sort_values("warc_ts").iloc[0]
+            if state.exists or not len(pdf):
+                continue
+            row = pdf.sort_values("warc_ts").iloc[0]
+            if first is None or row["warc_ts"] < first["warc_ts"]:
                 first = row
         if first is not None and not state.exists:
             state.update((True,))

@@ -92,9 +92,9 @@ def test_ann_topk_exact_ordering(emb):
 
 
 def test_ann_lsh_finds_same_bucket_neighbor(emb):
-    out = sim.ann_topk_lsh(emb, n_queries=1, k=3, n_planes=2).collect()
+    out = sim.ann_topk_lsh(emb, n_queries=1, k=3, dim=4).collect()
     ids = {r["neighbor_id"] for r in out}
-    assert 1 in ids  # near-identical vector must share every bucket
+    assert 1 in ids  # near-identical vector agrees on every band
 
 
 def test_fuzzy_linking_matches_typos(spark):
@@ -140,3 +140,40 @@ def test_link_triples_canonicalizes_literals(spark):
     assert ("http://e/entity/spark", True) in out      # linked mention
     assert ("unknown thing", False) in out             # untouched literal
     assert ("http://e/o", True) in out                 # IRIs pass through
+
+
+def test_near_dup_embeddings_deterministic_and_counted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    aug = sim.near_dup_embeddings(emb)
+    n, planted = emb.count(), emb.filter("vec_id % 5 = 0").count()
+    assert aug.count() == n + planted
+    # planted variants sit just below cosine 1 with their originals
+    pairs = sim.cosine_pairs(aug, threshold=0.9).collect()
+    planted_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(i, i + 1_000_000) for i in range(0, n, 5)}
+    assert expected <= planted_pairs
+    assert all(r["cosine"] >= 0.9 for r in pairs)
+
+
+def test_cosine_pairs_lsh_matches_exact(spark, sf_dir):
+    """Banded LSH (r=2, b=16) at threshold 0.9: recall 1.0 on the planted
+    corpus (miss probability ~1e-17 per pair), precision 1.0 by exact
+    verification — result set must equal the cartesian baseline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    aug = sim.near_dup_embeddings(emb)
+    exact = {tuple(r) for r in sim.cosine_pairs(aug, threshold=0.9).collect()}
+    lsh = {tuple(r) for r in sim.cosine_pairs_lsh(aug, threshold=0.9).collect()}
+    assert lsh == exact and exact
+
+
+def test_ann_topk_lsh_recall_floor(spark, sf_dir):
+    """Quality guard for the banded ANN path: recall@k vs the exact
+    brute force on the deterministic sf0.001 corpus. With r=2, b=16 even
+    near-orthogonal true neighbors (theta/pi ~0.4) are candidates with
+    p ~0.999, so recall should be ~1; the floor pins it so regressions
+    (plane generation, banding, verify join) surface."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in sim.ann_topk_bruteforce(emb, 10, 5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in sim.ann_topk_lsh(emb, 10, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

@@ -90,3 +90,43 @@ def test_stateful_url_dedup_across_batches(spark, sf_dir, tmp_path):
     import pyspark.sql.functions as F
     mn = pages.groupBy("url").agg(F.min("warc_ts").alias("warc_ts"))
     assert got.select("url", "warc_ts").exceptAll(mn.join(got.select("url"), "url")).count() == 0
+
+
+def test_stateful_url_dedup_multichunk(spark, tmp_path):
+    """Regression (round-1 advice): with arrow.maxRecordsPerBatch=2 a
+    url's rows span several Arrow chunks inside ONE micro-batch; the
+    earliest capture sits in a later chunk (rows arrive ts-descending).
+    The dedup must fold the min across all chunks, not stop at the first
+    non-empty one."""
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import dedup_stream_by_url
+
+    rows = [
+        ("http://ex.org/a", datetime(2024, 1, 1, h), "en") for h in (23, 22, 21, 20, 1)
+    ] + [("http://ex.org/b", datetime(2024, 1, 2, h), "de") for h in (9, 8, 7, 6, 2)]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, lang string")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = str(tmp_path / "out")
+        q = (
+            dedup_stream_by_url(spark.readStream.schema(schema).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["url"]: r["warc_ts"] for r in spark.read.parquet(out).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == {
+        "http://ex.org/a": datetime(2024, 1, 1, 1),
+        "http://ex.org/b": datetime(2024, 1, 2, 2),
+    }

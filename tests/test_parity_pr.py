@@ -80,6 +80,17 @@ FIXTURES = {
 <http://ex.org/m> <http://ex.org/part> "a" .
 <http://ex.org/m> <http://ex.org/other> "c" .
 """,
+    # blank nodes: subject position aggregates normally; object position
+    # is neither IRI nor Literal -> empty-valued fact, no Has-type
+    # (triplestowikipageconv.go:104,113); blank category objects are
+    # walkable by countSuperCategories (:285)
+    "blank": f"""
+_:b1 <http://ex.org/p1> "from blank subject" .
+<http://ex.org/s> <http://ex.org/anon> _:b1 .
+<http://ex.org/s> <http://ex.org/p2> "plain" .
+<http://ex.org/t> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> _:b2 .
+_:b2 <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://ex.org/top> .
+""",
     # predicate both declared and used, merging (go:154-166)
     "predmerge": f"""
 <http://ex.org/hasX> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}DatatypeProperty> .

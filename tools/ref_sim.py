@@ -135,12 +135,17 @@ def simulate(triples: list[tuple]) -> dict:
                 value_type = _determine_type(index.get(obj))
                 _, value_str = _convert_title(obj, value_type, index)
                 add_fact_unique(pp, "Has type", "Page")
-            else:
+            elif dt is not None:
                 value_str = py_clean_literal(obj)
                 if dt in (DT_STRING, DT_LANGSTRING):
                     add_fact_unique(pp, "Has type", "Text")
                 elif dt in (DT_INTEGER, DT_FLOAT):
                     add_fact_unique(pp, "Has type", "Number")
+            else:
+                # blank node: neither TermIRI nor TermLiteral — Go's
+                # valueStr stays "" and no Has-type fact is added
+                # (triplestowikipageconv.go:104,113)
+                value_str = ""
             if pred in (TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI):
                 if value_str not in page["cats"]:
                     page["cats"].append(value_str)
