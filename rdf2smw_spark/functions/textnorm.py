@@ -185,22 +185,51 @@ def spark_truncate_title(expr: str) -> str:
     )
 
 
-def _let(expr: str, var: str, body: str) -> str:
+def _let(expr: str, var: str, body: str, dialect: str = "spark") -> str:
     """SQL let-binding via a single-element transform(): evaluates `expr`
     exactly once and binds it to `var` inside `body`. Without this, the
     generated title chain is textually re-inlined at every reference
     (~6x per row, and the truncation fold blocks whole-stage codegen, so
     each copy is interpreted) — measured 2x+ on the conversion stage."""
+    if dialect == "duckdb":
+        return f"(list_transform([{expr}], {var} -> {body}))[1]"
     return f"element_at(transform(array({expr}), {var} -> {body}), 1)"
 
 
-def sql_wiki_title_full(expr: str) -> str:
-    """Complete factTitle conversion (Spark dialect, all JVM):
+def sql_wiki_title_full(expr: str, dialect: str = "spark") -> str:
+    """Complete factTitle conversion (all engine-side, no Python):
     P4 chars → P2 regexes → P5 truncation → P6 upper-first.
     Reference order: triplestowikipageconv.go:223-254.
 
+    The 'duckdb' dialect mirrors the truncation fold so the oracle is
+    valid for >=250-byte titles too (round-1 advice: the oracle used the
+    truncation-free chain, so long titles would hash-mismatch — or mask
+    a Spark truncation bug; testdata now plants one).
+
     The cleaned value and the truncated value are each computed once via
     let-bindings; all later references are O(1) lambda-variable reads."""
+    if dialect == "duckdb":
+        cleaned = _regexp_strip(_replace_chain(expr, TITLE_REPLACEMENTS), "duckdb")
+        words = "string_split(__t, ' ')"
+        # DuckDB 1.0 lambdas carry no index — generate_series supplies it;
+        # strlen() is BYTE length (octet_length is blob-only there).
+        best = (
+            f"coalesce(list_max(list_transform(generate_series(1, len({words})), "
+            f"i -> CASE WHEN strlen(array_to_string(list_slice({words}, 1, i), ' ')) "
+            f"< {TITLE_MAX} THEN i ELSE 0 END)), 0)"
+        )
+        # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is '' — a single >=250-byte word must yield ' ...'
+        truncated = (
+            f"CASE WHEN strlen(__t) < {TITLE_MAX} THEN __t "
+            f"ELSE coalesce(array_to_string(list_slice({words}, 1, {best}), ' '), '') || ' ...' END"
+        )
+        uppered = (
+            "CASE WHEN ascii(__s) BETWEEN 97 AND 122 "
+            "THEN upper(substring(__s, 1, 1)) || substring(__s, 2) "
+            "ELSE __s END"
+        )
+        return _let(cleaned, "__t", _let(truncated, "__s", uppered, "duckdb"), "duckdb")
     cleaned = _regexp_strip(_replace_chain(expr, TITLE_REPLACEMENTS), "spark")
     words = "split(__t, ' ')"
     folded = (

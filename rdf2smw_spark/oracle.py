@@ -13,7 +13,7 @@ from rdf2smw_spark.functions.textnorm import (
     sql_clean_literal,
     sql_local_name,
     sql_smw_type,
-    sql_wiki_title_clean,
+    sql_wiki_title_full,
 )
 from rdf2smw_spark.schemas import (
     CATEGORY_TYPES,
@@ -91,7 +91,10 @@ def pred_smw_types_sql(triples_sql: str) -> str:
 
 def _titles_cte(triples_sql: str) -> str:
     """Common CTE prefix: triples, st, bt, uris, titles(uri, t)."""
-    clean = sql_wiki_title_clean(
+    # full chain INCLUDING the P5 truncation fold — the Spark side uses
+    # sql_wiki_title_full, so the oracle must too or any >=250-byte raw
+    # title diverges (round-1 advice #3)
+    clean = sql_wiki_title_full(
         f"COALESCE(bt.raw_title, {sql_local_name('u.uri', 'duckdb')})", "duckdb"
     )
     return f"""triples AS {triples_sql},

@@ -56,6 +56,18 @@ STATIC_TRIPLES: list[tuple[str, str, str, bool, str | None, str]] = [
     (ONT + "orderdate", TYPE_PROPERTY_URI, OWL_DATATYPE_PROP, True, None, "testdata://static"),
     ("http://example.org/thing/weird", RDFS_LABEL, "A|B=C<D>E,F.G?H&I#J", False, DT_STRING, "testdata://static"),
     ("http://example.org/thing/weird", ONT + "name", "x (foo:bar) y", False, DT_STRING, "testdata://static"),
+    # P5 bait: a >=250-byte label so the title-truncation fold is exercised
+    # by the oracle comparison on BOTH sides (round-1 advice #3) — 40
+    # words x 7 bytes = 279 bytes, truncates to the longest <250-byte
+    # word prefix + ' ...'.
+    (
+        "http://example.org/thing/verbose",
+        RDFS_LABEL,
+        " ".join(f"word{i:02d}" for i in range(40)),
+        False,
+        DT_STRING,
+        "testdata://static",
+    ),
 ]
 
 

@@ -52,9 +52,29 @@ def test_duckdb_title_matches_python():
     con = duckdb.connect()
     for c in CASES:
         if len(c.encode()) >= tn.TITLE_MAX:
-            continue  # oracle dialect omits truncation (testdata never hits it)
+            continue  # clean chain omits truncation by design
         got = con.sql(
             f"select {tn.sql_wiki_title_clean(tn._sql_quote(c), 'duckdb')} as t"
+        ).fetchone()[0]
+        assert got == tn.py_wiki_title_clean(c), repr(c)
+
+
+def test_duckdb_full_title_matches_python_incl_truncation():
+    """The oracle dialect of the FULL chain (with the P5 truncation fold)
+    must byte-match the Python reference on short, long, and pathological
+    titles — this is what makes the driver's hash comparison valid for
+    >=250-byte raw titles."""
+    con = duckdb.connect()
+    long_cases = [
+        " ".join(f"word{i:02d}" for i in range(40)),   # the planted static label
+        "w" * 300,                                      # one un-splittable word
+        ("long word " * 40).strip(),
+        "x y " * 100,
+        "ünïcödé " * 40,                                # multibyte: byte semantics
+    ]
+    for c in CASES + long_cases:
+        got = con.sql(
+            f"select {tn.sql_wiki_title_full(tn._sql_quote(c), 'duckdb')} as t"
         ).fetchone()[0]
         assert got == tn.py_wiki_title_clean(c), repr(c)
 
