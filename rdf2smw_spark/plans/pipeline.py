@@ -76,9 +76,18 @@ def run_nt_pipeline(
     use_templates: bool = True,
     n_salt: int = 16,
 ) -> dict:
-    """The reference CLI's job (main.go:38-151): .nt file(s) → three XML
-    documents (pages / properties / templates), single-file envelopes."""
-    triples, bad = read_ntriples(spark, nt_path)
+    """The reference CLI's job (main.go:38-151): .nt/.ttl file(s) → three
+    XML documents (pages / properties / templates), single-file envelopes.
+    Format dispatch mirrors the reference, which feeds every input to the
+    Turtle decoder (ttlfilereader.go:53 — N-Triples is a Turtle subset);
+    here the line-oriented N-Triples fast path keeps line-level
+    parallelism for .nt, and .ttl uses the stateful document parser."""
+    if nt_path.endswith(".ttl"):
+        from rdf2smw_spark.sources.turtle import read_turtle
+
+        triples, bad = read_turtle(spark, nt_path)
+    else:
+        triples, bad = read_ntriples(spark, nt_path)
     pages = triples_to_pages(spark, triples, n_salt=n_salt)
     content, props, tpls = render_all(pages, use_templates=use_templates)
     os.makedirs(out_dir, exist_ok=True)

@@ -48,6 +48,35 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return testdata_triples(spark, sf_dir)
 
 
+def q_kg_turtle_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 Turtle front end (reference ttlfilereader.go:53 decodes full
+    Turtle): render the testdata graph as Turtle documents — one per
+    src_url, exercising @prefix tables, 'a', ';'/',' abbreviations and
+    typed/lang literals — then parse them back with the distributed
+    Turtle source. The oracle is the plain kg_triples derivation, so a
+    green row proves serialize∘parse is the identity on the whole graph
+    (same row multiset incl. obj_is_iri/obj_datatype/src_url)."""
+    import pandas as pd
+
+    from rdf2smw_spark.sources.turtle import parse_turtle_docs, triples_to_turtle
+
+    t = testdata_triples(spark, sf_dir)
+
+    def to_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src_url"].iloc[0]
+        rows = list(
+            zip(pdf["subj"], pdf["pred"], pdf["obj"], pdf["obj_is_iri"], pdf["obj_datatype"])
+        )
+        rows = [(s, p, o, bool(i), None if pd.isna(d) else d) for s, p, o, i, d in rows]
+        return pd.DataFrame({"src_url": [src], "ttl": [triples_to_turtle(rows)]})
+
+    docs = t.groupBy("src_url").applyInPandas(to_doc, schema="src_url string, ttl string")
+    parsed = parse_turtle_docs(docs)
+    return parsed.filter(parsed.error.isNull()).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+    )
+
+
 def q_kg_triple_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = testdata_triples(spark, sf_dir)
     return t.groupBy("subj").agg(
@@ -310,6 +339,7 @@ def q_ev_sessionize(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
+    "kg_turtle_triples": q_kg_turtle_triples,
     "kg_triple_agg": q_kg_triple_agg,
     "kg_subject_types": q_kg_subject_types,
     "kg_best_title": q_kg_best_title,
@@ -350,6 +380,8 @@ _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
 
 ORACLES: dict[str, str] = {
     "kg_triples": f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples",
+    # the Turtle round trip must yield the exact same multiset
+    "kg_turtle_triples": f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples",
     "kg_triple_agg": f"""
         WITH triples AS {TRIPLES_SQL},
         d AS (SELECT DISTINCT subj, pred FROM triples)
