@@ -117,6 +117,58 @@ def test_class_depth_chain_and_cycle(spark):
     assert m["http://e/a"] >= 1  # cycle-bounded, terminates
 
 
+def test_class_depth_fixpoint_agrees_with_dfs_on_acyclic(spark):
+    """The guard path (collect_limit=0 forces the distributed fixpoint)
+    must produce exactly the DFS answers on acyclic layers, and terminate
+    with capped depths on cycles."""
+    t = _triples(
+        spark,
+        [
+            ("http://e/i", RDF_TYPE, "http://e/c1", True, None),
+            ("http://e/c1", SUBCLASS, "http://e/c2", True, None),
+            ("http://e/c2", SUBCLASS, "http://e/c3", True, None),
+            ("http://e/c2", SUBCLASS, "http://e/c4", True, None),
+            ("http://e/x", RDF_TYPE, "http://e/a", True, None),
+            ("http://e/a", SUBCLASS, "http://e/b", True, None),
+            ("http://e/b", SUBCLASS, "http://e/a", True, None),  # cycle
+        ],
+    )
+    dfs = {r["uri"]: r["depth"] for r in class_depth(spark, t).collect()}
+    fix = {r["uri"]: r["depth"] for r in class_depth(spark, t, max_depth=10, collect_limit=0).collect()}
+    acyclic = {u for u in dfs if not u.endswith(("/a", "/b"))}
+    assert {u: dfs[u] for u in acyclic} == {u: fix[u] for u in acyclic}
+    # cycle members: DFS pins revisits to 0, the fixpoint saturates at the
+    # cap — both terminate (the reference recurses forever here)
+    assert fix["http://e/a"] <= 11 and fix["http://e/b"] <= 11
+
+
+def test_class_depth_fixpoint_wide_layer_stays_distributed(spark):
+    """A 100k-edge 'class layer' (adversarial web data: every URI used as
+    a type object) runs through the fixpoint without collecting edges to
+    the driver, converging in O(depth) = 3 iterations."""
+    from pyspark.sql import functions as F
+
+    from rdf2smw_spark.operators.dimensions import class_depth_fixpoint
+
+    n = 100_000
+    leaves = spark.range(n).select(
+        F.concat(F.lit("http://e/leaf"), "id").alias("src"),
+        F.concat(F.lit("http://e/mid"), (F.col("id") % 100)).alias("dst"),
+    )
+    mids = spark.range(100).select(
+        F.concat(F.lit("http://e/mid"), "id").alias("src"),
+        F.lit("http://e/root").alias("dst"),
+    )
+    m = {
+        r["uri"]: r["depth"]
+        for r in class_depth_fixpoint(spark, leaves.unionByName(mids), max_depth=10).collect()
+    }
+    assert m["http://e/root"] == 0
+    assert m["http://e/mid0"] == 1
+    assert m["http://e/leaf0"] == 2
+    assert len(m) == n + 101
+
+
 def test_full_conversion_semantics(spark):
     t = _triples(
         spark,
