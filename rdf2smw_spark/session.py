@@ -16,15 +16,25 @@ def get_spark(
     app_name: str = "rdf2smw_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    executors: int | None = None,
+    cores_per_executor: int = 8,
+    executor_mem_mb: int = 12288,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
+    executors: when set, use local-cluster[executors, cores_per_executor,
+    executor_mem_mb] — SEPARATE executor JVMs, the sandbox stand-in for a
+    real N-executor cluster (used by bench.py's north-rule scaling pair;
+    local[N] threads share one heap and understate scaling, BASELINE.md).
     shuffle_partitions: defaults to max(cores, 32) locally. On a real
     cluster this would be sized to ~2-3x total executor cores, or left to
     AQE coalescing (enabled below).
     """
-    if cores is None:
+    if executors is not None:
+        master = f"local-cluster[{executors},{cores_per_executor},{executor_mem_mb}]"
+        n = executors * cores_per_executor
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{env}]"
         n = os.cpu_count() or 8 if env == "*" else int(env)
