@@ -55,15 +55,31 @@ class CheckpointStore:
         )
         lin.write.mode("append").parquet(self.lineage_path())
 
-    def materialize(self, df: DataFrame, stage: str, resume: bool = True) -> DataFrame:
+    def materialize(
+        self,
+        df: DataFrame,
+        stage: str,
+        resume: bool = True,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         """Write-once stage checkpoint: skip if a complete snapshot
         exists (resume), else compute, write atomically, record lineage.
         Always returns the on-disk DataFrame so downstream stages read
-        the checkpoint, not the recomputed plan."""
+        the checkpoint, not the recomputed plan.
+
+        partition_by: hive-style directory partitioning of the snapshot —
+        the parquet rendering of Iceberg's partition transforms (the
+        north star's `bucket(subj, N)`-partitioned triples table).
+        Readers get partition pruning on the bucket column for free; on
+        a real deployment the same call writes an Iceberg table and the
+        conversion's groupBy(subj) becomes a bucket-local aggregation."""
         if resume and self.is_complete(stage):
             return self.read(stage)
         t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(self.stage_path(stage))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.stage_path(stage))
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._append_lineage(stage, wall_ms)
         return self.read(stage)

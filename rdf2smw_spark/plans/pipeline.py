@@ -23,6 +23,11 @@ from rdf2smw_spark.plans.lineage import CheckpointStore
 from rdf2smw_spark.sources.ntriples import read_ntriples
 from rdf2smw_spark.triplify import triplify
 
+# Subject-hash buckets for the triples checkpoint (Iceberg: bucket(subj, N)).
+# 16 keeps file counts sane at test scale; a 10^12-doc deployment sizes this
+# to ~2-4x total executor cores (e.g. 4096) so bucket-local work saturates.
+N_SUBJ_BUCKETS = 16
+
 
 def run_web_pipeline(
     spark: SparkSession,
@@ -42,7 +47,16 @@ def run_web_pipeline(
 
     deduped = latest_capture(pages)
     extracted = store.materialize(extract_text(deduped), "text_extracted", resume)
-    raw_triples = store.materialize(triplify(extracted), "raw_triples", resume)
+    # The triples table is partitioned by subject-hash bucket (north
+    # star: Iceberg `bucket(subj, N)`): deterministic layout, bucket
+    # pruning for point lookups, and on Iceberg a bucket-local
+    # groupBy(subj). pmod first — ANSI mode makes bigint overflow throw.
+    bucketed = triplify(extracted).withColumn(
+        "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJ_BUCKETS))
+    )
+    raw_triples = store.materialize(
+        bucketed, "raw_triples", resume, partition_by=["subj_bucket"]
+    ).drop("subj_bucket")
     if entity_dict is not None:
         from rdf2smw_spark.operators.linking import link_triples
 

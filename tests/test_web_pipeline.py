@@ -88,3 +88,26 @@ def test_pipeline_partial_resume(spark, sf_dir, tmp_path):
     r = run_web_pipeline(spark, pages, work, resume=True, run_id="b")
     assert r["wiki_pages"] > 0
     assert os.path.exists(os.path.join(work, "pages_xml", "_SUCCESS"))
+
+
+def test_triples_checkpoint_bucketed_by_subject_hash(spark, sf_dir, tmp_path):
+    """The raw_triples snapshot is hive-partitioned on subj_bucket
+    (the parquet rendering of Iceberg's bucket(subj, N) transform):
+    bucket dirs exist, assignment is the deterministic pmod(xxhash64),
+    and the downstream frame carries no bucket column."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from rdf2smw_spark.plans.pipeline import N_SUBJ_BUCKETS, run_web_pipeline
+    from rdf2smw_spark.sources.webpages import synth_pages
+
+    pages = synth_pages(spark, sf_dir).limit(80)
+    run_web_pipeline(spark, pages, str(tmp_path), resume=True)
+    dirs = glob.glob(str(tmp_path / "raw_triples" / "subj_bucket=*"))
+    assert dirs, "expected subj_bucket=N partition directories"
+    tri = spark.read.parquet(str(tmp_path / "raw_triples"))
+    bad = tri.filter(
+        F.col("subj_bucket") != F.pmod(F.xxhash64("subj"), F.lit(N_SUBJ_BUCKETS))
+    ).count()
+    assert bad == 0
