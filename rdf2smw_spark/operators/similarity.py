@@ -200,8 +200,11 @@ def ann_topk_lsh(
     empty input."""
     from pyspark.sql import Window
 
-    e = _with_norm(emb.select("vec_id", "embedding"))
-    banded = _banded_sigs(e, n_bands, band_bits, dim)
+    # e feeds the band frame and both verify sides; banded feeds both
+    # halves of the candidate self-join — persist each once (same pattern
+    # as the minhash shingle frame in dedup.py)
+    e = _with_norm(emb.select("vec_id", "embedding")).persist()
+    banded = _banded_sigs(e, n_bands, band_bits, dim).persist()
     qb = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band_id", "sig"
     )
@@ -248,8 +251,8 @@ def cosine_pairs_lsh(
     self-joined on (band_id, sig) — shuffle is b slim rows per vector,
     never the full vector; the verify join rejoins embeddings by vec_id.
     """
-    sigs = _with_norm(emb.select("vec_id", "embedding"))
-    banded = _banded_sigs(sigs, n_bands, band_bits, dim)
+    sigs = _with_norm(emb.select("vec_id", "embedding")).persist()
+    banded = _banded_sigs(sigs, n_bands, band_bits, dim).persist()
 
     la = banded.select(F.col("vec_id").alias("id_a"), "band_id", "sig")
     lb = banded.select(F.col("vec_id").alias("id_b"), "band_id", "sig")
