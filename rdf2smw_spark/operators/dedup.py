@@ -188,19 +188,21 @@ def minhash_candidates(
     colliding in any band are candidates. (doc_a, doc_b) distinct."""
     r = k // bands
     sigs = minhash_signatures(shingles, k)
-    band_rows = []
-    for bnd in range(bands):
-        cols = ", ".join(f"sig_{bnd * r + j}" for j in range(r))
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(bnd).alias("band"),
-                F.expr(f"md5(concat_ws('|', {cols}))").alias("band_hash"),
-            )
+    # all bands from ONE pass over the signature aggregation (explode of
+    # a band-struct array) — a per-band union re-runs the k-way min-agg
+    # once per band
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.expr(
+                "md5(concat_ws('|', " + ", ".join(f"sig_{bnd * r + j}" for j in range(r)) + "))"
+            ).alias("band_hash"),
         )
-    banded = band_rows[0]
-    for df in band_rows[1:]:
-        banded = banded.unionByName(df)
+        for bnd in range(bands)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+    ).persist()  # feeds both halves of the self-join
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
@@ -208,6 +210,37 @@ def minhash_candidates(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    shingles: DataFrame, pairs: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard computed for the GIVEN pairs only: route each pair
+    through doc_a's shingles, then match doc_b's on (doc_b, shingle) —
+    cost is Σ|A| over candidate pairs, independent of the corpus-wide
+    shingle co-occurrence. Pairs with empty intersection drop out of the
+    join, which is correct: their Jaccard is 0 < threshold."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = pairs.join(
+        shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    inter = (
+        sh_a.join(
+            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -222,12 +255,19 @@ def minhash_near_dups(
     the scalable near-dup pipeline (shingle->minhash->band->bucket-join
     ->verify). The shingle frame feeds the signature agg plus both sides
     of the verify join — persist it once instead of recomputing the
-    shingling 4x."""
+    shingling 4x.
+
+    The verify is CANDIDATE-RESTRICTED (jaccard_for_pairs): verifying via
+    the corpus-wide shingle self-join and intersecting afterwards — the
+    round-1 shape — re-introduces exactly the quadratic co-occurrence
+    blow-up LSH exists to avoid (measured 2x the whole query's wall time
+    at sf0.1; at web scale it is the difference between linear and
+    quadratic). Result set is identical: non-candidate verifications
+    were discarded by the intersection anyway."""
     if cache:
         shingles = shingles.persist()
     cands = minhash_candidates(shingles, k, bands)
-    verified = jaccard_pairs(shingles, threshold)
-    return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    return jaccard_for_pairs(shingles, cands, threshold)
 
 
 def minhash_near_dups_sql(
