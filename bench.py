@@ -207,9 +207,14 @@ def main() -> None:
     # a 4.9s steady-state conversion in round 1). One small conversion
     # compiles the expensive plans; the timed loop then measures work.
     from rdf2smw_spark.operators.convert import triples_to_pages as _warm_conv
+    from rdf2smw_spark.queries import QUERIES as _Q
     from rdf2smw_spark.queries import q_kg_triples as _warm_triples
 
     _warm_conv(spark, _warm_triples(spark, SF_DIR).limit(20_000), cache=False).count()
+    # compile the minhash/jaccard plan family on the small SF (first run
+    # otherwise pays ~12s of codegen inside the timed loop)
+    _Q["dd_minhash_near_dups"](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
