@@ -389,7 +389,22 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("doc_a", "doc_b", "hamming")
+
+
+def simhash_near_dups_sql(docs_sql: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups. The Spark side's byte-banding is
+    EXACT by pigeonhole (4 bands of a 32-bit signature; hamming <= 3
+    forces >= 1 identical byte), so the reference semantics here are the
+    plain all-pairs hamming filter — candidate generation changes the
+    plan, never the result set."""
+    return f"""
+    WITH sh AS ({simhash_sql(docs_sql)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

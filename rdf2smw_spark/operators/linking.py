@@ -168,3 +168,76 @@ def link_fuzzy(
         .join(d_side, "did")
         .select("mention", "surface", "uri", "jaccard")
     )
+
+
+def link_fuzzy_sql(
+    mentions_sql: str, dict_sql: str, threshold: float = 0.5, k: int = 12, bands: int = 6
+) -> str:
+    """DuckDB twin of link_fuzzy, mirroring the banding EXACTLY (same
+    md5('<i>:'||shingle) minhash permutations, same md5 band hashes), so
+    the probabilistic candidate set — not just the verified survivors —
+    is reproduced and the comparison is non-vacuous for the LSH stage.
+
+    Spark's even/odd-id tagging is replaced by 'm:'/'d:' string-prefixed
+    doc keys: the output columns never expose the ids, and candidate
+    pairs are a function of (band, band_hash) alone, so the id scheme
+    cancels out. mentions_sql must yield column `mention`; dict_sql
+    columns (surface, uri)."""
+    r = k // bands
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(k)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || '|' || ".join(f"sig_{bnd * r + j}" for j in range(r))
+        + ") AS band_hash FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH d AS (SELECT surface, uri FROM {dict_sql}),
+    m AS (SELECT DISTINCT mention FROM {mentions_sql}),
+    docs AS (
+        SELECT 'm:' || mention AS doc_id, mention AS txt FROM m
+        UNION ALL
+        SELECT DISTINCT 'd:' || surface, surface FROM d
+    ),
+    sh AS (
+        -- generate_series as a scalar (list-returning) function: the
+        -- table-function form rejects lateral column arguments
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       generate_series(1, greatest(length(txt) - 2, 1)),
+                       i -> substring(txt, i, 3))) AS shingle
+            FROM docs
+        ) WHERE length(shingle) = 3
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT ma.doc_id AS m_id, db.doc_id AS d_id
+        FROM banded ma JOIN banded db
+          ON ma.band = db.band AND ma.band_hash = db.band_hash
+        WHERE ma.doc_id LIKE 'm:%' AND db.doc_id LIKE 'd:%'
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.m_id, c.d_id, COUNT(*) AS n_int
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.m_id
+        JOIN sh b ON b.doc_id = c.d_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT m_id, d_id,
+               ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = m_id
+        JOIN sizes sb ON sb.doc_id = d_id
+        WHERE ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= {threshold}
+    )
+    SELECT substring(v.m_id, 3) AS mention, d.surface, d.uri, v.jaccard
+    FROM verified v JOIN d ON 'd:' || d.surface = v.d_id
+    """

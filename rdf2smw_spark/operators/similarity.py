@@ -228,6 +228,64 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_lsh_sql(
+    emb_sql: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bands: int = 16,
+    band_bits: int = 2,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB twin of ann_topk_lsh. The hyperplanes are md5-derived
+    literals (see _plane_component), so the SAME plane constants are
+    rendered into this SQL and the probabilistic candidate set — not
+    just the final ranking — is reproduced exactly. Sign bits are stable
+    across engines: |dot| of 64-dim corpus vectors against these planes
+    is ~O(1), astronomically far from the ~1e-15 associativity window
+    where double accumulation order could flip a sign."""
+    band_rows = []
+    for i in range(n_bands):
+        bits = []
+        for p in range(i * band_bits, (i + 1) * band_bits):
+            comps = ", ".join(str(_plane_component(p, d)) for d in range(dim))
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, [{comps}]::DOUBLE[]) >= 0"
+                " THEN '1' ELSE '0' END)"
+            )
+        band_rows.append(
+            f"SELECT vec_id, {i} AS band_id, " + " || ".join(bits) + " AS sig FROM e"
+        )
+    banded = "\n        UNION ALL\n        ".join(band_rows)
+    dot = "list_dot_product(q.emb, c.emb)"
+    nq = "sqrt(list_dot_product(q.emb, q.emb))"
+    nc = "sqrt(list_dot_product(c.emb, c.emb))"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM {emb_sql}),
+    banded AS (
+        {banded}
+    ),
+    cands AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM banded qb JOIN banded cb
+          ON qb.band_id = cb.band_id AND qb.sig = cb.sig
+        WHERE qb.vec_id < {n_queries} AND qb.vec_id <> cb.vec_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               ROUND({dot} / ({nq} * {nc}), 4) AS cosine
+        FROM cands cd
+        JOIN e q ON q.vec_id = cd.query_id
+        JOIN e c ON c.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.8,

@@ -430,14 +430,19 @@ ORACLES: dict[str, str] = {
     "dd_jaccard_pairs": dd.jaccard_pairs_sql(SHINGLES_SQL, threshold=0.5),
     "dd_minhash_near_dups": dd.minhash_near_dups_sql(SHINGLES_SQL, threshold=0.5),
     "dd_simhash": dd.simhash_sql("documents"),
-    # dd_simhash_near_dups: rows-only (banding strategy is the Spark artifact)
+    "dd_simhash_near_dups": dd.simhash_near_dups_sql(DOCS_ND_SQL, max_hamming=3),
     "dd_embed_cosine": sim.cosine_pairs_sql(sim.near_dup_embeddings_sql(_EMB_SQL), threshold=0.9),
     "dd_embed_cosine_lsh": sim.cosine_pairs_sql(sim.near_dup_embeddings_sql(_EMB_SQL), threshold=0.9),
     "ann_topk": sim.ann_topk_sql(_EMB_SQL, n_queries=10, k=5),
-    # ann_topk_lsh: rows-only (hyperplane constants live in the Spark plan)
+    "ann_topk_lsh": sim.ann_topk_lsh_sql(_EMB_SQL, n_queries=10, k=5),
     "link_entity_dict": f"SELECT * FROM {lk.corpus_entity_dict_sql('documents')}",
     "link_exact": lk.link_exact_sql("documents", lk.corpus_entity_dict_sql("documents")),
-    # link_fuzzy: rows-only
+    "link_fuzzy": lk.link_fuzzy_sql(
+        "(SELECT substring(surface, 1, length(surface) - 1) || 'x' AS mention"
+        f" FROM {lk.corpus_entity_dict_sql('documents')})",
+        lk.corpus_entity_dict_sql("documents"),
+        threshold=0.3,
+    ),
     "ev_window_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
