@@ -395,6 +395,80 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "hamming")
 
 
+def dedup_clusters(
+    docs: DataFrame, edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over a near-dup pair
+    list; cluster_id = MIN doc_id reachable through the pair graph, so
+    the canonical survivor of each duplicate cluster is its smallest id
+    (singletons keep themselves). This is the step that turns pairwise
+    near-dup evidence into the keep/drop decision of a training-data
+    dedup pass: transitive duplicates (A~B, B~C, A!~C) must land in ONE
+    cluster or the pipeline keeps both A and C.
+
+    Algorithm: hash-to-min label propagation — every round each node
+    takes the min of its own and its neighbors' labels; one edge⋈label
+    shuffle per round, converges in O(component diameter) rounds. The
+    near-dup graph's components are short chains of genuine duplicates
+    (diameter is small by construction — a long chain would mean A and Z
+    share no shingles yet sit in one cluster, which LSH never emits), so
+    the round count stays low at any corpus size; max_iter bounds
+    adversarial chains, and each round localCheckpoints to truncate the
+    lineage a loop would otherwise stack up. At 10^12 docs the per-round
+    shuffle is |edges| slim (src, lbl) rows — pairs, not the corpus.
+
+    This is an ITERATIVE algorithm: it runs bounded Spark jobs while
+    composing (the convergence test), like the class-depth fixpoint —
+    not a single declarative plan."""
+    nodes = docs.select(F.col("doc_id").alias("node")).distinct()
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.persist()
+    cur = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                cur.select(F.col("node").alias("dst"), F.col("lbl").alias("dst_lbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_lbl").alias("nbr_lbl"))
+        )
+        nxt = cur.join(nbr, cur["node"] == nbr["src"], "left").select(
+            "node",
+            F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            (F.col("nbr_lbl") < F.col("lbl")).alias("chg"),
+        ).localCheckpoint()
+        changed = nxt.filter("chg").limit(1).count()
+        cur = nxt.select("node", "lbl")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return cur.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters_sql(docs_sql: str, pairs_sql: str) -> str:
+    """DuckDB twin of dedup_clusters: recursive transitive closure,
+    cluster_id = MIN reachable id. UNION (not UNION ALL) dedups the
+    frontier so the recursion terminates."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM {docs_sql}
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """
+
+
 def simhash_near_dups_sql(docs_sql: str, max_hamming: int = 3) -> str:
     """DuckDB twin of simhash_near_dups. The Spark side's byte-banding is
     EXACT by pigeonhole (4 bands of a 32-bit signature; hamming <= 3

@@ -153,3 +153,93 @@ def fingerprints_sql(docs_sql: str) -> str:
         f"SELECT doc_id, md5({norm}) AS fp_full, "
         f"md5(substring({norm}, 1, 64)) AS fp_prefix FROM {docs_sql}"
     )
+
+
+# --- benchmark decontamination -------------------------------------------------
+
+NGRAM_N = 8  # token n-gram width for contamination matching
+
+
+def _token_ngrams(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, ngram): distinct space-joined token n-grams. Docs shorter
+    than n tokens emit nothing (a partial n-gram is not evidence)."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"filter({_tokens('text')}, t -> t <> '')").alias("toks"),
+    ).filter(F.expr(f"size(toks) >= {n}"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))"
+            )
+        ).alias("ngram"),
+    ).distinct()
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, n_hits, contaminated): for every training doc, how many
+    of its distinct token n-grams appear anywhere in the benchmark set —
+    the standard eval-set decontamination pass (n-gram overlap flagging)
+    run before a corpus is used for training.
+
+    Scale shape: the benchmark n-gram set is tiny next to the corpus
+    (eval suites are ~10^5-10^6 docs vs 10^12 training docs), so the
+    probe join broadcasts benchmark n-grams and the whole pass is one
+    map-side semi-join over the exploded training n-grams plus one
+    groupBy on doc_id; no corpus-side self-join ever happens. A
+    benchmark too large to broadcast falls back to a shuffle join on the
+    n-gram string — still linear."""
+    from pyspark.sql.functions import broadcast
+
+    bm = benchmark.select("text").distinct()
+    bm_ngrams = (
+        _token_ngrams(bm.withColumn("doc_id", F.lit(0)), n).select("ngram").distinct()
+    )
+    tr_ngrams = _token_ngrams(train, n)
+    hits = (
+        tr_ngrams.join(broadcast(bm_ngrams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _token_ngrams_sql(docs_sql: str, n: int = NGRAM_N) -> str:
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    return f"""(
+    SELECT DISTINCT doc_id, ngram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(toks) - {n - 1}),
+                      i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS ngram
+        FROM (SELECT doc_id, {toks} AS toks FROM {docs_sql})
+        WHERE len(toks) >= {n}
+    )
+)"""
+
+
+def decontaminate_sql(train_sql: str, benchmark_sql: str, n: int = NGRAM_N) -> str:
+    bm_docs = f"(SELECT 0 AS doc_id, text FROM (SELECT DISTINCT text FROM {benchmark_sql}))"
+    return f"""
+    WITH bm AS (SELECT DISTINCT ngram FROM {_token_ngrams_sql(bm_docs, n)}),
+    tr AS (SELECT * FROM {_token_ngrams_sql(train_sql, n)}),
+    hits AS (
+        SELECT tr.doc_id, COUNT(*) AS n_hits
+        FROM tr JOIN bm USING (ngram) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM {train_sql}) d
+    LEFT JOIN hits h USING (doc_id)
+    """

@@ -226,6 +226,16 @@ def q_ta_fingerprints(spark, sf_dir):
     return ta.fingerprints(_docs(spark, sf_dir))
 
 
+def q_ta_decontam(spark, sf_dir):
+    """Eval-set decontamination: every 37th doc plays the benchmark; the
+    near-dup corpus (which plants variants of some of them) is the
+    training set — guaranteeing non-vacuous hits at any SF."""
+    docs = _docs(spark, sf_dir)
+    train = dd.near_dup_corpus(docs).filter(F.col("doc_id") % 37 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return ta.decontaminate(train, benchmark)
+
+
 # --- dedup ----------------------------------------------------------------------
 
 def q_dd_exact(spark, sf_dir):
@@ -244,12 +254,22 @@ def q_dd_minhash_near_dups(spark, sf_dir):
     return dd.minhash_near_dups(_shingles(spark, sf_dir), threshold=0.5)
 
 
+def q_dd_cluster(spark, sf_dir):
+    """Connected components over the minhash near-dup pairs: the
+    transitive keep/drop decision of a dedup pass (iterative label
+    propagation; oracle is a recursive CTE)."""
+    docs = dd.near_dup_corpus(_docs(spark, sf_dir))
+    edges = dd.minhash_near_dups(_shingles(spark, sf_dir), threshold=0.5)
+    return dd.dedup_clusters(docs, edges)
+
+
 def q_dd_simhash(spark, sf_dir):
     return dd.simhash(_docs(spark, sf_dir))
 
 
 def q_dd_simhash_near_dups(spark, sf_dir):
-    """Hamming-banded simhash pairs (Spark-only; verified by pytest)."""
+    """Hamming-banded simhash pairs (byte-band blocking is exact at
+    distance<=3, so the oracle is the all-pairs hamming filter)."""
     return dd.simhash_near_dups(dd.near_dup_corpus(_docs(spark, sf_dir)), max_hamming=3)
 
 
@@ -360,9 +380,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_quality": q_ta_quality,
     "ta_token_stats": q_ta_token_stats,
     "ta_fingerprints": q_ta_fingerprints,
+    "ta_decontam": q_ta_decontam,
     "dd_exact": q_dd_exact,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_minhash_near_dups": q_dd_minhash_near_dups,
+    "dd_cluster": q_dd_cluster,
     "dd_simhash": q_dd_simhash,
     "dd_simhash_near_dups": q_dd_simhash_near_dups,
     "dd_embed_cosine": q_dd_embed_cosine,
@@ -426,9 +448,16 @@ ORACLES: dict[str, str] = {
     "ta_quality": ta.quality_score_sql("documents"),
     "ta_token_stats": ta.token_stats_sql("documents"),
     "ta_fingerprints": ta.fingerprints_sql("documents"),
+    "ta_decontam": ta.decontaminate_sql(
+        f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
+        "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",
+    ),
     "dd_exact": dd.exact_dedup_sql("documents"),
     "dd_jaccard_pairs": dd.jaccard_pairs_sql(SHINGLES_SQL, threshold=0.5),
     "dd_minhash_near_dups": dd.minhash_near_dups_sql(SHINGLES_SQL, threshold=0.5),
+    "dd_cluster": dd.dedup_clusters_sql(
+        DOCS_ND_SQL, dd.minhash_near_dups_sql(SHINGLES_SQL, threshold=0.5)
+    ),
     "dd_simhash": dd.simhash_sql("documents"),
     "dd_simhash_near_dups": dd.simhash_near_dups_sql(DOCS_ND_SQL, max_hamming=3),
     "dd_embed_cosine": sim.cosine_pairs_sql(sim.near_dup_embeddings_sql(_EMB_SQL), threshold=0.9),

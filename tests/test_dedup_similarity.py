@@ -177,3 +177,26 @@ def test_ann_topk_lsh_recall_floor(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"]) for r in sim.ann_topk_lsh(emb, 10, 5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B, B~C, C~D must land in ONE cluster even though A and D were
+    never paired; disjoint pair {10,11} and singletons stay separate."""
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(docs, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_clusters_cycle_and_empty_edges(spark):
+    docs = spark.createDataFrame([(i,) for i in [5, 6, 7, 9]], "doc_id long")
+    cyc = spark.createDataFrame([(5, 6), (6, 7), (5, 7)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(docs, cyc).collect()}
+    assert out == {5: 5, 6: 5, 7: 5, 9: 9}
+    none = spark.createDataFrame([], "doc_a long, doc_b long")
+    out2 = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(docs, none).collect()}
+    assert out2 == {5: 5, 6: 6, 7: 7, 9: 9}
