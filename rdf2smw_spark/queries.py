@@ -173,7 +173,9 @@ def q_kg_category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_pages_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full render (non-SQL-expressible output formatting — rows-only check)."""
+    """Full render, hash-compared against oracle.pages_xml_sql — the
+    oracle reproduces the XML byte-for-byte (shared WIKI_XML_TPL
+    segments, LAG-based run-length collapse)."""
     from rdf2smw_spark.operators.render import render_all
 
     pages = triples_to_pages(spark, testdata_triples(spark, sf_dir))
@@ -426,7 +428,7 @@ ORACLES: dict[str, str] = {
         + orc.category_rows_sql(TRIPLES_SQL)
         + ") WHERE category IN ('Class')"
     ),
-    # kg_pages_xml: rows-only (XML formatting not SQL-expressible)
+    "kg_pages_xml": orc.pages_xml_sql(TRIPLES_SQL),
     "web_pages_meta": f"WITH pages AS {PAGES_SQL} SELECT url, warc_ts, lang FROM pages",
     "web_extract_text": (
         f"WITH pages AS {PAGES_SQL} "
