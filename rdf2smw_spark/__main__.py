@@ -25,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-templates", action="store_true",
                     help="plain [[fact::value]] wikitext instead of template calls")
     ap.add_argument("--salt", type=int, default=16, help="aggregation salt buckets")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="web mode: drop near-duplicate documents across urls "
+                         "(MinHash pairs -> connected components, keep min url)")
+    ap.add_argument("--near-dedup-threshold", type=float, default=0.9,
+                    help="Jaccard threshold for --near-dedup (default 0.9)")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--resume", action="store_true", default=True)
     args = ap.parse_args(argv)
@@ -49,7 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         from rdf2smw_spark.plans.pipeline import run_web_pipeline
 
         pages = spark.read.parquet(args.pages)
-        res = run_web_pipeline(spark, pages, args.out, resume=args.resume, n_salt=args.salt)
+        res = run_web_pipeline(
+            spark, pages, args.out, resume=args.resume, n_salt=args.salt,
+            near_dedup=args.near_dedup,
+            near_dedup_threshold=args.near_dedup_threshold,
+        )
 
     print(json.dumps(res, default=str))
     return 0

@@ -29,6 +29,38 @@ from rdf2smw_spark.triplify import triplify
 N_SUBJ_BUCKETS = 16
 
 
+def near_dedup_pages(extracted: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Text-level near-dedup across urls (the training-pipeline DEDUP
+    stage): MinHash-LSH near-dup pairs over extracted text → connected
+    components (dedup_clusters, hash-to-min label propagation) → keep
+    exactly one url per cluster, the MIN url (deterministic at any
+    partitioning). latest_capture already collapsed snapshots per url;
+    this collapses distinct urls serving the same (or near-same)
+    document — boilerplate mirrors, tracking-parameter aliases.
+
+    Scale shape: shingles + banded signatures are linear; the
+    survivor filter is one shuffle semi-join on url. Cluster ids ARE the
+    min member url (dedup_clusters invariant), so survivors need no
+    extra aggregation."""
+    from rdf2smw_spark.operators.dedup import (
+        char_shingles,
+        dedup_clusters,
+        minhash_near_dups,
+    )
+
+    docs = extracted.select(F.col("url").alias("doc_id"), "text")
+    sh = char_shingles(docs, max_df=1000).persist()
+    edges = minhash_near_dups(sh, threshold=threshold, cache=False).select(
+        "doc_a", "doc_b"
+    )
+    clusters = dedup_clusters(docs, edges)
+    sh.unpersist()
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        F.col("doc_id").alias("url")
+    )
+    return extracted.join(survivors, "url")
+
+
 def run_web_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -37,16 +69,25 @@ def run_web_pipeline(
     n_salt: int = 16,
     run_id: str | None = None,
     entity_dict: DataFrame | None = None,
+    near_dedup: bool = False,
+    near_dedup_threshold: float = 0.9,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
     entity_dict (surface, uri, priority) enables the LINK stage
-    (broadcast canonicalization of literal mentions). Returns stage row
-    counts (the bench harness derives throughput from these + lineage
-    wall_ms)."""
+    (broadcast canonicalization of literal mentions). near_dedup enables
+    the text-level DEDUP stage (MinHash pairs → connected components →
+    keep one url per cluster). Returns stage row counts (the bench
+    harness derives throughput from these + lineage wall_ms)."""
     store = CheckpointStore(spark, work_dir, run_id=run_id)
 
     deduped = latest_capture(pages)
     extracted = store.materialize(extract_text(deduped), "text_extracted", resume)
+    if near_dedup:
+        extracted = store.materialize(
+            near_dedup_pages(extracted, threshold=near_dedup_threshold),
+            "near_deduped",
+            resume,
+        )
     # The triples table is partitioned by subject-hash bucket (north
     # star: Iceberg `bucket(subj, N)`): deterministic layout, bucket
     # pruning for point lookups, and on Iceberg a bucket-local

@@ -111,3 +111,36 @@ def test_triples_checkpoint_bucketed_by_subject_hash(spark, sf_dir, tmp_path):
         F.col("subj_bucket") != F.pmod(F.xxhash64("subj"), F.lit(N_SUBJ_BUCKETS))
     ).count()
     assert bad == 0
+
+
+def test_near_dedup_stage_drops_cross_url_duplicates(spark, sf_dir, tmp_path):
+    """Two urls serving (near-)identical documents collapse to the MIN
+    url; distinct documents all survive; pipeline counts reflect the
+    DEDUP stage."""
+    from rdf2smw_spark.plans.pipeline import near_dedup_pages
+
+    rows = [
+        ("https://a.example/1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("https://b.example/2", "the quick brown fox jumps over the lazy dog again and again"),
+        # near-dup: same text + short suffix
+        ("https://c.example/3", "the quick brown fox jumps over the lazy dog again and again ok"),
+        ("https://d.example/4", "a completely different document about shuffle partitions at scale"),
+    ]
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    out = near_dedup_pages(extracted, threshold=0.5)
+    kept = sorted(r["url"] for r in out.select("url").collect())
+    assert kept == ["https://a.example/1", "https://d.example/4"]
+
+
+def test_web_pipeline_with_near_dedup(spark, sf_dir, tmp_path):
+    """End-to-end: planting an exact mirror of every page under a
+    different host halves the corpus back to its original size."""
+    pages = synth_pages(spark, sf_dir).limit(30)
+    mirrored = pages.unionByName(
+        pages.withColumn("url", F.concat(F.lit("https://mirror.example/"), F.col("url")))
+    )
+    res = run_web_pipeline(
+        spark, mirrored, str(tmp_path / "w"), resume=False, near_dedup=True
+    )
+    base = latest_capture(pages).count()
+    assert res["extracted"] == base
