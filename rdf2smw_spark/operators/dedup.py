@@ -406,16 +406,17 @@ def dedup_clusters(
     dedup pass: transitive duplicates (A~B, B~C, A!~C) must land in ONE
     cluster or the pipeline keeps both A and C.
 
-    Algorithm: hash-to-min label propagation — every round each node
-    takes the min of its own and its neighbors' labels; one edge⋈label
-    shuffle per round, converges in O(component diameter) rounds. The
-    near-dup graph's components are short chains of genuine duplicates
-    (diameter is small by construction — a long chain would mean A and Z
-    share no shingles yet sit in one cluster, which LSH never emits), so
-    the round count stays low at any corpus size; max_iter bounds
-    adversarial chains, and each round localCheckpoints to truncate the
-    lineage a loop would otherwise stack up. At 10^12 docs the per-round
-    shuffle is |edges| slim (src, lbl) rows — pairs, not the corpus.
+    Algorithm: hash-to-min label propagation WITH pointer doubling —
+    every round each node takes the min of its own and its neighbors'
+    labels, then jumps to its label's label (path compression). The
+    neighbor step alone needs O(component diameter) rounds; the doubling
+    step halves remaining paths each round, so convergence is
+    O(log diameter) — max_iter=15 covers components with diameter well
+    past 2^15, i.e. any graph that fits on disk. Per round: one
+    edge⋈label shuffle (|edges| slim (src, lbl) rows — pairs, not the
+    corpus) plus one label⋈label shuffle (|nodes| rows); each round
+    localCheckpoints to truncate the lineage a loop would otherwise
+    stack up.
 
     This is an ITERATIVE algorithm: it runs bounded Spark jobs while
     composing (the convergence test), like the class-depth fixpoint —
@@ -435,10 +436,20 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("dst_lbl").alias("nbr_lbl"))
         )
-        nxt = cur.join(nbr, cur["node"] == nbr["src"], "left").select(
+        stepped = cur.join(nbr, cur["node"] == nbr["src"], "left").select(
             "node",
             F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            (F.col("nbr_lbl") < F.col("lbl")).alias("chg"),
+            cur["lbl"].alias("prev_lbl"),
+        )
+        # pointer doubling: follow lbl -> lbl's OWN label. Labels are
+        # always node ids (mins of node-id sets), so the self-join is
+        # total; label(lbl) <= lbl by construction, monotone like the
+        # min step.
+        hop = stepped.select(F.col("node").alias("lnode"), F.col("lbl").alias("llbl"))
+        nxt = stepped.join(hop, stepped["lbl"] == hop["lnode"], "left").select(
+            "node",
+            F.coalesce("llbl", "lbl").alias("lbl"),
+            (F.coalesce("llbl", "lbl") < F.col("prev_lbl")).alias("chg"),
         ).localCheckpoint()
         changed = nxt.filter("chg").limit(1).count()
         cur = nxt.select("node", "lbl")

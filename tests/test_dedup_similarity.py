@@ -200,3 +200,16 @@ def test_dedup_clusters_cycle_and_empty_edges(spark):
     none = spark.createDataFrame([], "doc_a long, doc_b long")
     out2 = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(docs, none).collect()}
     assert out2 == {5: 5, 6: 6, 7: 7, 9: 9}
+
+
+def test_dedup_clusters_long_chain_pointer_doubling(spark):
+    """A 300-node path graph has diameter 299: plain min-propagation
+    would need 299 rounds, pointer doubling converges within the default
+    max_iter=15 (O(log diameter)). All nodes must reach cluster 0."""
+    n = 300
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = dd.dedup_clusters(docs, edges)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
