@@ -82,3 +82,19 @@ def test_roundtrip_property():
         assert parsed == (s, p, o, False, DT_STRING)
 
     roundtrip()
+
+
+def test_read_ntriples_gzip(spark, tmp_path):
+    """Real dumps ship gzipped; spark.read.text decompresses by
+    extension, so .nt.gz feeds the same parser with no code path
+    change — pinned here so a reader refactor can't lose it."""
+    import gzip
+
+    lines = b'<http://e/s> <http://e/p> "v" .\n<http://e/s2> <http://e/p> <http://e/o> .\n'
+    p = tmp_path / "in.nt.gz"
+    p.write_bytes(gzip.compress(lines))
+    from rdf2smw_spark.sources.ntriples import read_ntriples
+
+    good, bad = read_ntriples(spark, str(p))
+    assert good.count() == 2 and bad.count() == 0
+    assert {r["subj"] for r in good.collect()} == {"http://e/s", "http://e/s2"}
