@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(MinHash pairs -> connected components, keep min url)")
     ap.add_argument("--near-dedup-threshold", type=float, default=0.9,
                     help="Jaccard threshold for --near-dedup (default 0.9)")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="web mode: drop documents scoring below this [0,1] "
+                         "quality heuristic before triplify")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--resume", action="store_true", default=True)
     args = ap.parse_args(argv)
@@ -58,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages, args.out, resume=args.resume, n_salt=args.salt,
             near_dedup=args.near_dedup,
             near_dedup_threshold=args.near_dedup_threshold,
+            min_quality=args.min_quality,
         )
 
     print(json.dumps(res, default=str))

@@ -61,6 +61,19 @@ def near_dedup_pages(extracted: DataFrame, threshold: float = 0.9) -> DataFrame:
     return extracted.join(survivors, "url")
 
 
+def quality_filter_pages(extracted: DataFrame, min_quality: float) -> DataFrame:
+    """Training-pipeline QUALITY gate: drop documents scoring below
+    min_quality on the text_analysis heuristics (length × punctuation
+    cleanliness). Pure JVM expressions over the text column — a
+    map-side filter, no shuffle, evaluated in the same stage as the
+    extraction scan."""
+    from rdf2smw_spark.operators.text_analysis import _quality_exprs
+
+    return extracted.filter(
+        F.expr(_quality_exprs("spark")["quality"]) >= min_quality
+    )
+
+
 def run_web_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -71,6 +84,7 @@ def run_web_pipeline(
     entity_dict: DataFrame | None = None,
     near_dedup: bool = False,
     near_dedup_threshold: float = 0.9,
+    min_quality: float | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
     entity_dict (surface, uri, priority) enables the LINK stage
@@ -82,6 +96,10 @@ def run_web_pipeline(
 
     deduped = latest_capture(pages)
     extracted = store.materialize(extract_text(deduped), "text_extracted", resume)
+    if min_quality is not None:
+        extracted = store.materialize(
+            quality_filter_pages(extracted, min_quality), "quality_filtered", resume
+        )
     if near_dedup:
         extracted = store.materialize(
             near_dedup_pages(extracted, threshold=near_dedup_threshold),

@@ -144,3 +144,24 @@ def test_web_pipeline_with_near_dedup(spark, sf_dir, tmp_path):
     )
     base = latest_capture(pages).count()
     assert res["extracted"] == base
+
+
+def test_quality_filter_stage(spark):
+    """Low-quality docs (punctuation soup / near-empty) drop below the
+    gate; normal prose passes. The score must equal ta.quality_score's
+    so the gate and the registered query can't drift apart."""
+    from rdf2smw_spark.operators.text_analysis import quality_score
+    from rdf2smw_spark.plans.pipeline import quality_filter_pages
+
+    rows = [
+        ("https://a/1", "a perfectly normal paragraph of prose with many plain words " * 3),
+        ("https://a/2", "!!!???###$$$%%%^^^&&&***((()))"),
+        ("https://a/3", "x"),
+    ]
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    kept = {r["url"] for r in quality_filter_pages(extracted, 0.1).collect()}
+    assert kept == {"https://a/1"}
+    scored = quality_score(
+        extracted.select(F.monotonically_increasing_id().alias("doc_id"), "text")
+    ).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in scored)
