@@ -286,6 +286,168 @@ def ann_topk_lsh_sql(
     """
 
 
+# --- IVF scale path -----------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame, n_lists: int = 8, vec: str = "embedding"
+) -> DataFrame:
+    """Coarse quantizer assignment: (vec_id, list_id, embedding, norm).
+
+    Centroids are the first `n_lists` corpus vectors (deterministic seed
+    set — reproducible in any engine without an iterative trainer; a
+    production deployment trains centroids offline with pyspark.ml
+    KMeans(seed=...) and broadcasts the fitted table instead, the plan
+    shape below is identical). Assignment is a broadcast nested-loop
+    against the tiny centroid frame + one window argmax per vector:
+    n_rows x n_lists JVM dot products, no shuffle of the vectors
+    themselves. Scores are rounded to 6 dp before the argmax so the
+    DuckDB twin orders identically."""
+    from pyspark.sql import Window
+
+    e = _with_norm(emb.select("vec_id", vec)).withColumnRenamed(vec, "embedding")
+    cent = e.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    score = F.round(
+        F.expr(DOT.format(a="embedding", b="cvec")) / (F.col("norm") * F.col("cnorm")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("list_id"))
+    return (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "norm", "list_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id", "embedding", "norm")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the other
+    canonical ANN scale path next to hyperplane LSH. Every vector is
+    assigned to its nearest coarse centroid (ivf_assign); each query
+    probes its `n_probe` nearest centroid lists and is verified with the
+    exact cosine against only those lists' members.
+
+    Plan shape at 10^12 rows: the centroid table broadcasts (KB-scale),
+    assignment is map-side, and the single shuffle keys on list_id —
+    each query touches ~n_probe/n_lists of the corpus instead of all of
+    it. Output schema matches ann_topk_bruteforce; recall on clustered
+    data is pinned by tests/test_dedup_similarity.py (planted near-dups
+    land in their original's list with certainty at cosine ~0.99)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, n_lists=n_lists).persist()
+
+    cent = (
+        _with_norm(emb.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") < n_lists)
+        .select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vq"),
+        F.col("norm").alias("nq"),
+    )
+    probe_score = F.round(
+        F.expr(DOT.format(a="vq", b="cvec")) / (F.col("nq") * F.col("cnorm")), 6
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("pscore").desc(), F.col("list_id"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "vq", "nq", "list_id", probe_score.alias("pscore"))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "vq", "nq", "list_id")
+    )
+    cand = assigned.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vc"),
+        F.col("norm").alias("nc"),
+    )
+    cos = F.round(F.expr(DOT.format(a="vq", b="vc")) / (F.col("nq") * F.col("nc")), 4)
+    scored = (
+        probes.join(cand, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk_ivf_sql(
+    emb_sql: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB twin of ann_topk_ivf — same seed centroids, same 6-dp
+    assignment rounding, same probe fan-out and 4-dp verify, so the
+    approximate result set (not just the ranking) is reproduced
+    exactly."""
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM {emb_sql}
+    ),
+    cent AS (SELECT vec_id AS list_id, emb AS cvec, nrm AS cnorm FROM e
+             WHERE vec_id < {n_lists}),
+    assign0 AS (
+        SELECT e.vec_id, c.list_id,
+               ROUND(list_dot_product(e.emb, c.cvec) / (e.nrm * c.cnorm), 6) AS score,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.emb, c.cvec)
+                                                 / (e.nrm * c.cnorm), 6) DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, list_id FROM assign0 WHERE rn = 1),
+    probes0 AS (
+        SELECT e.vec_id AS query_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.emb, c.cvec)
+                                                 / (e.nrm * c.cnorm), 6) DESC,
+                                           c.list_id) AS prn
+        FROM e CROSS JOIN cent c
+        WHERE e.vec_id < {n_queries}
+    ),
+    probes AS (SELECT query_id, list_id FROM probes0 WHERE prn <= {n_probe}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cosine
+        FROM probes p
+        JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e c ON c.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.8,

@@ -305,6 +305,14 @@ def q_ann_topk_lsh(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: the second canonical scale path next to
+    hyperplane LSH — broadcast coarse quantizer, one list_id shuffle,
+    exact verify inside probed lists only."""
+    df = sim.ann_topk_ivf(_emb(spark, sf_dir), n_queries=10, k=5)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --- linking ----------------------------------------------------------------------
 
 def q_link_entity_dict(spark, sf_dir):
@@ -393,6 +401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_embed_cosine_lsh": q_dd_embed_cosine_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "link_entity_dict": q_link_entity_dict,
     "link_exact": q_link_exact,
     "link_fuzzy": q_link_fuzzy,
@@ -466,6 +475,7 @@ ORACLES: dict[str, str] = {
     "dd_embed_cosine_lsh": sim.cosine_pairs_sql(sim.near_dup_embeddings_sql(_EMB_SQL), threshold=0.9),
     "ann_topk": sim.ann_topk_sql(_EMB_SQL, n_queries=10, k=5),
     "ann_topk_lsh": sim.ann_topk_lsh_sql(_EMB_SQL, n_queries=10, k=5),
+    "ann_topk_ivf": sim.ann_topk_ivf_sql(_EMB_SQL, n_queries=10, k=5),
     "link_entity_dict": f"SELECT * FROM {lk.corpus_entity_dict_sql('documents')}",
     "link_exact": lk.link_exact_sql("documents", lk.corpus_entity_dict_sql("documents")),
     "link_fuzzy": lk.link_fuzzy_sql(

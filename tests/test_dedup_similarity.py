@@ -179,6 +179,49 @@ def test_ann_topk_lsh_recall_floor(spark, sf_dir):
     assert recall >= 0.9, recall
 
 
+def test_ivf_planted_pairs_share_list_and_retrieve(spark, sf_dir):
+    """IVF semantic guard: a planted near-dup (cosine ~0.99 to its
+    original) must quantize to the SAME coarse list as its original —
+    that is the property that gives IVF its recall on clustered data —
+    and the original must come back as the rank-1 neighbor when the
+    variant is used as a query (via a remapped id inside the query
+    range)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    aug = sim.near_dup_embeddings(emb)
+    a = sim.ivf_assign(aug, n_lists=8).select("vec_id", "list_id").collect()
+    m = {r["vec_id"]: r["list_id"] for r in a}
+    planted = [v for v in m if v >= 1_000_000]
+    assert planted
+    same = sum(m[v] == m[v - 1_000_000] for v in planted)
+    # On this RANDOM corpus the 8 centroid scores cluster within ~0.1 of
+    # each other while the planted noise shifts scores by ~0.05, so a
+    # pair splits whenever its top-2 centroids are near-tied (measured:
+    # 74/100 share). That is exactly why queries probe n_probe > 1 lists
+    # — the retrieval assertion below is the real recall guarantee; this
+    # floor only pins that assignment is noise-stable, not degenerate.
+    assert same / len(planted) >= 0.6, (same, len(planted))
+
+    # retrieval: remap variant ids of originals 500.. so they fall in the
+    # query range [0, n_queries) without colliding with the seed centroids
+    # (originals keep ids >= 500 after a +500 shift; centroids are the
+    # shifted-id-smallest originals... simpler: shift ALL base ids up by
+    # 100, give 10 variants ids 0..9, query those 10)
+    from pyspark.sql import functions as F
+
+    base = emb.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    variants = (
+        sim.near_dup_embeddings(emb)
+        .filter(F.col("vec_id") >= 1_000_000)
+        .filter(F.col("vec_id") < 1_000_050)
+        .select(((F.col("vec_id") - 1_000_000) / 5).cast("long").alias("vec_id"), "embedding")
+    )
+    corpus = base.unionByName(variants)
+    top = sim.ann_topk_ivf(corpus, n_queries=10, k=1, n_lists=8, n_probe=2).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    # variant q (original id 5q) must retrieve its original at shifted id 5q+100
+    assert got == {q: 5 * q + 100 for q in range(10)}, got
+
+
 def test_dedup_clusters_transitive_chain(spark):
     """A~B, B~C, C~D must land in ONE cluster even though A and D were
     never paired; disjoint pair {10,11} and singletons stay separate."""
