@@ -75,6 +75,54 @@ def latest_capture(pages: DataFrame) -> DataFrame:
     )
 
 
+HOST_RE = "https?://([^/]+)"
+SECTION_RE = "https?://[^/]+/([^/]+)"
+
+
+def site_stats(pages: DataFrame) -> DataFrame:
+    """Per-site crawl statistics: (host, section, n_captures, n_urls,
+    n_langs, first_ts, last_ts). `section` is the first path segment —
+    the partition a crawl operator actually monitors (host alone is too
+    coarse for large sites).
+
+    Plan at 10^12 captures: host/section parse is a map-side regexp
+    (whole-stage codegen), the aggregation is ONE shuffle on the slim
+    (host, section) key with partial aggregation map-side; the distinct
+    counts rewrite to expand + two-phase agg, still one exchange. Skewed
+    mega-sites are handled by AQE partition splitting (session.py)."""
+    host = F.regexp_extract("url", HOST_RE, 1)
+    section = F.regexp_extract("url", SECTION_RE, 1)
+    return (
+        pages.select(
+            host.alias("host"), section.alias("section"), "url", "warc_ts", "lang"
+        )
+        .groupBy("host", "section")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
+
+
+def site_stats_sql(pages_sql: str) -> str:
+    """DuckDB twin of site_stats (same regexes, same aggregate names)."""
+    return f"""
+    WITH pages AS {pages_sql}
+    SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+           regexp_extract(url, '{SECTION_RE}', 1) AS section,
+           COUNT(*) AS n_captures,
+           COUNT(DISTINCT url) AS n_urls,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(warc_ts) AS first_ts,
+           MAX(warc_ts) AS last_ts
+    FROM pages
+    GROUP BY 1, 2
+    """
+
+
 def duckdb_extract_sql(expr: str) -> str:
     """Oracle: the same rule chain over a VARCHAR html column."""
     out = expr

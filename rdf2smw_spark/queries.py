@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rdf2smw_spark import oracle as orc
-from rdf2smw_spark.extract import duckdb_extract_sql, extract_text, latest_capture
+from rdf2smw_spark.extract import (
+    duckdb_extract_sql,
+    extract_text,
+    latest_capture,
+    site_stats,
+    site_stats_sql,
+)
 from rdf2smw_spark.functions.textnorm import sql_local_name, sql_wiki_title_full
 from rdf2smw_spark.operators import dedup as dd
 from rdf2smw_spark.operators import linking as lk
@@ -195,6 +201,12 @@ def q_web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_web_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_capture(synth_pages(spark, sf_dir)).select("url", "warc_ts", "lang")
+
+
+def q_web_site_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(host, first-path-segment) crawl stats: one slim-key shuffle
+    with map-side partial aggregation."""
+    return site_stats(synth_pages(spark, sf_dir))
 
 
 def q_web_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_pages_meta": q_web_pages_meta,
     "web_extract_text": q_web_extract_text,
     "web_latest_capture": q_web_latest_capture,
+    "web_site_stats": q_web_site_stats,
     "web_triples": q_web_triples,
     "web_kg_fact_rows": q_web_kg_fact_rows,
     "ta_lang_id": q_ta_lang_id,
@@ -451,6 +464,7 @@ ORACLES: dict[str, str] = {
             FROM pages
         ) WHERE rn = 1
     """,
+    "web_site_stats": site_stats_sql(PAGES_SQL),
     "web_triples": (
         f"WITH pages AS {PAGES_SQL} SELECT * FROM {duckdb_triplify_sql('pages')}"
     ),
