@@ -87,6 +87,59 @@ def dedup_stream_by_url(pages: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream_by_fingerprint(pages: DataFrame) -> DataFrame:
+    """Cross-batch EXACT-CONTENT dedup (streaming twin of dd_exact):
+    fingerprint = md5 of the extracted text, computed JVM-side; only the
+    first document per fingerprint across ALL micro-batches is emitted —
+    recrawls and mirrors of identical content are dropped even when they
+    arrive days apart under different urls.
+
+    Plan shape: the md5 is a map-side expression, the stateful groupBy
+    shuffles on the 32-char fingerprint (uniformly distributed — no
+    skew), and per-key state is one boolean. State size is bounded by
+    distinct contents, exactly the cardinality an exact-dedup must hold
+    somewhere; a 24/7 deployment ages it out with ProcessingTimeTimeout
+    (same note as dedup_stream_by_url)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "fingerprint string, url string, warc_ts timestamp"
+    state_schema = "seen boolean"
+
+    def dedup(key, pdf_iter, state: GroupState):
+        first = None
+        for pdf in pdf_iter:
+            if state.exists or not len(pdf):
+                continue
+            row = pdf.sort_values(["warc_ts", "url"]).iloc[0]
+            if first is None or (row["warc_ts"], row["url"]) < (
+                first["warc_ts"], first["url"]
+            ):
+                first = row
+        if first is not None and not state.exists:
+            state.update((True,))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "fingerprint": [key[0]],
+                    "url": [first["url"]],
+                    "warc_ts": [first["warc_ts"]],
+                }
+            )
+
+    return (
+        pages.select(F.md5(F.encode("text", "UTF-8")).alias("fingerprint"), "url", "warc_ts")
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_nt_ingest(
     spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -124,6 +124,38 @@ def test_stateful_url_dedup_across_batches(spark, sf_dir, tmp_path):
     assert got.select("url", "warc_ts").exceptAll(mn.join(got.select("url"), "url")).count() == 0
 
 
+def test_stateful_fingerprint_dedup_cross_url(spark, tmp_path):
+    """Streaming twin of dd_exact: identical text under DIFFERENT urls
+    collapses to one row per content fingerprint across micro-batches;
+    the kept row is the (warc_ts, url)-earliest."""
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import dedup_stream_by_fingerprint
+
+    rows = [
+        ("http://a/1", datetime(2024, 1, 1, 5), "same content"),
+        ("http://b/2", datetime(2024, 1, 1, 3), "same content"),   # earliest dup
+        ("http://c/3", datetime(2024, 1, 1, 9), "same content"),
+        ("http://d/4", datetime(2024, 1, 2, 0), "unique content"),
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream_by_fingerprint(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["fingerprint"]: r["url"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2 and "http://b/2" in got.values()
+
+
 def test_stateful_url_dedup_multichunk(spark, tmp_path):
     """Regression (round-1 advice): with arrow.maxRecordsPerBatch=2 a
     url's rows span several Arrow chunks inside ONE micro-batch; the
