@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=None,
                     help="web mode: drop documents scoring below this [0,1] "
                          "quality heuristic before triplify")
+    ap.add_argument("--benchmark", default=None,
+                    help="web mode: parquet of eval-set documents (text "
+                         "column); drops training docs with token n-gram "
+                         "overlap (DECONTAM stage)")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--resume", action="store_true", default=True)
     args = ap.parse_args(argv)
@@ -62,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
             near_dedup=args.near_dedup,
             near_dedup_threshold=args.near_dedup_threshold,
             min_quality=args.min_quality,
+            benchmark=(
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            ),
         )
 
     print(json.dumps(res, default=str))

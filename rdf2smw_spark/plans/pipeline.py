@@ -74,6 +74,21 @@ def quality_filter_pages(extracted: DataFrame, min_quality: float) -> DataFrame:
     )
 
 
+def decontaminate_pages(extracted: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Training-pipeline DECONTAM gate: drop documents whose token
+    n-grams overlap the benchmark/eval set (text_analysis.decontaminate
+    — broadcast probe join over exploded training n-grams, no corpus
+    self-join). Runs after DEDUP so contaminated mirrors don't re-enter
+    through a surviving alias."""
+    from rdf2smw_spark.operators.text_analysis import decontaminate
+
+    flags = decontaminate(
+        extracted.select(F.col("url").alias("doc_id"), "text"), benchmark
+    )
+    clean = flags.filter(~F.col("contaminated")).select(F.col("doc_id").alias("url"))
+    return extracted.join(clean, "url")
+
+
 def run_web_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -85,6 +100,7 @@ def run_web_pipeline(
     near_dedup: bool = False,
     near_dedup_threshold: float = 0.9,
     min_quality: float | None = None,
+    benchmark: DataFrame | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
     entity_dict (surface, uri, priority) enables the LINK stage
@@ -105,6 +121,10 @@ def run_web_pipeline(
             near_dedup_pages(extracted, threshold=near_dedup_threshold),
             "near_deduped",
             resume,
+        )
+    if benchmark is not None:
+        extracted = store.materialize(
+            decontaminate_pages(extracted, benchmark), "decontaminated", resume
         )
     # The triples table is partitioned by subject-hash bucket (north
     # star: Iceberg `bucket(subj, N)`): deterministic layout, bucket

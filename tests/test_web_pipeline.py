@@ -146,6 +146,23 @@ def test_web_pipeline_with_near_dedup(spark, sf_dir, tmp_path):
     assert res["extracted"] == base
 
 
+def test_decontam_stage(spark):
+    """Docs sharing a token 8-gram with the eval set drop; clean docs
+    survive. The stage reuses text_analysis.decontaminate so the gate
+    and the registered ta_decontam query can't drift apart."""
+    from rdf2smw_spark.plans.pipeline import decontaminate_pages
+
+    leaked = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        ("https://a/1", f"intro text then {leaked} and some trailing words"),
+        ("https://a/2", "a perfectly clean document with entirely different words " * 2),
+    ]
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    benchmark = spark.createDataFrame([(leaked,)], "text string")
+    kept = {r["url"] for r in decontaminate_pages(extracted, benchmark).collect()}
+    assert kept == {"https://a/2"}
+
+
 def test_quality_filter_stage(spark):
     """Low-quality docs (punctuation soup / near-empty) drop below the
     gate; normal prose passes. The score must equal ta.quality_score's
