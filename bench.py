@@ -247,6 +247,36 @@ def main() -> None:
     conv_sec = time.monotonic() - t0
     n_facts = counts.get("kg_fact_rows", 0)
 
+    # end-to-end web pipeline (the north-star metric's own units:
+    # docs/sec + triples/sec over Common-Crawl-style pages → SMW XML,
+    # all stages checkpointed). Fresh work dir → no resume skipping.
+    web = None
+    try:
+        import shutil
+        import tempfile
+
+        from rdf2smw_spark.plans.pipeline import run_web_pipeline
+        from rdf2smw_spark.sources.webpages import synth_pages
+
+        wd = tempfile.mkdtemp(prefix="bench_webpipe_")
+        try:
+            pages = synth_pages(spark, SF_DIR)
+            t0 = time.monotonic()
+            res = run_web_pipeline(spark, pages, wd, resume=False)
+            wall = time.monotonic() - t0
+            web = {
+                "docs_in": res["pages_in"],
+                "docs_out": res["pages_xml"],
+                "triples": res["triples"],
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(res["pages_in"] / wall),
+                "triples_per_sec": round(res["triples"] / wall),
+            }
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+    except Exception as exc:  # best-effort, like scaling
+        web = {"error": str(exc)[:200]}
+
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         try:
@@ -267,6 +297,7 @@ def main() -> None:
             "n_fact_rows": n_facts,
             "conversion_sec": round(conv_sec, 3),
         },
+        "web_pipeline": web,
         "scaling": scaling,
     }
     print(json.dumps(result))
