@@ -146,6 +146,29 @@ def test_web_pipeline_with_near_dedup(spark, sf_dir, tmp_path):
     assert res["extracted"] == base
 
 
+def test_site_stats_edge_urls(spark):
+    """Hosts without a path segment get section '' (regexp_extract
+    no-match semantics, identical in Spark and DuckDB); counts aggregate
+    per (host, section)."""
+    from datetime import datetime
+
+    from rdf2smw_spark.extract import site_stats
+
+    rows = [
+        ("https://ex.org/news/a", datetime(2024, 1, 1), "en"),
+        ("https://ex.org/news/b", datetime(2024, 1, 2), "en"),
+        ("https://ex.org/news/b", datetime(2024, 1, 3), "de"),  # recrawl
+        ("https://ex.org", datetime(2024, 1, 4), "en"),         # no path
+        ("http://other.net/x", datetime(2024, 1, 5), "fr"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, lang string")
+    got = {(r["host"], r["section"]): r for r in site_stats(pages).collect()}
+    news = got[("ex.org", "news")]
+    assert (news["n_captures"], news["n_urls"], news["n_langs"]) == (3, 2, 2)
+    assert ("ex.org", "") in got and got[("ex.org", "")]["n_captures"] == 1
+    assert got[("other.net", "x")]["n_urls"] == 1
+
+
 def test_decontam_stage(spark):
     """Docs sharing a token 8-gram with the eval set drop; clean docs
     survive. The stage reuses text_analysis.decontaminate so the gate
