@@ -37,8 +37,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="web mode: parquet of eval-set documents (text "
                          "column); drops training docs with token n-gram "
                          "overlap (DECONTAM stage)")
+    ap.add_argument("--fuzzy-link-threshold", type=float, default=None,
+                    help="web mode: with an entity dictionary, fuzzy-link "
+                         "(char-3-gram Jaccard >= threshold) the literal "
+                         "surfaces the exact LINK pass left unmatched")
+    ap.add_argument("--entity-dict", default=None,
+                    help="web mode: parquet entity dictionary "
+                         "(surface, uri, priority) enabling the LINK stage")
     ap.add_argument("--cores", type=int, default=None)
-    ap.add_argument("--resume", action="store_true", default=True)
+    # BooleanOptionalAction gives a working --no-resume (ADVICE r2: a
+    # store_true with default=True could never be disabled)
+    ap.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
     args = ap.parse_args(argv)
 
     from rdf2smw_spark.session import get_spark
@@ -69,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
             benchmark=(
                 spark.read.parquet(args.benchmark) if args.benchmark else None
             ),
+            entity_dict=(
+                spark.read.parquet(args.entity_dict) if args.entity_dict else None
+            ),
+            fuzzy_link_threshold=args.fuzzy_link_threshold,
         )
 
     print(json.dumps(res, default=str))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rdf2smw_spark.session import scoped_persist
+
 from rdf2smw_spark.functions.textnorm import (
     sql_clean_literal,
     sql_local_name,
@@ -91,7 +93,7 @@ def triples_to_pages(
     # DAG-reuse, residxfanout.go:15-25). MEMORY_AND_DISK: at cluster scale
     # a 100 TB stream would instead be a checkpointed table (plans/lineage).
     if cache:
-        triples = triples.persist()
+        triples = scoped_persist(triples)
 
     # subject_types / best_titles / class_depth only read rdf:type,
     # rdfs:subClassOf and the 6 title predicates — pre-filter once so the
@@ -104,7 +106,7 @@ def triples_to_pages(
         F.col("pred").isin(TITLE_PROPERTIES + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
     )
     if cache:
-        dim_src = dim_src.persist()
+        dim_src = scoped_persist(dim_src)
 
     st = subject_types(dim_src)
     bt = best_titles(dim_src)
@@ -212,7 +214,7 @@ def triples_to_pages(
     if cache:
         # pages0 feeds both the regular-page branch and the predicate-page
         # merge — persist to avoid running the aggregation twice.
-        pages0 = pages0.persist()
+        pages0 = scoped_persist(pages0)
 
     # --- stage C: property-page accumulation + merge (A3) --------------------
     # predPageIndex is keyed by page TITLE (:98), so same-title predicates

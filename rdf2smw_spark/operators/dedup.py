@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf2smw_spark.session import scoped_persist
+
 # --- normalization / shingling ----------------------------------------------
 
 NORM_RX = "[^a-z0-9 ]+"
@@ -202,7 +204,8 @@ def minhash_candidates(
     ]
     banded = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
-    ).persist()  # feeds both halves of the self-join
+)
+    banded = scoped_persist(banded)  # feeds both halves of the self-join
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
@@ -265,7 +268,7 @@ def minhash_near_dups(
     quadratic). Result set is identical: non-candidate verifications
     were discarded by the intersection anyway."""
     if cache:
-        shingles = shingles.persist()
+        shingles = scoped_persist(shingles)
     cands = minhash_candidates(shingles, k, bands)
     return jaccard_for_pairs(shingles, cands, threshold)
 

@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdf2smw_spark.operators.dedup import jaccard_pairs, minhash_candidates
+from rdf2smw_spark.operators.dedup import jaccard_for_pairs, minhash_candidates
 from rdf2smw_spark.operators.text_analysis import _tokens
+from rdf2smw_spark.session import scoped_persist
 
 ENTITY_NS = "http://example.org/entity/"
 DICT_SIZE = 50
@@ -116,6 +117,62 @@ def link_triples(triples: DataFrame, entity_dict: DataFrame) -> DataFrame:
     )
 
 
+# Above this many fuzzy-matched distinct surfaces the canonicalization
+# map is joined by shuffle instead of broadcast. The map is bounded by
+# surfaces that LSH-collide with the (small, curated) dictionary, so in
+# practice it is far below this; the guard is for adversarial corpora.
+FUZZY_MAP_BROADCAST_LIMIT = 5_000_000
+
+
+def link_triples_fuzzy(
+    triples: DataFrame,
+    entity_dict: DataFrame,
+    threshold: float = 0.5,
+    broadcast_limit: int = FUZZY_MAP_BROADCAST_LIMIT,
+) -> DataFrame:
+    """LINK stage with the optional fuzzy second pass: exact
+    canonicalization first (link_triples), then MinHash-blocked fuzzy
+    matching over the literal surfaces the exact pass left unmatched —
+    a typo'd mention ("sparc") still resolves to the canonical URI.
+
+    Best candidate per surface = max Jaccard, ties broken by min uri
+    (deterministic at any parallelism). The resulting surface→uri map is
+    broadcast when small (counted first), shuffle-joined otherwise."""
+    from pyspark.sql import Window
+
+    exact = link_triples(triples, entity_dict)
+    rem = (
+        exact.filter(~F.col("obj_is_iri"))
+        .select(F.trim(F.lower(F.col("obj"))).alias("mention"))
+        .filter(F.length("mention") >= 3)
+        .distinct()
+    )
+    fz = link_fuzzy(rem, entity_dict, threshold)
+    w = Window.partitionBy("mention").orderBy(F.col("jaccard").desc(), F.col("uri"))
+    best = scoped_persist(
+        fz.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("mention").alias("__m"), F.col("uri").alias("__furi"))
+    )
+    small = (
+        broadcast_limit is None
+        or best.limit(broadcast_limit + 1).count() <= broadcast_limit
+    )
+    probe = F.broadcast(best) if small else best
+    surf = F.trim(F.lower(F.col("obj")))
+    joined = exact.join(probe, (~F.col("obj_is_iri")) & (surf == F.col("__m")), "left")
+    return joined.select(
+        "subj",
+        "pred",
+        F.coalesce(F.col("__furi"), F.col("obj")).alias("obj"),
+        (F.col("obj_is_iri") | F.col("__furi").isNotNull()).alias("obj_is_iri"),
+        F.when(F.col("__furi").isNotNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("obj_datatype"))
+        .alias("obj_datatype"),
+        "src_url",
+    )
+
+
 def _char3grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(
@@ -140,8 +197,12 @@ def link_fuzzy(
     (mention, surface, uri, jaccard).
 
     Mentions and dictionary entries share one shingle space; LSH banding
-    generates candidates, exact Jaccard verifies. Scales linearly in
-    candidate count (no mention x dict cross join)."""
+    generates candidates, exact Jaccard verifies CANDIDATES ONLY
+    (jaccard_for_pairs) — verifying via the corpus-wide shingle
+    self-join and intersecting afterwards re-introduces the quadratic
+    co-occurrence blow-up LSH exists to avoid (the same lesson measured
+    in minhash_near_dups: dedup.py). Scales linearly in candidate count
+    (no mention x dict cross join)."""
     m = mention_surfaces.select(F.col("mention").alias("m")).distinct()
     d = entity_dict.select("surface", "uri")
     # unified id space: mentions get even ids, dict entries odd
@@ -151,8 +212,9 @@ def link_fuzzy(
     sh = _char3grams(m_ids, "doc_id", "m").unionByName(
         _char3grams(d_ids, "doc_id", "surface")
     )
+    sh = scoped_persist(sh)  # feeds the signature agg and both sides of the verify
     cands = minhash_candidates(sh, k=12, bands=6)
-    verified = cands.join(jaccard_pairs(sh, threshold), ["doc_a", "doc_b"])
+    verified = jaccard_for_pairs(sh, cands, threshold)
     # keep only mention-dict pairs (one even, one odd id)
     cross = verified.filter((F.col("doc_a") % 2 == 0) != (F.col("doc_b") % 2 == 0))
     m_side = m_ids.select(F.col("doc_id").alias("mid"), F.col("m").alias("mention"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf2smw_spark.session import scoped_persist
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " cast(0.0 as double), (acc, v) -> acc + v)"
@@ -203,8 +205,8 @@ def ann_topk_lsh(
     # e feeds the band frame and both verify sides; banded feeds both
     # halves of the candidate self-join — persist each once (same pattern
     # as the minhash shingle frame in dedup.py)
-    e = _with_norm(emb.select("vec_id", "embedding")).persist()
-    banded = _banded_sigs(e, n_bands, band_bits, dim).persist()
+    e = scoped_persist(_with_norm(emb.select("vec_id", "embedding")))
+    banded = scoped_persist(_banded_sigs(e, n_bands, band_bits, dim))
     qb = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band_id", "sig"
     )
@@ -345,7 +347,7 @@ def ann_topk_ivf(
     land in their original's list with certainty at cosine ~0.99)."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(emb, n_lists=n_lists).persist()
+    assigned = scoped_persist(ivf_assign(emb, n_lists=n_lists))
 
     cent = (
         _with_norm(emb.select("vec_id", "embedding"))
@@ -471,8 +473,8 @@ def cosine_pairs_lsh(
     self-joined on (band_id, sig) — shuffle is b slim rows per vector,
     never the full vector; the verify join rejoins embeddings by vec_id.
     """
-    sigs = _with_norm(emb.select("vec_id", "embedding")).persist()
-    banded = _banded_sigs(sigs, n_bands, band_bits, dim).persist()
+    sigs = scoped_persist(_with_norm(emb.select("vec_id", "embedding")))
+    banded = scoped_persist(_banded_sigs(sigs, n_bands, band_bits, dim))
 
     la = banded.select(F.col("vec_id").alias("id_a"), "band_id", "sig")
     lb = banded.select(F.col("vec_id").alias("id_b"), "band_id", "sig")

@@ -33,8 +33,22 @@ class CheckpointStore:
     def lineage_path(self) -> str:
         return os.path.join(self.root, "_lineage")
 
-    def is_complete(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self.stage_path(stage), "_SUCCESS"))
+    def is_complete(self, stage: str, fingerprint: str | None = None) -> bool:
+        """A stage is resumable iff its snapshot is complete AND was
+        produced under the same parameter fingerprint. Without the
+        fingerprint check, re-running a work_dir with a changed or
+        newly-enabled gate (--min-quality, --near-dedup, …) silently
+        resumed the stale snapshot and the gate had no effect."""
+        if not os.path.exists(os.path.join(self.stage_path(stage), "_SUCCESS")):
+            return False
+        if fingerprint is None:
+            return True
+        fp_file = os.path.join(self.stage_path(stage), "_FINGERPRINT")
+        try:
+            with open(fp_file) as fh:
+                return fh.read().strip() == fingerprint
+        except OSError:
+            return False
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.stage_path(stage))
@@ -61,11 +75,18 @@ class CheckpointStore:
         stage: str,
         resume: bool = True,
         partition_by: list[str] | None = None,
+        fingerprint: str | None = None,
     ) -> DataFrame:
         """Write-once stage checkpoint: skip if a complete snapshot
-        exists (resume), else compute, write atomically, record lineage.
-        Always returns the on-disk DataFrame so downstream stages read
-        the checkpoint, not the recomputed plan.
+        exists under the same parameter fingerprint (resume), else
+        compute, write atomically, record lineage. Always returns the
+        on-disk DataFrame so downstream stages read the checkpoint, not
+        the recomputed plan.
+
+        fingerprint: hash of every parameter (and upstream fingerprint)
+        that shapes this stage's output. Callers chain them (pipeline.py)
+        so recomputing one stage transitively invalidates everything
+        downstream — the Iceberg analogue is the snapshot's parent id.
 
         partition_by: hive-style directory partitioning of the snapshot —
         the parquet rendering of Iceberg's partition transforms (the
@@ -73,13 +94,16 @@ class CheckpointStore:
         Readers get partition pruning on the bucket column for free; on
         a real deployment the same call writes an Iceberg table and the
         conversion's groupBy(subj) becomes a bucket-local aggregation."""
-        if resume and self.is_complete(stage):
+        if resume and self.is_complete(stage, fingerprint):
             return self.read(stage)
         t0 = time.monotonic()
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.stage_path(stage))
+        if fingerprint is not None:
+            with open(os.path.join(self.stage_path(stage), "_FINGERPRINT"), "w") as fh:
+                fh.write(fingerprint)
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._append_lineage(stage, wall_ms)
         return self.read(stage)

@@ -11,6 +11,7 @@ use case (.nt in → SMW XML out).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,6 +90,27 @@ def decontaminate_pages(extracted: DataFrame, benchmark: DataFrame) -> DataFrame
     return extracted.join(clean, "url")
 
 
+class _FingerprintChain:
+    """Chained stage fingerprints: each stage's fingerprint hashes its
+    own parameters AND the upstream fingerprint, so enabling, disabling,
+    or re-tuning any gate invalidates that stage and everything below it
+    while untouched upstream prefixes still resume (ADVICE r2: constant
+    stage keys made changed gates silently no-ops on resumed runs).
+
+    Fingerprints cover *parameters*, not input data — a changed
+    benchmark/entity_dict table under the same flags is the caller's
+    responsibility (pass a new work_dir or resume=False), documented in
+    run_web_pipeline."""
+
+    def __init__(self, root: str = "v1"):
+        self._fp = root
+
+    def next(self, stage: str, *params) -> str:
+        blob = "|".join([self._fp, stage] + [repr(p) for p in params])
+        self._fp = hashlib.md5(blob.encode()).hexdigest()[:12]
+        return self._fp
+
+
 def run_web_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -97,6 +119,7 @@ def run_web_pipeline(
     n_salt: int = 16,
     run_id: str | None = None,
     entity_dict: DataFrame | None = None,
+    fuzzy_link_threshold: float | None = None,
     near_dedup: bool = False,
     near_dedup_threshold: float = 0.9,
     min_quality: float | None = None,
@@ -104,27 +127,42 @@ def run_web_pipeline(
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
     entity_dict (surface, uri, priority) enables the LINK stage
-    (broadcast canonicalization of literal mentions). near_dedup enables
-    the text-level DEDUP stage (MinHash pairs → connected components →
-    keep one url per cluster). Returns stage row counts (the bench
-    harness derives throughput from these + lineage wall_ms)."""
+    (broadcast canonicalization of literal mentions); with
+    fuzzy_link_threshold set, surfaces the exact pass misses get a
+    MinHash-blocked fuzzy second pass. near_dedup enables the text-level
+    DEDUP stage (MinHash pairs → connected components → keep one url per
+    cluster). Returns stage row counts (the bench harness derives
+    throughput from these + lineage wall_ms).
+
+    Resume skips a stage only when its parameter fingerprint matches the
+    stored snapshot's; fingerprints chain, so a changed gate recomputes
+    that stage and all downstream ones. Changing the *content* of a
+    side input (benchmark, entity_dict) under identical flags is not
+    detected — use a fresh work_dir or resume=False for that."""
     store = CheckpointStore(spark, work_dir, run_id=run_id)
+    fpc = _FingerprintChain()
 
     deduped = latest_capture(pages)
-    extracted = store.materialize(extract_text(deduped), "text_extracted", resume)
+    extracted = store.materialize(
+        extract_text(deduped), "text_extracted", resume,
+        fingerprint=fpc.next("text_extracted"),
+    )
     if min_quality is not None:
         extracted = store.materialize(
-            quality_filter_pages(extracted, min_quality), "quality_filtered", resume
+            quality_filter_pages(extracted, min_quality), "quality_filtered", resume,
+            fingerprint=fpc.next("quality_filtered", min_quality),
         )
     if near_dedup:
         extracted = store.materialize(
             near_dedup_pages(extracted, threshold=near_dedup_threshold),
             "near_deduped",
             resume,
+            fingerprint=fpc.next("near_deduped", near_dedup_threshold),
         )
     if benchmark is not None:
         extracted = store.materialize(
-            decontaminate_pages(extracted, benchmark), "decontaminated", resume
+            decontaminate_pages(extracted, benchmark), "decontaminated", resume,
+            fingerprint=fpc.next("decontaminated"),
         )
     # The triples table is partitioned by subject-hash bucket (north
     # star: Iceberg `bucket(subj, N)`): deterministic layout, bucket
@@ -134,21 +172,36 @@ def run_web_pipeline(
         "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJ_BUCKETS))
     )
     raw_triples = store.materialize(
-        bucketed, "raw_triples", resume, partition_by=["subj_bucket"]
+        bucketed, "raw_triples", resume, partition_by=["subj_bucket"],
+        fingerprint=fpc.next("raw_triples", N_SUBJ_BUCKETS),
     ).drop("subj_bucket")
     if entity_dict is not None:
-        from rdf2smw_spark.operators.linking import link_triples
+        from rdf2smw_spark.operators.linking import link_triples, link_triples_fuzzy
 
+        if fuzzy_link_threshold is not None:
+            linked = link_triples_fuzzy(
+                raw_triples, entity_dict, threshold=fuzzy_link_threshold
+            )
+        else:
+            linked = link_triples(raw_triples, entity_dict)
         raw_triples = store.materialize(
-            link_triples(raw_triples, entity_dict), "linked_triples", resume
+            linked, "linked_triples", resume,
+            fingerprint=fpc.next("linked_triples", fuzzy_link_threshold),
         )
     wiki_pages = store.materialize(
-        triples_to_pages(spark, raw_triples, n_salt=n_salt), "wiki_pages", resume
+        triples_to_pages(spark, raw_triples, n_salt=n_salt), "wiki_pages", resume,
+        fingerprint=fpc.next("wiki_pages", n_salt),
     )
     content, props, tpls = render_all(wiki_pages, use_templates=True)
-    content_x = store.materialize(content, "pages_xml", resume)
-    props_x = store.materialize(props, "properties_xml", resume)
-    tpls_x = store.materialize(tpls, "templates_xml", resume)
+    content_x = store.materialize(
+        content, "pages_xml", resume, fingerprint=fpc.next("pages_xml")
+    )
+    props_x = store.materialize(
+        props, "properties_xml", resume, fingerprint=fpc.next("properties_xml")
+    )
+    tpls_x = store.materialize(
+        tpls, "templates_xml", resume, fingerprint=fpc.next("templates_xml")
+    )
 
     return {
         "pages_in": pages.count(),

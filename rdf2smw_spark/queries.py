@@ -338,7 +338,8 @@ def q_link_exact(spark, sf_dir):
 
 
 def q_link_fuzzy(spark, sf_dir):
-    """MinHash fuzzy surface matching (Spark-only; pytest-verified)."""
+    """MinHash fuzzy surface matching — fully oracled (link_fuzzy_sql
+    mirrors the banding so the probabilistic candidate set is verified)."""
     docs = _docs(spark, sf_dir)
     d = lk.corpus_entity_dict(docs)
     # plant deterministic typos of dictionary surfaces as mentions

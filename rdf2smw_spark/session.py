@@ -9,7 +9,40 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# --- scoped cache registry ----------------------------------------------------------
+#
+# Query builders persist frames that feed multiple branches of one DAG
+# (minhash shingles, LSH band frames, conversion sources). Those persists
+# are correct *within* the query, but a long-lived session composing many
+# queries would accumulate them forever (round-2 verdict). Builders route
+# through scoped_persist(); callers that own the terminal action (bench
+# runner, pipeline, tests) call release_scoped_caches() afterwards.
+
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for bulk release after the terminal action."""
+    df = df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped_caches(blocking: bool = False) -> int:
+    """Unpersist every scoped cache; returns how many were released.
+    Safe to call repeatedly; recomputation (not wrong answers) is the
+    worst case if a released frame is re-used afterwards."""
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def get_spark(

@@ -1,0 +1,219 @@
+"""Round-3 hardening: broadcast guards, cache lifecycle, resume
+fingerprinting, and the fuzzy LINK sub-stage (VERDICT r2 items 1, 3-6 +
+ADVICE items)."""
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.extract import extract_text, latest_capture
+from rdf2smw_spark.plans.pipeline import run_web_pipeline
+from rdf2smw_spark.sources.webpages import synth_pages
+
+
+# --- class_edges broadcast guard (VERDICT #3) --------------------------------------
+
+
+def _edge_triples(spark, n=200):
+    """A many-distinct-class-objects layer: every instance types into its
+    OWN class (the adversarial web shape where cat_nodes is as large as
+    the edge set), plus a small subclass chain on top."""
+    from rdf2smw_spark.schemas import SUBCLASS_PROPERTY_URI, TYPE_PROPERTY_URI
+
+    rows = [
+        (f"http://x/i{i}", TYPE_PROPERTY_URI, f"http://x/C{i}", True, None, None)
+        for i in range(n)
+    ] + [
+        (f"http://x/C{i}", SUBCLASS_PROPERTY_URI, f"http://x/C{i // 2}", True, None, None)
+        for i in range(1, n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, src_url string",
+    )
+
+
+def test_class_edges_shuffle_fallback_same_result(spark):
+    from rdf2smw_spark.operators.dimensions import class_edges
+
+    t = _edge_triples(spark)
+    key = lambda df: sorted(map(tuple, df.select("src", "dst").collect()))
+    bc = key(class_edges(t))                      # broadcast path (under limit)
+    sh = key(class_edges(t, broadcast_limit=10))  # forced shuffle fallback
+    assert bc == sh and len(bc) > 0
+
+
+def test_class_depth_unaffected_by_guard(spark):
+    from rdf2smw_spark.operators.dimensions import class_depth
+
+    t = _edge_triples(spark, n=32)
+    base = {r["uri"]: r["depth"] for r in class_depth(spark, t).collect()}
+    # the subclass chain C31 -> C15 -> C7 -> C3 -> C1 -> C0 (instances
+    # are instance-level edges, correctly pruned from the class walk)
+    assert base["http://x/C0"] == 0 and base["http://x/C1"] == 1
+    assert base["http://x/C31"] == 5
+    assert not any(u.startswith("http://x/i") for u in base)
+
+
+# --- decontamination broadcast fallback (VERDICT #6) -------------------------------
+
+
+def test_decontaminate_fallback_identical(spark):
+    from rdf2smw_spark.operators.text_analysis import decontaminate
+
+    leaked = "alpha beta gamma delta epsilon zeta eta theta iota"
+    train = spark.createDataFrame(
+        [(1, f"prefix {leaked} suffix words here"), (2, "clean words only " * 5)],
+        "doc_id int, text string",
+    )
+    bm = spark.createDataFrame([(leaked,)], "text string")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    a = key(decontaminate(train, bm))                      # broadcast path
+    b = key(decontaminate(train, bm, broadcast_limit=1))   # shuffle fallback
+    assert a == b
+    flags = dict((r[0], r[2]) for r in a)
+    assert flags == {1: True, 2: False}
+
+
+# --- scoped cache lifecycle (VERDICT #5) -------------------------------------------
+
+
+def test_registry_sweep_releases_all_scoped_caches(spark, sf_dir):
+    from rdf2smw_spark.queries import QUERIES
+    from rdf2smw_spark.session import release_scoped_caches
+
+    size = lambda: spark.sparkContext._jsc.getPersistentRDDs().size()
+    release_scoped_caches()
+    base = size()
+    for name in [
+        "dd_minhash_near_dups",
+        "ann_topk_lsh",
+        "dd_embed_cosine_lsh",
+        "link_fuzzy",
+        "ann_topk_ivf",
+        "kg_fact_rows",
+    ]:
+        QUERIES[name](spark, sf_dir).count()
+    assert size() > base, "caching queries should have registered persists"
+    released = release_scoped_caches()
+    assert released > 0
+    assert size() == base
+
+
+# --- resume fingerprinting (ADVICE r2, medium) -------------------------------------
+
+
+def test_gate_change_invalidates_resume(spark, sf_dir, tmp_path):
+    """Enabling/changing --min-quality on an existing work_dir must take
+    effect under resume (constant stage keys used to make it a no-op),
+    an identical re-run must still resume, and disabling the gate must
+    fall back to the original ungated snapshots."""
+    from rdf2smw_spark.operators.text_analysis import quality_score
+
+    pages = synth_pages(spark, sf_dir).limit(40)
+    work = str(tmp_path / "w")
+    r1 = run_web_pipeline(spark, pages, work, resume=True)
+
+    ext = extract_text(latest_capture(pages))
+    qs = sorted(
+        r["quality"]
+        for r in quality_score(ext.select(F.col("url").alias("doc_id"), "text")).collect()
+    )
+    thr = qs[len(qs) // 2]  # median: drops roughly half
+    n_keep = sum(q >= thr for q in qs)
+    assert 0 < n_keep < len(qs)
+
+    r2 = run_web_pipeline(spark, pages, work, resume=True, min_quality=thr)
+    assert r2["extracted"] == n_keep < r1["extracted"]
+    assert r2["triples"] < r1["triples"]
+
+    # identical gated config -> full resume, nothing recomputed
+    n_lin = spark.read.parquet(os.path.join(work, "_lineage")).count()
+    r3 = run_web_pipeline(spark, pages, work, resume=True, min_quality=thr)
+    assert spark.read.parquet(os.path.join(work, "_lineage")).count() == n_lin
+    assert r3["extracted"] == r2["extracted"]
+
+    # gate off again -> ungated results return (not the gated snapshots)
+    r4 = run_web_pipeline(spark, pages, work, resume=True)
+    assert r4["triples"] == r1["triples"]
+    assert r4["extracted"] == r1["extracted"]
+
+
+def test_no_resume_flag_recomputes(spark, sf_dir, tmp_path):
+    pages = synth_pages(spark, sf_dir).limit(20)
+    work = str(tmp_path / "w")
+    run_web_pipeline(spark, pages, work, resume=True)
+    n_lin = spark.read.parquet(os.path.join(work, "_lineage")).count()
+    run_web_pipeline(spark, pages, work, resume=False)
+    assert spark.read.parquet(os.path.join(work, "_lineage")).count() > n_lin
+
+
+def test_cli_has_no_resume(capsys):
+    """--no-resume must parse (BooleanOptionalAction); the old store_true
+    default=True could never be disabled from the CLI."""
+    import argparse
+
+    from rdf2smw_spark.__main__ import main
+
+    try:
+        main(["--out", "/tmp/x", "--mode", "web", "--no-resume"])
+    except SystemExit:
+        pass  # missing --pages errors out AFTER flag parsing succeeds
+    err = capsys.readouterr().err
+    assert "unrecognized arguments" not in err
+
+
+# --- fuzzy LINK sub-stage (VERDICT #4) ---------------------------------------------
+
+
+def _typo_pages(spark):
+    html = (
+        b"<html><head><title>Apache Sparkk</title></head>"
+        b"<body><p>body text about engines</p></body></html>"
+    )
+    return spark.createDataFrame(
+        [("https://t.example/1", datetime(2024, 1, 1), bytearray(html), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def _spark_dict(spark):
+    return spark.createDataFrame(
+        [("apache spark", "http://example.org/entity/apache_spark", 1)],
+        "surface string, uri string, priority int",
+    )
+
+
+def test_link_triples_fuzzy_resolves_typo(spark):
+    from rdf2smw_spark.operators.linking import link_triples, link_triples_fuzzy
+    from rdf2smw_spark.triplify import triplify
+
+    triples = triplify(_typo_pages(spark))
+    d = _spark_dict(spark)
+    exact = link_triples(triples, d).filter(F.col("pred").endswith("title")).first()
+    assert not exact["obj_is_iri"]  # exact pass can't resolve the typo
+    fuzzy = link_triples_fuzzy(triples, d, threshold=0.5).filter(
+        F.col("pred").endswith("title")
+    ).first()
+    assert fuzzy["obj"] == "http://example.org/entity/apache_spark"
+    assert fuzzy["obj_is_iri"] and fuzzy["obj_datatype"] is None
+
+
+def test_pipeline_fuzzy_link_stage(spark, tmp_path):
+    """End-to-end: a planted typo'd title resolves to the canonical URI
+    through the checkpointed LINK stage with --fuzzy-link-threshold."""
+    res = run_web_pipeline(
+        spark,
+        _typo_pages(spark),
+        str(tmp_path / "w"),
+        resume=False,
+        entity_dict=_spark_dict(spark),
+        fuzzy_link_threshold=0.5,
+    )
+    assert res["triples"] > 0
+    linked = spark.read.parquet(str(tmp_path / "w" / "linked_triples"))
+    t = linked.filter(F.col("pred").endswith("title")).first()
+    assert t["obj"] == "http://example.org/entity/apache_spark"
+    assert t["obj_is_iri"]
