@@ -1,18 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubs: `fake=True` (default in tests) runs a
-deterministic fake decoder that exercises the full Spark-side plumbing —
-schema, batch shape, partitioning, metadata propagation — while
-`fake=False` raises NotImplementedError at the exact point a real codec
-would plug in. Everything around the kernel (the distributed plan) is
-real and tested.
+Codec support is honest about the sandbox: PIL/ffmpeg/librosa are NOT in
+this container, so `fake=False` decodes REAL pixels/samples for the
+codec-less formats a pure-Python parser can handle — 24-bit BMP and
+binary PPM (P6) images, 16-bit PCM WAV audio — and raises
+NotImplementedError only for formats that genuinely need an external
+codec (JPEG/MP3/video). `fake=True` (test default for synthetic opaque
+payloads) runs the deterministic digest-based stand-in that exercises
+the same Spark-side plumbing — schema, batch shape, partitioning,
+metadata propagation — with no parsing at all.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,22 +55,169 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
     return [d[j] / 255.0 for j in range(FEATURE_DIM)]
 
 
+# --- real codec-less decoders (pure Python, no PIL/ffmpeg) -------------------------
+
+
+def decode_image(raw: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """(width, height, row-major RGB pixels) for 24-bit uncompressed BMP
+    or binary PPM (P6). Pure struct/bytes parsing — the two formats that
+    need no codec library. Anything else raises NotImplementedError."""
+    if raw[:2] == b"BM":
+        if len(raw) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", raw, 10)[0]
+        width, height = struct.unpack_from("<ii", raw, 18)
+        planes, bpp = struct.unpack_from("<HH", raw, 26)
+        compression = struct.unpack_from("<I", raw, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        top_down = height < 0
+        height = abs(height)
+        row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+        px: list[tuple[int, int, int]] = []
+        for r in range(height):
+            src_row = r if top_down else height - 1 - r
+            base = data_off + src_row * row_bytes
+            for c in range(width):
+                b, g, rr = raw[base + c * 3 : base + c * 3 + 3]
+                px.append((rr, g, b))  # stored BGR
+        return width, height, px
+    if raw[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+        # (comments starting with # allowed in the header)
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(raw) and raw[pos : pos + 1].isspace():
+                pos += 1
+            if raw[pos : pos + 1] == b"#":
+                while pos < len(raw) and raw[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(raw[start:pos]))
+        pos += 1  # single whitespace before pixel data
+        width, height, maxval = fields
+        if maxval != 255:
+            raise NotImplementedError("only maxval=255 PPM supported")
+        need = width * height * 3
+        body = raw[pos : pos + need]
+        if len(body) < need:
+            raise ValueError("truncated PPM body")
+        px = [tuple(body[i : i + 3]) for i in range(0, need, 3)]
+        return width, height, px
+    raise NotImplementedError(
+        "image format needs an external codec (only BMP/PPM decode without PIL)"
+    )
+
+
+def decode_wav(raw: bytes) -> tuple[int, list[float]]:
+    """(sample_rate, samples in [-1, 1]) for 16-bit PCM WAV (channels
+    interleaved, averaged to mono). Pure struct parsing of the RIFF
+    chunks; compressed/float WAV raises NotImplementedError."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise NotImplementedError("audio format needs an external codec (PCM WAV only)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    ints = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    if channels > 1:
+        n = len(ints) // channels
+        ints = [
+            sum(ints[i * channels + c] for c in range(channels)) / channels
+            for i in range(n)
+        ]
+    return sample_rate, [s / 32768.0 for s in ints]
+
+
+def _image_features(raw: bytes) -> list[float]:
+    """FEATURE_DIM real pixel statistics, each in [0, 1]:
+    [w/4096, h/4096, meanR, meanG, meanB, mean_gray, min_gray, max_gray]."""
+    w, h, px = decode_image(raw)
+    n = max(len(px), 1)
+    mr = sum(p[0] for p in px) / (255.0 * n)
+    mg = sum(p[1] for p in px) / (255.0 * n)
+    mb = sum(p[2] for p in px) / (255.0 * n)
+    grays = [(p[0] + p[1] + p[2]) / (3 * 255.0) for p in px] or [0.0]
+    return [
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        mr,
+        mg,
+        mb,
+        sum(grays) / len(grays),
+        min(grays),
+        max(grays),
+    ]
+
+
+def _audio_features(raw: bytes) -> list[float]:
+    """FEATURE_DIM real sample statistics:
+    [sr/48k, n/1e6 (capped), mean, rms, min, max, zero-cross rate, std]
+    (mean/min/max shifted from [-1,1] into [0,1] so all dims share a
+    range with the image features)."""
+    sr, xs = decode_wav(raw)
+    if not xs:
+        xs = [0.0]
+    n = len(xs)
+    mean = sum(xs) / n
+    rms = math.sqrt(sum(x * x for x in xs) / n)
+    std = math.sqrt(max(sum((x - mean) ** 2 for x in xs) / n, 0.0))
+    zc = sum(1 for a, b in zip(xs, xs[1:]) if (a < 0) != (b < 0)) / max(n - 1, 1)
+    return [
+        min(sr / 48000.0, 1.0),
+        min(n / 1e6, 1.0),
+        (mean + 1) / 2,
+        rms,
+        (min(xs) + 1) / 2,
+        (max(xs) + 1) / 2,
+        zc,
+        std,
+    ]
+
+
+def _real_decode(payload: bytes, kind: str) -> list[float]:
+    if kind == "image":
+        return _image_features(payload)
+    if kind == "audio":
+        return _audio_features(payload)
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} requires ffmpeg; plug it in here"
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Binary payload → fixed-dim feature vector via mapInPandas.
     Real pipeline shape: one Arrow batch of payloads in, one batch of
-    vectors out; the codec call is the only stubbed line."""
+    vectors out. fake=False runs the pure-Python BMP/PPM/WAV decoders
+    (real pixel/sample statistics); formats needing an external codec
+    raise NotImplementedError from the kernel, failing the task loudly
+    rather than fabricating features."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats, checks, sizes = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
-                if not fake:
-                    raise NotImplementedError(
-                        "real decode requires an image/audio codec not present "
-                        "in this environment; plug PIL/ffmpeg here"
-                    )
-                feats.append(_fake_decode(raw, kind))
+                feats.append(_fake_decode(raw, kind) if fake else _real_decode(raw, kind))
                 checks.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
             yield pd.DataFrame(
@@ -80,6 +231,47 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- tiny encoders (test/synth side) -----------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (row-major RGB in,
+    bottom-up BGR padded rows out) — lets tests build REAL image bytes
+    without PIL."""
+    row_bytes = (width * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = bytearray()
+        for c in range(width):
+            rr, g, b = pixels[r * width + c]
+            row += bytes((b, g, rr))
+        row += b"\x00" * (row_bytes - len(row))
+        body += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + bytes(body)
+
+
+def encode_wav(sample_rate: int, samples: list[float], channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV writer ([-1,1] floats in)."""
+    ints = [max(-32768, min(32767, round(s * 32767))) for s in samples]
+    data = struct.pack(f"<{len(ints)}h", *ints)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 250, fake: bool = True) -> DataFrame:

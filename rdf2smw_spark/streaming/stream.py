@@ -39,22 +39,36 @@ def windowed_capture_counts(
     )
 
 
-def dedup_stream_by_url(pages: DataFrame) -> DataFrame:
+def dedup_stream_by_url(pages: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): emit only the
     first capture of each url across ALL micro-batches — cross-batch
     dedup that dropDuplicates-with-watermark can't express once the
     watermark passes. State per url: a seen flag.
 
-    NoTimeout keeps drain-style (availableNow) triggers terminating — a
-    registered processing-time timeout holds the query open to fire it.
-    A 24/7 crawl would use a processing-time trigger plus
-    ProcessingTimeTimeout + state.remove() to bound state size."""
+    ttl_seconds=None (drain-style default): NoTimeout, state lives for
+    the query's lifetime — availableNow triggers terminate cleanly.
+    ttl_seconds set (24/7 crawl mode): ProcessingTimeTimeout — a key
+    idle for ttl_seconds has its state removed at the next micro-batch,
+    so state size is bounded by the urls active inside one TTL window
+    and an expired url re-emits on its next capture. Activity refreshes
+    the clock (sliding TTL). Caveat (measured): a registered
+    processing-time timeout keeps an availableNow query alive forever
+    (it schedules batches to fire future timeouts) — in TTL mode run a
+    processing-time trigger, or drain with processAllAvailable()+stop()."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "url string, warc_ts timestamp, lang string"
     state_schema = "seen boolean"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
 
     def dedup(key, pdf_iter, state: GroupState):
+        if ttl_seconds and state.hasTimedOut:
+            state.remove()  # aged out: the url may re-emit later
+            return
         # A key's rows may span several Arrow chunks within one
         # micro-batch (spark.sql.execution.arrow.maxRecordsPerBatch) —
         # fold the min-warc_ts row across ALL chunks before deciding,
@@ -73,6 +87,8 @@ def dedup_stream_by_url(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {"url": [key[0]], "warc_ts": [first["warc_ts"]], "lang": [first["lang"]]}
             )
+        if ttl_seconds and state.exists:
+            state.setTimeoutDuration(ttl_seconds * 1000)
 
     return (
         pages.select("url", "warc_ts", "lang")
@@ -82,30 +98,45 @@ def dedup_stream_by_url(pages: DataFrame) -> DataFrame:
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
 
-def dedup_stream_by_fingerprint(pages: DataFrame) -> DataFrame:
+def dedup_stream_by_fingerprint(
+    pages: DataFrame, ttl_seconds: int | None = None
+) -> DataFrame:
     """Cross-batch EXACT-CONTENT dedup (streaming twin of dd_exact):
     fingerprint = md5 of the extracted text, computed JVM-side; only the
     first document per fingerprint across ALL micro-batches is emitted —
     recrawls and mirrors of identical content are dropped even when they
     arrive days apart under different urls.
 
+    NULL-text rows (extraction produced nothing) are NOT content
+    duplicates of each other — they bypass the stateful groupBy entirely
+    and pass through with a NULL fingerprint (ADVICE r2: grouping them
+    under the shared NULL key silently dropped all but one).
+
     Plan shape: the md5 is a map-side expression, the stateful groupBy
     shuffles on the 32-char fingerprint (uniformly distributed — no
     skew), and per-key state is one boolean. State size is bounded by
-    distinct contents, exactly the cardinality an exact-dedup must hold
-    somewhere; a 24/7 deployment ages it out with ProcessingTimeTimeout
-    (same note as dedup_stream_by_url)."""
+    distinct contents seen within one TTL window when ttl_seconds is set
+    (ProcessingTimeTimeout + state.remove(), same semantics as
+    dedup_stream_by_url); None keeps drain-style triggers simple."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "fingerprint string, url string, warc_ts timestamp"
     state_schema = "seen boolean"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
 
     def dedup(key, pdf_iter, state: GroupState):
+        if ttl_seconds and state.hasTimedOut:
+            state.remove()
+            return
         first = None
         for pdf in pdf_iter:
             if state.exists or not len(pdf):
@@ -126,18 +157,27 @@ def dedup_stream_by_fingerprint(pages: DataFrame) -> DataFrame:
                     "warc_ts": [first["warc_ts"]],
                 }
             )
+        if ttl_seconds and state.exists:
+            state.setTimeoutDuration(ttl_seconds * 1000)
 
-    return (
-        pages.select(F.md5(F.encode("text", "UTF-8")).alias("fingerprint"), "url", "warc_ts")
+    with_text = pages.filter(F.col("text").isNotNull())
+    deduped = (
+        with_text.select(
+            F.md5(F.encode("text", "UTF-8")).alias("fingerprint"), "url", "warc_ts"
+        )
         .groupBy("fingerprint")
         .applyInPandasWithState(
             dedup,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
+    passthrough = pages.filter(F.col("text").isNull()).select(
+        F.lit(None).cast("string").alias("fingerprint"), "url", "warc_ts"
+    )
+    return deduped.unionByName(passthrough)
 
 
 def run_stream_nt_ingest(

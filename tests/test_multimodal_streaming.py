@@ -194,3 +194,122 @@ def test_stateful_url_dedup_multichunk(spark, tmp_path):
         "http://ex.org/a": datetime(2024, 1, 1, 1),
         "http://ex.org/b": datetime(2024, 1, 2, 2),
     }
+
+
+def test_real_decode_bmp_wav(spark):
+    """fake=False decodes REAL pixels/samples for the codec-less formats
+    (24-bit BMP, PCM WAV): a solid-red image yields meanR=1/meanG=0 and
+    a half-amplitude square wave yields rms~0.5 — computed from bytes,
+    not from a digest."""
+    red = mm.encode_bmp(4, 2, [(255, 0, 0)] * 8)
+    wav = mm.encode_wav(16000, [0.5, -0.5] * 100)
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(red), 4, 2, None, None),
+            (1, "audio", bytearray(wav), None, None, 16000, 12),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["feature"] for r in mm.extract_features(media, fake=False).collect()}
+    img, aud = got[0], got[1]
+    assert abs(img[2] - 1.0) < 1e-6 and img[3] == 0.0 and img[4] == 0.0  # mean RGB
+    assert abs(img[5] - 1 / 3) < 1e-6                                     # mean gray
+    assert abs(aud[0] - 16000 / 48000) < 1e-6                             # sample rate
+    assert abs(aud[3] - 0.5) < 1e-3                                       # rms
+    assert abs(aud[6] - 1.0) < 1e-2                                       # zero-cross rate
+
+
+def test_real_decode_ppm_and_unsupported(spark):
+    ppm = b"P6\n2 1\n255\n" + bytes([0, 255, 0] * 2)
+    w, h, px = mm.decode_image(ppm)
+    assert (w, h) == (2, 1) and px == [(0, 255, 0)] * 2
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"\xff\xd8jpeg-bytes"), 1, 1, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        mm.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_stream_fingerprint_null_text_passes_through(spark, tmp_path):
+    """NULL-text rows are not content duplicates of each other: every
+    one passes through (fingerprint NULL) instead of collapsing onto the
+    shared NULL md5 key (ADVICE r2)."""
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import dedup_stream_by_fingerprint
+
+    rows = [
+        ("http://a/1", datetime(2024, 1, 1, 1), "same content"),
+        ("http://b/2", datetime(2024, 1, 1, 2), "same content"),
+        ("http://n/3", datetime(2024, 1, 1, 3), None),
+        ("http://n/4", datetime(2024, 1, 1, 4), None),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, text string") \
+        .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream_by_fingerprint(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.filter("fingerprint is null").count() == 2  # both NULL-text rows kept
+    assert got.filter("fingerprint is not null").count() == 1  # content dedup intact
+
+
+def test_stream_url_dedup_ttl_expires_state(spark, tmp_path):
+    """ttl_seconds mode: an idle url's state is removed at the first
+    micro-batch after the TTL, so a later recapture RE-EMITS — state
+    size stays bounded by the urls active within one TTL window."""
+    import time
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import dedup_stream_by_url
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    sch = "url string, warc_ts timestamp, lang string"
+
+    def drain(rows, expected_total):
+        # A registered processing-time timeout keeps the query alive
+        # forever (it schedules batches to fire future timeouts — even
+        # under availableNow, and processAllAvailable never returns), so
+        # TTL-mode drains poll the sink for the expected rows, then stop.
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = (
+            dedup_stream_by_url(
+                spark.readStream.schema(schema).parquet(src), ttl_seconds=1
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if q.awaitTermination(2):
+                break
+            try:
+                if spark.read.parquet(out).count() >= expected_total:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+        q.stop()
+        q.awaitTermination()
+
+    a, b = "http://ex.org/a", "http://ex.org/b"
+    drain([(a, datetime(2024, 1, 1, 0), "en")], 1)         # A emits, TTL clock starts
+    time.sleep(2.5)                                        # > ttl
+    drain([(b, datetime(2024, 1, 1, 1), "en")], 2)         # batch fires A's timeout
+    drain([(a, datetime(2024, 1, 1, 2), "en")], 3)         # A re-emits (state gone)
+    urls = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert sorted(urls) == [a, a, b]
