@@ -97,6 +97,36 @@ _:b2 <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://ex.org/top> .
 <http://ex.org/hasX> <http://www.w3.org/2000/01/rdf-schema#label> "has x" .
 <http://ex.org/s> <http://ex.org/hasX> "1"^^<{XSD}integer> .
 """,
+    # subject asserted BOTH Predicate and Class, Predicate arriving
+    # first: the reference's first-arrival rule (go:177-195) and the
+    # engine's pinned Predicate>Class agree here; the reversed arrival
+    # order is the documented divergence tested separately below
+    "multitype": f"""
+<http://ex.org/PC> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}ObjectProperty> .
+<http://ex.org/PC> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}Class> .
+<http://ex.org/s9> <http://ex.org/PC> "v" .
+<http://ex.org/s9> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/PC> .
+""",
+    # cyclic ontology: the reference recurses forever
+    # (countSuperCategories go:278-292 has no visited set); ref_sim caps
+    # at depth 50 and the engine pins revisits to 0 — both must TERMINATE
+    # and the emitted fact/category sets are identical either way (the
+    # cycle only perturbs specific-category selection, not membership)
+    "cyclic": f"""
+<http://ex.org/i2> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/CycA> .
+<http://ex.org/CycA> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://ex.org/CycB> .
+<http://ex.org/CycB> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://ex.org/CycA> .
+<http://ex.org/CycA> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}Class> .
+<http://ex.org/CycB> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}Class> .
+""",
+    # same-property title tie where the lexicographic min arrives first:
+    # reference takes arrival order within one property (go:267-276), the
+    # engine pins min(obj) — they agree in this order (reverse below)
+    "titletie": """
+<http://ex.org/tt> <http://www.w3.org/2000/01/rdf-schema#label> "Alpha title" .
+<http://ex.org/tt> <http://www.w3.org/2000/01/rdf-schema#label> "Zed title" .
+<http://ex.org/tt> <http://ex.org/p> "v" .
+""",
 }
 
 
@@ -136,3 +166,43 @@ def test_parity_overall_exact(spark):
     facts, cats = _spark_sets(spark, triples)
     assert facts == ref["facts"]
     assert cats == ref["categories"]
+
+
+def _spark_titles(spark, triples):
+    df = spark.createDataFrame([t + (None,) for t in triples], TRIPLE_SCHEMA)
+    return {p["title"] for p in triples_to_pages(spark, df, n_salt=4).collect()}
+
+
+def test_documented_divergence_multitype_reversed(spark):
+    """Adversarial arrival order: Class asserted BEFORE Predicate. The
+    reference keeps the first arrival (Class → Category namespace); the
+    engine pins Predicate>Class (SURVEY.md §4.3 — arrival order doesn't
+    exist in a relational plan). Assert the divergence EXACTLY so it
+    stays a documented choice, not silent drift."""
+    nt = f"""
+<http://ex.org/PC2> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}Class> .
+<http://ex.org/PC2> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{OWL}ObjectProperty> .
+<http://ex.org/s8> <http://ex.org/p> "v" .
+"""
+    triples = _parse(nt)
+    ref_titles = set(simulate(triples)["namespaces"])
+    ours = _spark_titles(spark, triples)
+    assert "Category:PC2" in ref_titles and "Property:PC2" not in ref_titles
+    assert "Property:PC2" in ours and "Category:PC2" not in ours
+
+
+def test_documented_divergence_titletie_reversed(spark):
+    """Adversarial arrival order: the lexicographically LARGER label
+    arrives first. Reference keeps first arrival within one title
+    property; the engine pins min(obj). Both titles are legitimate
+    renderings of the same entity; assert each side's pick exactly."""
+    nt = """
+<http://ex.org/tt2> <http://www.w3.org/2000/01/rdf-schema#label> "Zed first" .
+<http://ex.org/tt2> <http://www.w3.org/2000/01/rdf-schema#label> "Alpha second" .
+<http://ex.org/tt2> <http://ex.org/p> "v" .
+"""
+    triples = _parse(nt)
+    ref_titles = set(simulate(triples)["namespaces"])
+    ours = _spark_titles(spark, triples)
+    assert "Zed first" in ref_titles
+    assert "Alpha second" in ours
