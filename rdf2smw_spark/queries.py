@@ -337,6 +337,35 @@ def q_link_exact(spark, sf_dir):
     return lk.link_exact(docs, lk.corpus_entity_dict(docs))
 
 
+LINK_DICT_K = 20
+
+
+def q_kg_linked_triples(spark, sf_dir):
+    """LINK stage (pipeline stage 3) over the KG stream: the entity
+    dictionary is the top-K most frequent literal surfaces (ties broken
+    alphabetically — deterministic), so canonicalization is guaranteed
+    non-vacuous; matched literal mentions become IRIs, everything else
+    passes through untouched. Broadcast left join, no corpus shuffle."""
+    t = testdata_triples(spark, sf_dir)
+    freq = (
+        t.filter(~F.col("obj_is_iri"))
+        .select(F.trim(F.lower("obj")).alias("surface"))
+        .groupBy("surface")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("surface"))
+    d = (
+        freq.withColumn("priority", F.row_number().over(w))
+        .filter(F.col("priority") <= LINK_DICT_K)
+        .select(
+            "surface",
+            F.concat(F.lit(lk.ENTITY_NS), F.col("surface")).alias("uri"),
+            "priority",
+        )
+    )
+    return lk.link_triples(t, d)
+
+
 def q_link_fuzzy(spark, sf_dir):
     """MinHash fuzzy surface matching — fully oracled (link_fuzzy_sql
     mirrors the banding so the probabilistic candidate set is verified)."""
@@ -419,6 +448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_entity_dict": q_link_entity_dict,
     "link_exact": q_link_exact,
     "link_fuzzy": q_link_fuzzy,
+    "kg_linked_triples": q_kg_linked_triples,
     "ev_window_counts": q_ev_window_counts,
     "ev_sessionize": q_ev_sessionize,
 }
@@ -491,6 +521,28 @@ ORACLES: dict[str, str] = {
     "ann_topk": sim.ann_topk_sql(_EMB_SQL, n_queries=10, k=5),
     "ann_topk_lsh": sim.ann_topk_lsh_sql(_EMB_SQL, n_queries=10, k=5),
     "ann_topk_ivf": sim.ann_topk_ivf_sql(_EMB_SQL, n_queries=10, k=5),
+    "kg_linked_triples": f"""
+        WITH triples AS {TRIPLES_SQL},
+        freq AS (
+            SELECT trim(lower(obj)) AS surface, COUNT(*) AS df
+            FROM triples WHERE NOT obj_is_iri GROUP BY 1
+        ),
+        d AS (
+            SELECT surface, 'http://example.org/entity/' || surface AS uri
+            FROM (SELECT surface,
+                         ROW_NUMBER() OVER (ORDER BY df DESC, surface) AS priority
+                  FROM freq)
+            WHERE priority <= {LINK_DICT_K}
+        )
+        SELECT t.subj, t.pred,
+               COALESCE(d.uri, t.obj) AS obj,
+               (t.obj_is_iri OR d.uri IS NOT NULL) AS obj_is_iri,
+               CASE WHEN d.uri IS NOT NULL THEN NULL
+                    ELSE t.obj_datatype END AS obj_datatype,
+               t.src_url
+        FROM triples t
+        LEFT JOIN d ON NOT t.obj_is_iri AND trim(lower(t.obj)) = d.surface
+    """,
     "link_entity_dict": f"SELECT * FROM {lk.corpus_entity_dict_sql('documents')}",
     "link_exact": lk.link_exact_sql("documents", lk.corpus_entity_dict_sql("documents")),
     "link_fuzzy": lk.link_fuzzy_sql(
