@@ -174,18 +174,19 @@ def link_triples_fuzzy(
 
 
 def _char3grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - 2, 1)),"
-                    f" i -> substring({text_col}, i, 3))"
-                )
-            ).alias("shingle"),
-        )
-        .filter(F.length("shingle") == 3)
-        .distinct()
+    # array_distinct inside the row: doc_id is unique per input row
+    # (distinct mentions / dict surfaces), so the exploded frame is
+    # globally distinct with no shuffle (same rework as char_shingles)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"array_distinct(filter("
+                f"transform(sequence(1, greatest(length({text_col}) - 2, 1)),"
+                f" i -> substring({text_col}, i, 3)),"
+                f" s -> length(s) = 3))"
+            )
+        ).alias("shingle"),
     )
 
 
