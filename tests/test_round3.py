@@ -36,12 +36,24 @@ def _edge_triples(spark, n=200):
 
 
 def test_class_edges_shuffle_fallback_same_result(spark):
+    """The semi-join probe carries NO broadcast hint: AQE broadcasts a
+    small class-node set and keeps a shuffle join for an adversarial one
+    (many distinct rdf:type objects). Force the shuffle path by zeroing
+    the adaptive broadcast threshold and assert identical results."""
     from rdf2smw_spark.operators.dimensions import class_edges
 
     t = _edge_triples(spark)
     key = lambda df: sorted(map(tuple, df.select("src", "dst").collect()))
-    bc = key(class_edges(t))                      # broadcast path (under limit)
-    sh = key(class_edges(t, broadcast_limit=10))  # forced shuffle fallback
+    bc = key(class_edges(t))  # AQE free to broadcast the tiny probe
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = key(class_edges(t))  # broadcast disabled -> shuffle semi-join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
     assert bc == sh and len(bc) > 0
 
 
