@@ -261,3 +261,86 @@ def decontaminate_sql(train_sql: str, benchmark_sql: str, n: int = NGRAM_N) -> s
     FROM (SELECT DISTINCT doc_id FROM {train_sql}) d
     LEFT JOIN hits h USING (doc_id)
     """
+
+
+# --- repetition signals (Gopher/C4-style) ------------------------------------------
+
+
+def _repetition_exprs() -> dict[str, str]:
+    """Spark-side expressions; all in-row array ops, JVM-side. The
+    max-bigram count is a run-length scan over the SORTED bigram array
+    (aggregate fold) — O(n log n) per row, no explode."""
+    toks = f"filter({_tokens('text')}, t -> t != '')"
+    bgs = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    maxrun = (
+        f"aggregate(sort_array({bgs}),"
+        f" named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        f" (a, x) -> named_struct("
+        f"   'prev', x,"
+        f"   'run', CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END,"
+        f"   'best', greatest(a.best, CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END)),"
+        f" a -> a.best)"
+    )
+    lines = "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l != '')"
+    return {
+        "n_lines": f"CAST(size({lines}) AS BIGINT)",
+        "dup_line_frac": (
+            f"ROUND((size({lines}) - size(array_distinct({lines})))"
+            f" / greatest(size({lines}), 1), 4)"
+        ),
+        "top_bigram_frac": f"ROUND({maxrun} / greatest(size({bgs}), 1), 4)",
+        "dup_token_frac": (
+            f"ROUND((size({toks}) - size(array_distinct({toks})))"
+            f" / greatest(size({toks}), 1), 4)"
+        ),
+    }
+
+
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_bigram_frac, dup_token_frac):
+    the standard repetition-based quality signals a web-scale training
+    pipeline filters on — duplicate-line fraction (boilerplate), most
+    frequent word-bigram fraction (template spam), duplicate-token
+    fraction. Pure in-row expressions: the whole operator is one
+    map-side projection, no shuffle, no UDF."""
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(n) for n, e in _repetition_exprs().items()]
+    )
+
+
+def repetition_score_sql(docs_sql: str) -> str:
+    """DuckDB twin. The max-bigram count is relational here (UNNEST +
+    GROUP BY + MAX) — same result as Spark's in-row run-length fold."""
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS toks,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           l -> trim(l)), l -> l <> '') AS lines
+        FROM {docs_sql}
+    ),
+    bgl AS (
+        SELECT doc_id, toks, lines,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END AS bgs
+        FROM base
+    ),
+    bg AS (SELECT doc_id, UNNEST(bgs) AS b FROM bgl),
+    cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS mx FROM cnt GROUP BY 1)
+    SELECT l.doc_id,
+           CAST(len(l.lines) AS BIGINT) AS n_lines,
+           ROUND((len(l.lines) - len(list_distinct(l.lines)))
+                 / greatest(len(l.lines), 1), 4) AS dup_line_frac,
+           ROUND(COALESCE(t.mx, 0) / greatest(len(l.bgs), 1), 4) AS top_bigram_frac,
+           ROUND((len(l.toks) - len(list_distinct(l.toks)))
+                 / greatest(len(l.toks), 1), 4) AS dup_token_frac
+    FROM bgl l LEFT JOIN top t USING (doc_id)
+    """

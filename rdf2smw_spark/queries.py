@@ -240,6 +240,12 @@ def q_ta_fingerprints(spark, sf_dir):
     return ta.fingerprints(_docs(spark, sf_dir))
 
 
+def q_ta_repetition(spark, sf_dir):
+    """Repetition-based quality signals (Gopher/C4-style): duplicate
+    lines, most-frequent-bigram fraction, duplicate-token fraction."""
+    return ta.repetition_score(_docs(spark, sf_dir))
+
+
 def q_ta_decontam(spark, sf_dir):
     """Eval-set decontamination: every 37th doc plays the benchmark; the
     near-dup corpus (which plants variants of some of them) is the
@@ -434,6 +440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_token_stats": q_ta_token_stats,
     "ta_fingerprints": q_ta_fingerprints,
     "ta_decontam": q_ta_decontam,
+    "ta_repetition": q_ta_repetition,
     "dd_exact": q_dd_exact,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_minhash_near_dups": q_dd_minhash_near_dups,
@@ -504,6 +511,7 @@ ORACLES: dict[str, str] = {
     "ta_quality": ta.quality_score_sql("documents"),
     "ta_token_stats": ta.token_stats_sql("documents"),
     "ta_fingerprints": ta.fingerprints_sql("documents"),
+    "ta_repetition": ta.repetition_score_sql("documents"),
     "ta_decontam": ta.decontaminate_sql(
         f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
         "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",

@@ -41,3 +41,24 @@ def test_decontaminate_case_and_punct_insensitive(spark):
     )
     out = ta.decontaminate(train, bench).collect()
     assert out[0]["contaminated"] and out[0]["n_hits"] == 1
+
+
+def test_repetition_score_planted(spark):
+    """Planted repetition: duplicated lines, a dominating bigram, and a
+    clean document — exact fractions."""
+    from rdf2smw_spark.operators.text_analysis import repetition_score
+
+    rows = [
+        # 4 non-empty lines, 'same line' twice -> dup_line_frac 2/4... wait: 4 lines, 3 distinct -> (4-3)/4 = 0.25
+        (1, "same line\nsame line\nother line\nthird line"),
+        # 'buy now' bigram dominates: tokens = buy now buy now buy now -> bigrams: 5, 'buy now' x3, 'now buy' x2
+        (2, "buy now buy now buy now"),
+        (3, "a perfectly clean sentence with distinct words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert got[1]["n_lines"] == 4 and abs(got[1]["dup_line_frac"] - 0.25) < 1e-9
+    assert abs(got[2]["top_bigram_frac"] - 0.6) < 1e-9  # 3 of 5 bigrams
+    assert abs(got[2]["dup_token_frac"] - round(4 / 6, 4)) < 1e-9  # 6 tokens, 2 distinct
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_token_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == round(1 / 7, 4)
