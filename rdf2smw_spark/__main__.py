@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=None,
                     help="web mode: drop documents scoring below this [0,1] "
                          "quality heuristic before triplify")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="web mode: drop documents whose duplicate-line "
+                         "fraction exceeds this (REPETITION gate)")
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="web mode: drop documents whose most frequent "
+                         "word-bigram exceeds this fraction of all bigrams")
     ap.add_argument("--benchmark", default=None,
                     help="web mode: parquet of eval-set documents (text "
                          "column); drops training docs with token n-gram "
@@ -75,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
             near_dedup=args.near_dedup,
             near_dedup_threshold=args.near_dedup_threshold,
             min_quality=args.min_quality,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_top_bigram_frac=args.max_top_bigram_frac,
             benchmark=(
                 spark.read.parquet(args.benchmark) if args.benchmark else None
             ),

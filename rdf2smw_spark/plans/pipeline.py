@@ -75,6 +75,27 @@ def quality_filter_pages(extracted: DataFrame, min_quality: float) -> DataFrame:
     )
 
 
+def repetition_filter_pages(
+    extracted: DataFrame,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+) -> DataFrame:
+    """Training-pipeline REPETITION gate (Gopher/C4-style): drop
+    documents dominated by duplicated lines (boilerplate) or by one
+    word-bigram (template spam). Reuses text_analysis._repetition_exprs
+    so the gate and the registered ta_repetition query can't drift.
+    Pure in-row expressions — a map-side filter, no shuffle."""
+    from rdf2smw_spark.operators.text_analysis import _repetition_exprs
+
+    exprs = _repetition_exprs()
+    cond = F.lit(True)
+    if max_dup_line_frac is not None:
+        cond = cond & (F.expr(exprs["dup_line_frac"]) <= max_dup_line_frac)
+    if max_top_bigram_frac is not None:
+        cond = cond & (F.expr(exprs["top_bigram_frac"]) <= max_top_bigram_frac)
+    return extracted.filter(cond)
+
+
 def decontaminate_pages(extracted: DataFrame, benchmark: DataFrame) -> DataFrame:
     """Training-pipeline DECONTAM gate: drop documents whose token
     n-grams overlap the benchmark/eval set (text_analysis.decontaminate
@@ -123,6 +144,8 @@ def run_web_pipeline(
     near_dedup: bool = False,
     near_dedup_threshold: float = 0.9,
     min_quality: float | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     benchmark: DataFrame | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
@@ -151,6 +174,15 @@ def run_web_pipeline(
         extracted = store.materialize(
             quality_filter_pages(extracted, min_quality), "quality_filtered", resume,
             fingerprint=fpc.next("quality_filtered", min_quality),
+        )
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        extracted = store.materialize(
+            repetition_filter_pages(extracted, max_dup_line_frac, max_top_bigram_frac),
+            "repetition_filtered",
+            resume,
+            fingerprint=fpc.next(
+                "repetition_filtered", max_dup_line_frac, max_top_bigram_frac
+            ),
         )
     if near_dedup:
         extracted = store.materialize(

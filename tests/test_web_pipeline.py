@@ -205,3 +205,29 @@ def test_quality_filter_stage(spark):
         extracted.select(F.monotonically_increasing_id().alias("doc_id"), "text")
     ).collect()
     assert all(0.0 <= r["quality"] <= 1.0 for r in scored)
+
+
+def test_repetition_gate(spark):
+    """Boilerplate-heavy and template-spam docs drop; normal prose
+    passes. The gate reuses _repetition_exprs so it can't drift from
+    the registered ta_repetition query."""
+    from rdf2smw_spark.plans.pipeline import repetition_filter_pages
+
+    rows = [
+        ("https://a/1", "normal prose with many different words and phrases here\nsecond distinct line"),
+        ("https://a/2", "nav item\nnav item\nnav item\nnav item\nreal content once"),  # dup lines
+        ("https://a/3", "click here click here click here click here click here"),     # one bigram
+    ]
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    kept = {
+        r["url"]
+        for r in repetition_filter_pages(
+            extracted, max_dup_line_frac=0.5, max_top_bigram_frac=0.5
+        ).collect()
+    }
+    assert kept == {"https://a/1"}
+    # each knob alone gates only its own signal
+    only_lines = {
+        r["url"] for r in repetition_filter_pages(extracted, max_dup_line_frac=0.5).collect()
+    }
+    assert only_lines == {"https://a/1", "https://a/3"}
