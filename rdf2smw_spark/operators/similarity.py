@@ -494,3 +494,188 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- IVF k-means training (Lloyd refinement of the seed quantizer) -----------------
+
+IVF_TRAIN_ITERS = 2
+
+
+def ivf_train(
+    emb: DataFrame, n_lists: int = 8, iters: int = IVF_TRAIN_ITERS
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer → (list_id, pos, component): the
+    per-dimension centroid components after `iters` k-means iterations
+    from the deterministic seed set (first n_lists vectors).
+
+    Engine-portable determinism: the centroid mean uses an EXACT
+    decimal(27,7) sum — double summation order varies with partitioning
+    and would flip low bits (and the oracle hash) run to run — divided
+    by the member count and rounded to 6dp. Assignment argmax rounds
+    scores to 6dp with min-list_id tiebreak (same contract as
+    ivf_assign). Empty clusters keep their previous centroid.
+
+    Plan shape: per iteration, one broadcast of the KB-scale centroid
+    table, a map-side argmax (window over n_lists rows per vector), and
+    one (list_id, pos)-keyed shuffle of exploded components — no
+    vector-to-vector join anywhere. `iters` is a fixed small constant,
+    so the DuckDB twin unrolls it as chained CTEs."""
+    from pyspark.sql import Window
+
+    e = _with_norm(emb.select("vec_id", "embedding"))
+    cent = e.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(iters):
+        score = F.round(
+            F.expr(DOT.format(a="embedding", b="cvec")) / (F.col("norm") * F.col("cnorm")), 6
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("list_id"))
+        assigned = (
+            e.join(F.broadcast(cent))
+            .select("vec_id", "embedding", "norm", "list_id", score.alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        comp = assigned.select(
+            "list_id", F.posexplode("embedding").alias("pos", "val")
+        )
+        means = comp.groupBy("list_id", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,7)")).cast("double") / F.count("*"), 6
+            ).alias("m")
+        )
+        new_cent = (
+            means.groupBy("list_id")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("cvec")
+            )
+        )
+        # empty clusters keep the previous centroid (left join old -> new)
+        cent = (
+            cent.select("list_id", F.col("cvec").alias("old_cvec"))
+            .join(new_cent, "list_id", "left")
+            .select("list_id", F.coalesce("cvec", "old_cvec").alias("cvec"))
+        )
+        cent = _with_norm(cent, "cvec").withColumnRenamed("norm", "cnorm")
+    return cent.select("list_id", F.posexplode("cvec").alias("pos", "component"))
+
+
+def _ivf_train_sql_cte(emb_sql: str, n_lists: int, iters: int) -> str:
+    """Chained-CTE DuckDB twin of ivf_train: cent_0 = seed set, then for
+    each iteration an assignment argmax + exact-decimal mean. Returns
+    the WITH body whose final CTE is `cent_{iters}` (list_id, pos, m)."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len({a})),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    parts = [
+        f"""e AS (
+        SELECT vec_id, embedding,
+               sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
+        FROM {emb_sql}
+    ),
+    cent_0 AS (
+        SELECT vec_id AS list_id, pos, CAST(embedding[pos] AS DOUBLE) AS m
+        FROM e, UNNEST(generate_series(1, len(embedding))) AS t(pos)
+        WHERE vec_id < {n_lists}
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent_{it - 1}"
+        parts.append(f"""cvec_{it} AS (
+        SELECT list_id, list(m ORDER BY pos) AS cvec,
+               sqrt(list_aggregate(list_transform(list(m ORDER BY pos), x -> x * x), 'sum')) AS cnorm
+        FROM {prev} GROUP BY list_id
+    ),
+    scored_{it} AS (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               ROUND({dot.format(a='e.embedding', b='c.cvec')} / (e.nrm * c.cnorm), 6) AS score
+        FROM e CROSS JOIN cvec_{it} c
+    ),
+    assign_{it} AS (
+        SELECT vec_id, embedding, list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, list_id) AS rn
+            FROM scored_{it}
+        ) WHERE rn = 1
+    ),
+    mean_{it} AS (
+        SELECT list_id, pos,
+               ROUND(CAST(SUM(CAST(embedding[pos] AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*), 6) AS m
+        FROM assign_{it}, UNNEST(generate_series(1, len(embedding))) AS t(pos)
+        GROUP BY 1, 2
+    ),
+    cent_{it} AS (
+        SELECT p.list_id, p.pos, COALESCE(n.m, p.m) AS m
+        FROM {prev} p LEFT JOIN mean_{it} n USING (list_id, pos)
+    )""")
+    return ",\n    ".join(parts)
+
+
+def ivf_train_sql(
+    emb_sql: str, n_lists: int = 8, iters: int = IVF_TRAIN_ITERS
+) -> str:
+    return f"""
+    WITH {_ivf_train_sql_cte(emb_sql, n_lists, iters)}
+    SELECT list_id, CAST(pos - 1 AS INT) AS pos, m AS component
+    FROM cent_{iters}
+    """
+
+
+def ivf_kmeans_assign(
+    emb: DataFrame, n_lists: int = 8, iters: int = IVF_TRAIN_ITERS
+) -> DataFrame:
+    """(vec_id, list_id): nearest trained centroid per vector — the
+    assignment a production IVF build writes as its list index. Same
+    argmax contract as training; broadcast centroids, no vector
+    shuffle."""
+    from pyspark.sql import Window
+
+    cent_flat = ivf_train(emb, n_lists, iters)
+    cent = (
+        cent_flat.groupBy("list_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, component))), s -> s.component)").alias("cvec"))
+    )
+    cent = _with_norm(cent, "cvec").withColumnRenamed("norm", "cnorm")
+    e = _with_norm(emb.select("vec_id", "embedding"))
+    score = F.round(
+        F.expr(DOT.format(a="embedding", b="cvec")) / (F.col("norm") * F.col("cnorm")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("list_id"))
+    return (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "list_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+
+
+def ivf_kmeans_assign_sql(
+    emb_sql: str, n_lists: int = 8, iters: int = IVF_TRAIN_ITERS
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len({a})),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    return f"""
+    WITH {_ivf_train_sql_cte(emb_sql, n_lists, iters)},
+    fc AS (
+        SELECT list_id, list(m ORDER BY pos) AS cvec,
+               sqrt(list_aggregate(list_transform(list(m ORDER BY pos), x -> x * x), 'sum')) AS cnorm
+        FROM cent_{iters} GROUP BY list_id
+    ),
+    scored AS (
+        SELECT e.vec_id, c.list_id,
+               ROUND({dot.format(a='e.embedding', b='c.cvec')} / (e.nrm * c.cnorm), 6) AS score
+        FROM e CROSS JOIN fc c
+    )
+    SELECT vec_id, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, list_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """

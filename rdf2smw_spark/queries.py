@@ -323,6 +323,19 @@ def q_ann_topk_lsh(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ivf_centroids(spark, sf_dir):
+    """Lloyd-trained IVF coarse quantizer (2 iterations from the seed
+    set), flattened to (list_id, pos, component) so the trainer itself
+    is hash-verified against the unrolled-CTE DuckDB twin."""
+    return sim.ivf_train(_emb(spark, sf_dir))
+
+
+def q_ivf_kmeans_assign(spark, sf_dir):
+    """Nearest-trained-centroid assignment per vector — the list index
+    a production IVF build materializes."""
+    return sim.ivf_kmeans_assign(_emb(spark, sf_dir))
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF (inverted-file) ANN: the second canonical scale path next to
     hyperplane LSH — broadcast coarse quantizer, one list_id shuffle,
@@ -452,6 +465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ivf_centroids": q_ivf_centroids,
+    "ivf_kmeans_assign": q_ivf_kmeans_assign,
     "link_entity_dict": q_link_entity_dict,
     "link_exact": q_link_exact,
     "link_fuzzy": q_link_fuzzy,
@@ -529,6 +544,8 @@ ORACLES: dict[str, str] = {
     "ann_topk": sim.ann_topk_sql(_EMB_SQL, n_queries=10, k=5),
     "ann_topk_lsh": sim.ann_topk_lsh_sql(_EMB_SQL, n_queries=10, k=5),
     "ann_topk_ivf": sim.ann_topk_ivf_sql(_EMB_SQL, n_queries=10, k=5),
+    "ivf_centroids": sim.ivf_train_sql(_EMB_SQL),
+    "ivf_kmeans_assign": sim.ivf_kmeans_assign_sql(_EMB_SQL),
     "kg_linked_triples": f"""
         WITH triples AS {TRIPLES_SQL},
         freq AS (

@@ -256,3 +256,37 @@ def test_dedup_clusters_long_chain_pointer_doubling(spark):
     )
     out = dd.dedup_clusters(docs, edges)
     assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
+def test_ivf_kmeans_trains_and_separates(spark, sf_dir):
+    """Lloyd refinement: planted near-duplicate vectors (vec_id+1M,
+    tiny additive noise) must land in the SAME trained list as their
+    original — k-means lists are exactly the structure that makes IVF
+    probing recall those neighbors."""
+    from pyspark.sql import functions as F
+
+    from rdf2smw_spark.operators.similarity import (
+        ivf_kmeans_assign,
+        near_dup_embeddings,
+    )
+
+    emb = near_dup_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    )
+    assign = ivf_kmeans_assign(emb, n_lists=8)
+    orig = assign.filter(F.col("vec_id") < 1_000_000).select(
+        F.col("vec_id").alias("o_id"), F.col("list_id").alias("o_list")
+    )
+    dups = assign.filter(F.col("vec_id") >= 1_000_000).select(
+        (F.col("vec_id") - 1_000_000).alias("o_id"), F.col("list_id").alias("d_list")
+    )
+    joined = dups.join(orig, "o_id")
+    n = joined.count()
+    same = joined.filter(F.col("o_list") == F.col("d_list")).count()
+    # the corpus is random (no true cluster structure), so a few
+    # originals sit exactly on a Voronoi boundary where ~0.99-cosine
+    # noise flips the argmax; >=90% co-assignment is the meaningful
+    # floor (measured 93/100), vs ~1/n_lists for unrelated vectors
+    assert n > 0 and same / n >= 0.9
+    # trained lists are non-degenerate: more than one list in use
+    assert assign.select("list_id").distinct().count() > 1
