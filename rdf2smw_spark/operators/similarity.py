@@ -542,9 +542,28 @@ def ivf_train(
         comp = assigned.select(
             "list_id", F.posexplode("embedding").alias("pos", "val")
         )
+        # exact integer mean: each component quantizes to a scaled
+        # BIGINT via an EXPLICIT half-away-from-zero formula (floor/ceil
+        # of x*1e7±0.5 — float→double is exact and every step is one
+        # correctly-rounded IEEE op, so the integers are bit-identical
+        # across engines), then an exact integer sum and two
+        # fixed-order divisions. Neither decimal casts (engines round
+        # the float→decimal(27,7) cast differently — measured 1-ulp
+        # sum differences at sf0.01) nor ROUND(double, 6) of the
+        # quotient (half-up vs half-even at the 5e-7 boundary) are
+        # portable; this formula is.
+        q = (
+            "CAST(CASE WHEN val >= 0"
+            " THEN floor(CAST(val AS DOUBLE) * 10000000.0 + 0.5)"
+            " ELSE ceil(CAST(val AS DOUBLE) * 10000000.0 - 0.5) END AS BIGINT)"
+        )
         means = comp.groupBy("list_id", "pos").agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(27,7)")).cast("double") / F.count("*"), 6
+            (
+                (
+                    F.expr(f"SUM({q})").cast("double")
+                    / F.count("*").cast("double")
+                )
+                / F.lit(10000000.0)
             ).alias("m")
         )
         new_cent = (
@@ -604,7 +623,10 @@ def _ivf_train_sql_cte(emb_sql: str, n_lists: int, iters: int) -> str:
     ),
     mean_{it} AS (
         SELECT list_id, pos,
-               ROUND(CAST(SUM(CAST(embedding[pos] AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*), 6) AS m
+               (CAST(SUM(CAST(CASE WHEN embedding[pos] >= 0
+                    THEN floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
+                    ELSE ceil(CAST(embedding[pos] AS DOUBLE) * 10000000.0 - 0.5) END AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) / 10000000.0 AS m
         FROM assign_{it}, UNNEST(generate_series(1, len(embedding))) AS t(pos)
         GROUP BY 1, 2
     ),

@@ -7,8 +7,11 @@ names/dtypes, and an order-insensitive value hash. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
@@ -33,9 +36,18 @@ def norm_frame(df: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # accept space- and comma-separated names; tolerate a literal --only
+    raw = [n for a in sys.argv[2:] for n in a.split(",") if n and n != "--only"]
+    only = set(raw)
 
     from rdf2smw_spark.queries import ORACLES, QUERIES
+
+    # an unknown name must FAIL, not silently filter to zero queries —
+    # a vacuous '0 failures' once masked a real oracle mismatch
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 1
     from rdf2smw_spark.session import get_spark
 
     spark = get_spark(cores=8)
