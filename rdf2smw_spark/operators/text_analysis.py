@@ -344,3 +344,94 @@ def repetition_score_sql(docs_sql: str) -> str:
                  / greatest(len(l.toks), 1), 4) AS dup_token_frac
     FROM bgl l LEFT JOIN top t USING (doc_id)
     """
+
+
+# --- corpus-level analytics --------------------------------------------------------
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, total_tokens, mean_tokens_x100, max_tokens,
+    min_tokens): per-language corpus shape summary. All-integer
+    arithmetic (the mean is a scaled integer via exact BIGINT sums) so
+    the oracle hash can never drift on float summation order. One
+    map-side token count + one tiny groupBy(lang) shuffle."""
+    toks = f"size(filter({_tokens('text')}, t -> t <> ''))"
+    base = docs.select("lang", F.expr(toks).cast("long").alias("n_tok"))
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        # integer division (div / //): a double quotient cast to long
+        # TRUNCATES in Spark but ROUNDS in DuckDB — not portable
+        F.expr("SUM(n_tok) * 100 DIV COUNT(*)").alias("mean_tokens_x100"),
+        F.max("n_tok").alias("max_tokens"),
+        F.min("n_tok").alias("min_tokens"),
+    )
+
+
+def corpus_stats_sql(docs_sql: str) -> str:
+    toks = f"len(list_filter({_tokens('text', 'duckdb')}, t -> t <> ''))"
+    return f"""
+    WITH base AS (SELECT lang, CAST({toks} AS BIGINT) AS n_tok FROM {docs_sql})
+    -- SUM(BIGINT) is HUGEINT in DuckDB (pandas renders it float):
+    -- cast back to BIGINT so the hash compare sees integers
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) * 100 // COUNT(*) AS BIGINT) AS mean_tokens_x100,
+           MAX(n_tok) AS max_tokens, MIN(n_tok) AS min_tokens
+    FROM base GROUP BY lang
+    """
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """(rank, ngram, n_docs, n_occurrences): the corpus-wide top-k word
+    n-grams — the classic frequency sweep a curation pipeline runs to
+    find boilerplate candidates. Integer counts only; ranking ties
+    break alphabetically (deterministic at any parallelism). Shuffle is
+    one (ngram)-keyed aggregation of slim rows; the in-doc explode
+    happens AFTER per-row transform (no corpus-wide distinct needed —
+    occurrences are counted, not deduped)."""
+    from pyspark.sql import Window
+
+    toks = f"filter({_tokens('text')}, t -> t <> '')"
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n - 1}),"
+                f" i -> concat_ws(' ', slice({toks}, i, {n}))) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("ngram"),
+    )
+    agg = grams.groupBy("ngram").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long").alias("rank"), "ngram", "n_docs", "n_occurrences")
+    )
+
+
+def top_ngrams_sql(docs_sql: str, n: int = 2, k: int = 20) -> str:
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, UNNEST(
+            CASE WHEN len(toks) >= {n} THEN
+                list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        FROM (SELECT doc_id, {toks} AS toks FROM {docs_sql})
+    ),
+    agg AS (
+        SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        FROM grams GROUP BY ngram
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, ngram, n_docs, n_occurrences FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram) AS rank
+        FROM agg
+    ) WHERE rank <= {k}
+    """

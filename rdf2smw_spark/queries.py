@@ -240,6 +240,17 @@ def q_ta_fingerprints(spark, sf_dir):
     return ta.fingerprints(_docs(spark, sf_dir))
 
 
+def q_ta_corpus_stats(spark, sf_dir):
+    """Per-language corpus shape (all-integer arithmetic — no float
+    summation-order risk in the hash compare)."""
+    return ta.corpus_stats(_docs(spark, sf_dir))
+
+
+def q_ta_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (boilerplate-candidate sweep)."""
+    return ta.top_ngrams(_docs(spark, sf_dir))
+
+
 def q_ta_repetition(spark, sf_dir):
     """Repetition-based quality signals (Gopher/C4-style): duplicate
     lines, most-frequent-bigram fraction, duplicate-token fraction."""
@@ -454,6 +465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_fingerprints": q_ta_fingerprints,
     "ta_decontam": q_ta_decontam,
     "ta_repetition": q_ta_repetition,
+    "ta_corpus_stats": q_ta_corpus_stats,
+    "ta_top_ngrams": q_ta_top_ngrams,
     "dd_exact": q_dd_exact,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_minhash_near_dups": q_dd_minhash_near_dups,
@@ -527,6 +540,8 @@ ORACLES: dict[str, str] = {
     "ta_token_stats": ta.token_stats_sql("documents"),
     "ta_fingerprints": ta.fingerprints_sql("documents"),
     "ta_repetition": ta.repetition_score_sql("documents"),
+    "ta_corpus_stats": ta.corpus_stats_sql("documents"),
+    "ta_top_ngrams": ta.top_ngrams_sql("documents"),
     "ta_decontam": ta.decontaminate_sql(
         f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
         "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",

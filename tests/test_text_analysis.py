@@ -62,3 +62,21 @@ def test_repetition_score_planted(spark):
     assert abs(got[2]["dup_token_frac"] - round(4 / 6, 4)) < 1e-9  # 6 tokens, 2 distinct
     assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_token_frac"] == 0.0
     assert got[3]["top_bigram_frac"] == round(1 / 7, 4)
+
+
+def test_corpus_stats_and_top_ngrams_planted(spark):
+    from rdf2smw_spark.operators.text_analysis import corpus_stats, top_ngrams
+
+    rows = [
+        (1, "alpha beta alpha beta gamma", "en"),
+        (2, "alpha beta delta", "en"),
+        (3, "un deux trois", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    cs = {r["lang"]: r for r in corpus_stats(docs).collect()}
+    assert cs["en"]["n_docs"] == 2 and cs["en"]["total_tokens"] == 8
+    assert cs["en"]["mean_tokens_x100"] == 400  # exact integer mean
+    assert cs["fr"]["max_tokens"] == cs["fr"]["min_tokens"] == 3
+    tg = top_ngrams(docs, n=2, k=3).collect()
+    assert tg[0]["ngram"] == "alpha beta" and tg[0]["n_occurrences"] == 3
+    assert tg[0]["n_docs"] == 2 and tg[0]["rank"] == 1
