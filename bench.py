@@ -199,7 +199,8 @@ def run_scaling() -> dict:
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
     max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "2"))
     extra = 0
-    while _floor_eff(cl, 1, 4) < target + 0.02 and extra < max_extra:
+    # no-data guard: if cluster probes failed entirely, retrying won't help
+    while cl[1] and cl[4] and _floor_eff(cl, 1, 4) < target + 0.02 and extra < max_extra:
         cluster_pair()
         extra += 1
 

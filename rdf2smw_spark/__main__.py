@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if not args.pages:
             ap.error("--pages required for web mode")
+        if args.fuzzy_link_threshold is not None and not args.entity_dict:
+            ap.error("--fuzzy-link-threshold requires --entity-dict "
+                     "(the LINK stage only runs with a dictionary)")
         from rdf2smw_spark.plans.pipeline import run_web_pipeline
 
         pages = spark.read.parquet(args.pages)

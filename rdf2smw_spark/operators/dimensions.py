@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rdf2smw_spark.session import scoped_persist
 from rdf2smw_spark.schemas import (
     CATEGORY_TYPES,
     PROPERTY_TYPES,
@@ -202,18 +201,22 @@ def class_depth(
     job (the earlier count-then-collect shape ran the edge derivation
     twice and cost an extra Spark job per conversion)."""
     edges_df = class_edges(triples)
+    # Arrow transfer (toPandas), not collect(): at the limit this moves
+    # two compact string arrays (~hundreds of MB) instead of 2M Python
+    # Row objects — both the success path and the discarded over-limit
+    # probe stay cheap on the driver.
     if collect_limit is not None:
-        edges = edges_df.limit(collect_limit + 1).collect()
+        edges = edges_df.limit(collect_limit + 1).toPandas()
         if len(edges) > collect_limit:
             return class_depth_fixpoint(spark, edges_df, max_depth)
     else:
-        edges = edges_df.collect()
+        edges = edges_df.toPandas()
     adj: dict[str, list[str]] = {}
     nodes: set[str] = set()
-    for r in edges:
-        adj.setdefault(r["src"], []).append(r["dst"])
-        nodes.add(r["src"])
-        nodes.add(r["dst"])
+    for src, dst in zip(edges["src"], edges["dst"]):
+        adj.setdefault(src, []).append(dst)
+        nodes.add(src)
+        nodes.add(dst)
 
     memo: dict[str, int] = {}
 

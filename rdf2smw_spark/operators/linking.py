@@ -87,6 +87,27 @@ def link_exact_sql(docs_sql: str, dict_sql: str) -> str:
     """
 
 
+def _canonicalize_literals(triples: DataFrame, mapping) -> DataFrame:
+    """Apply a (__surf, __euri) canonicalization map to the literal
+    objects of a triple stream: matched literals become IRI objects,
+    everything else passes through. Shared by the exact and fuzzy LINK
+    passes so their output projections can never drift."""
+    surf = F.trim(F.lower(F.col("obj")))
+    joined = triples.join(
+        mapping, (~F.col("obj_is_iri")) & (surf == F.col("__surf")), "left"
+    )
+    return joined.select(
+        "subj",
+        "pred",
+        F.coalesce(F.col("__euri"), F.col("obj")).alias("obj"),
+        (F.col("obj_is_iri") | F.col("__euri").isNotNull()).alias("obj_is_iri"),
+        F.when(F.col("__euri").isNotNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("obj_datatype"))
+        .alias("obj_datatype"),
+        "src_url",
+    )
+
+
 def link_triples(triples: DataFrame, entity_dict: DataFrame) -> DataFrame:
     """LINK stage (pipeline stage 3): canonicalize literal objects whose
     normalized surface matches the entity dictionary — the fact value
@@ -101,20 +122,7 @@ def link_triples(triples: DataFrame, entity_dict: DataFrame) -> DataFrame:
     best = entity_dict.withColumn(
         "__rn", F.row_number().over(Window.partitionBy("surface").orderBy("priority", "uri"))
     ).filter(F.col("__rn") == 1).select(F.col("surface").alias("__surf"), F.col("uri").alias("__euri"))
-    surf = F.trim(F.lower(F.col("obj")))
-    joined = triples.join(
-        F.broadcast(best), (~F.col("obj_is_iri")) & (surf == F.col("__surf")), "left"
-    )
-    return joined.select(
-        "subj",
-        "pred",
-        F.coalesce(F.col("__euri"), F.col("obj")).alias("obj"),
-        (F.col("obj_is_iri") | F.col("__euri").isNotNull()).alias("obj_is_iri"),
-        F.when(F.col("__euri").isNotNull(), F.lit(None).cast("string"))
-        .otherwise(F.col("obj_datatype"))
-        .alias("obj_datatype"),
-        "src_url",
-    )
+    return _canonicalize_literals(triples, F.broadcast(best))
 
 
 # Above this many fuzzy-matched distinct surfaces the canonicalization
@@ -147,30 +155,16 @@ def link_triples_fuzzy(
         .filter(F.length("mention") >= 3)
         .distinct()
     )
+    from rdf2smw_spark.session import maybe_broadcast
+
     fz = link_fuzzy(rem, entity_dict, threshold)
     w = Window.partitionBy("mention").orderBy(F.col("jaccard").desc(), F.col("uri"))
     best = scoped_persist(
         fz.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.col("mention").alias("__m"), F.col("uri").alias("__furi"))
+        .select(F.col("mention").alias("__surf"), F.col("uri").alias("__euri"))
     )
-    small = (
-        broadcast_limit is None
-        or best.limit(broadcast_limit + 1).count() <= broadcast_limit
-    )
-    probe = F.broadcast(best) if small else best
-    surf = F.trim(F.lower(F.col("obj")))
-    joined = exact.join(probe, (~F.col("obj_is_iri")) & (surf == F.col("__m")), "left")
-    return joined.select(
-        "subj",
-        "pred",
-        F.coalesce(F.col("__furi"), F.col("obj")).alias("obj"),
-        (F.col("obj_is_iri") | F.col("__furi").isNotNull()).alias("obj_is_iri"),
-        F.when(F.col("__furi").isNotNull(), F.lit(None).cast("string"))
-        .otherwise(F.col("obj_datatype"))
-        .alias("obj_datatype"),
-        "src_url",
-    )
+    return _canonicalize_literals(exact, maybe_broadcast(best, broadcast_limit))
 
 
 def _char3grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -207,11 +201,21 @@ def link_fuzzy(
     m = mention_surfaces.select(F.col("mention").alias("m")).distinct()
     d = entity_dict.select("surface", "uri")
     # unified id space: mentions get even ids, dict entries odd
-    # (pmod first — ANSI mode rejects the raw xxhash64*2 overflow)
+    # (pmod first — ANSI mode rejects the raw xxhash64*2 overflow).
+    # The SHINGLE side must be one row per distinct surface: an
+    # ambiguous dictionary (same surface, several uris — what the
+    # priority column exists for) would otherwise emit every shingle
+    # once per uri under ONE doc_id and inflate jaccard past 1.0
+    # (regression caught by review after the _char3grams in-row-dedup
+    # rework removed the global distinct that masked it).
     m_ids = m.withColumn("doc_id", F.pmod(F.xxhash64("m"), F.lit(2**61)) * 2)
     d_ids = d.withColumn("doc_id", F.pmod(F.xxhash64("surface"), F.lit(2**61)) * 2 + 1)
+    d_surf_ids = (
+        d.select("surface").distinct()
+        .withColumn("doc_id", F.pmod(F.xxhash64("surface"), F.lit(2**61)) * 2 + 1)
+    )
     sh = _char3grams(m_ids, "doc_id", "m").unionByName(
-        _char3grams(d_ids, "doc_id", "surface")
+        _char3grams(d_surf_ids, "doc_id", "surface")
     )
     sh = scoped_persist(sh)  # feeds the signature agg and both sides of the verify
     cands = minhash_candidates(sh, k=12, bands=6)

@@ -202,19 +202,13 @@ def decontaminate(
     benchmark too large to broadcast (counted against broadcast_limit
     first — the promise is now enforced, round-2 verdict #6) falls back
     to a shuffle join on the n-gram string — still linear."""
-    from pyspark.sql.functions import broadcast
-
-    from rdf2smw_spark.session import scoped_persist
+    from rdf2smw_spark.session import maybe_broadcast, scoped_persist
 
     bm = benchmark.select("text").distinct()
     bm_ngrams = scoped_persist(
         _token_ngrams(bm.withColumn("doc_id", F.lit(0)), n).select("ngram").distinct()
     )
-    small = (
-        broadcast_limit is None
-        or bm_ngrams.limit(broadcast_limit + 1).count() <= broadcast_limit
-    )
-    probe = broadcast(bm_ngrams) if small else bm_ngrams
+    probe = maybe_broadcast(bm_ngrams, broadcast_limit)
     tr_ngrams = _token_ngrams(train, n)
     hits = (
         tr_ngrams.join(probe, "ngram")

@@ -21,6 +21,7 @@ from rdf2smw_spark.extract import extract_text, latest_capture
 from rdf2smw_spark.operators.convert import triples_to_pages
 from rdf2smw_spark.operators.render import collect_xml_file, render_all
 from rdf2smw_spark.plans.lineage import CheckpointStore
+from rdf2smw_spark.session import release_scoped_caches
 from rdf2smw_spark.sources.ntriples import read_ntriples
 from rdf2smw_spark.triplify import triplify
 
@@ -235,7 +236,7 @@ def run_web_pipeline(
         tpls, "templates_xml", resume, fingerprint=fpc.next("templates_xml")
     )
 
-    return {
+    res = {
         "pages_in": pages.count(),
         "extracted": extracted.count(),
         "triples": raw_triples.count(),
@@ -245,6 +246,14 @@ def run_web_pipeline(
         "templates_xml": tpls_x.count(),
         "run_id": store.run_id,
     }
+    # every stage is checkpointed and counted: the builders' scoped
+    # persists (minhash bands, decontam n-grams, fuzzy-link map,
+    # conversion dims) are dead weight now — release them so a
+    # long-lived session can run many pipelines without accumulating
+    # storage (the round-2 cache-leak verdict, closed at the call site
+    # that owns the terminal action)
+    release_scoped_caches()
+    return res
 
 
 def run_nt_pipeline(

@@ -101,3 +101,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+def maybe_broadcast(df: DataFrame, limit: int | None):
+    """F.broadcast(df) when df has at most `limit` rows (cheap
+    limit-count probe), plain df otherwise — the shared guard for
+    probe-side frames that are tiny on sane inputs but unbounded on
+    adversarial ones. Callers persist df first if the probe's count
+    would otherwise recompute an expensive plan."""
+    from pyspark.sql import functions as F
+
+    if limit is None:
+        return F.broadcast(df)
+    if df.limit(limit + 1).count() <= limit:
+        return F.broadcast(df)
+    return df

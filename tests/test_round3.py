@@ -229,3 +229,37 @@ def test_pipeline_fuzzy_link_stage(spark, tmp_path):
     t = linked.filter(F.col("pred").endswith("title")).first()
     assert t["obj"] == "http://example.org/entity/apache_spark"
     assert t["obj_is_iri"]
+
+
+def test_link_fuzzy_ambiguous_dict_surface(spark):
+    """Regression (round-3 review): a dictionary with the SAME surface
+    under two URIs (the ambiguity the priority column exists for) must
+    yield the same jaccard as a single-row dict — duplicate surfaces
+    once double-counted every shingle and produced jaccard > 1."""
+    from rdf2smw_spark.operators.linking import link_fuzzy
+
+    mentions = spark.createDataFrame([("apache sparkk",)], "mention string")
+    single = spark.createDataFrame(
+        [("apache spark", "http://e/u1", 1)], "surface string, uri string, priority int"
+    )
+    dup = spark.createDataFrame(
+        [("apache spark", "http://e/u1", 1), ("apache spark", "http://e/u2", 2)],
+        "surface string, uri string, priority int",
+    )
+    base = link_fuzzy(mentions, single, threshold=0.5).collect()
+    got = link_fuzzy(mentions, dup, threshold=0.5).collect()
+    assert len(base) == 1 and 0 < base[0]["jaccard"] <= 1.0
+    # both uris surface as candidates, each with the CORRECT jaccard
+    assert sorted(r["uri"] for r in got) == ["http://e/u1", "http://e/u2"]
+    assert all(r["jaccard"] == base[0]["jaccard"] for r in got)
+
+
+def test_cli_fuzzy_without_dict_errors(capsys):
+    from rdf2smw_spark.__main__ import main
+
+    try:
+        main(["--out", "/tmp/x", "--mode", "web", "--pages", "/tmp/p",
+              "--fuzzy-link-threshold", "0.5"])
+    except SystemExit:
+        pass
+    assert "requires --entity-dict" in capsys.readouterr().err
