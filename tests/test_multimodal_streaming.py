@@ -313,3 +313,51 @@ def test_stream_url_dedup_ttl_expires_state(spark, tmp_path):
     drain([(a, datetime(2024, 1, 1, 2), "en")], 3)         # A re-emits (state gone)
     urls = [r["url"] for r in spark.read.parquet(out).collect()]
     assert sorted(urls) == [a, a, b]
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path):
+    """Real watermark semantics across micro-batches: an event arriving
+    2h+ behind the observed max ts is DROPPED from its (already
+    watermark-closed) window, while a batch aggregation would count it.
+    Sequential availableNow drains against one checkpoint advance the
+    watermark between batches; append mode emits a window only once the
+    watermark passes its end."""
+    import os
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import windowed_capture_counts
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    sch = "url string, warc_ts timestamp, lang string"
+
+    def drain(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = (
+            windowed_capture_counts(
+                spark.readStream.schema(schema).parquet(src),
+                window="1 hour",
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    d = datetime
+    drain([("u1", d(2024, 1, 1, 10, 0), "en"), ("u2", d(2024, 1, 1, 10, 15), "en")])
+    # late straggler (07:30 << watermark 08:15) + a watermark advancer
+    drain([("u3", d(2024, 1, 1, 7, 30), "en"), ("u4", d(2024, 1, 1, 14, 0), "en")])
+    # advance watermark past 15:00 so the 14:00 window also emits
+    drain([("u5", d(2024, 1, 2, 0, 0), "en")])
+
+    got = {
+        (r["window_start"].hour, r["n_captures"])
+        for r in spark.read.parquet(out).filter("window_start < '2024-01-01 23:00:00'").collect()
+    }
+    assert (10, 2) in got      # on-time window emitted complete
+    assert (14, 1) in got      # advancer's own window emitted
+    assert not any(h == 7 for h, _ in got)  # the late event's window never appears
