@@ -429,3 +429,37 @@ def top_ngrams_sql(docs_sql: str, n: int = 2, k: int = 20) -> str:
         FROM agg
     ) WHERE rank <= {k}
     """
+
+
+def stratified_sample(docs: DataFrame, per_lang: int = 50) -> DataFrame:
+    """(doc_id, lang): a deterministic pseudo-random sample of `per_lang`
+    documents per language — the data-mixing primitive a training
+    pipeline uses to hit a target language distribution. Order is the
+    md5 of the doc id (uniform, engine-portable — unlike xxhash64/hash,
+    which DuckDB lacks/computes differently), doc_id tiebreak, so the
+    SAME sample reproduces at any parallelism and in any engine. One
+    shuffle keyed on lang; with very few languages and 10^12 docs the
+    same plan runs on a salted composite key, documented here rather
+    than speculatively coded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_lang)
+        .select("doc_id", "lang")
+    )
+
+
+def stratified_sample_sql(docs_sql: str, per_lang: int = 50) -> str:
+    return f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM {docs_sql}
+    ) WHERE rn <= {per_lang}
+    """

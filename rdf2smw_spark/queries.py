@@ -251,6 +251,11 @@ def q_ta_top_ngrams(spark, sf_dir):
     return ta.top_ngrams(_docs(spark, sf_dir))
 
 
+def q_ta_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sample (training-mix primitive)."""
+    return ta.stratified_sample(_docs(spark, sf_dir))
+
+
 def q_ta_repetition(spark, sf_dir):
     """Repetition-based quality signals (Gopher/C4-style): duplicate
     lines, most-frequent-bigram fraction, duplicate-token fraction."""
@@ -466,6 +471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_decontam": q_ta_decontam,
     "ta_repetition": q_ta_repetition,
     "ta_corpus_stats": q_ta_corpus_stats,
+    "ta_stratified_sample": q_ta_stratified_sample,
     "ta_top_ngrams": q_ta_top_ngrams,
     "dd_exact": q_dd_exact,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
@@ -541,6 +547,7 @@ ORACLES: dict[str, str] = {
     "ta_fingerprints": ta.fingerprints_sql("documents"),
     "ta_repetition": ta.repetition_score_sql("documents"),
     "ta_corpus_stats": ta.corpus_stats_sql("documents"),
+    "ta_stratified_sample": ta.stratified_sample_sql("documents"),
     "ta_top_ngrams": ta.top_ngrams_sql("documents"),
     "ta_decontam": ta.decontaminate_sql(
         f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",

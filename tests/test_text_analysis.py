@@ -80,3 +80,16 @@ def test_corpus_stats_and_top_ngrams_planted(spark):
     tg = top_ngrams(docs, n=2, k=3).collect()
     assert tg[0]["ngram"] == "alpha beta" and tg[0]["n_occurrences"] == 3
     assert tg[0]["n_docs"] == 2 and tg[0]["rank"] == 1
+
+
+def test_stratified_sample_deterministic(spark):
+    from rdf2smw_spark.operators.text_analysis import stratified_sample
+
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    a = sorted(map(tuple, stratified_sample(docs, per_lang=5).collect()))
+    b = sorted(map(tuple, stratified_sample(docs.repartition(7), per_lang=5).collect()))
+    assert a == b  # same sample at any partitioning
+    from collections import Counter
+    per = Counter(lang for _, lang in a)
+    assert per == {"en": 5, "de": 5, "fr": 5}
