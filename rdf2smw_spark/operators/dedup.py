@@ -153,6 +153,26 @@ def char_shingles_sql(docs_sql: str, n: int = SHINGLE_LEN, max_df: int | None = 
 )"""
 
 
+def _guarded_jaccard():
+    """round(|A∩B| / |A∪B|, 4) with the one-row-per-doc_id contract
+    enforced LOUDLY (ADVICE r3): char_shingles documents — but cannot
+    itself check — that callers pass one row per doc_id. A violation
+    duplicates shingles, making |A∩B| exceed |A∪B| and "jaccard" exceed
+    1.0, silently corrupting every downstream threshold. The guard
+    lives inside the value expression (not a droppable side column that
+    Catalyst would prune away unevaluated): an intersection larger than
+    the union raises at execution time."""
+    union = F.col("na") + F.col("nb") - F.col("n_int")
+    return F.when(
+        F.col("n_int") <= union, F.round(F.col("n_int") / union, 4)
+    ).otherwise(
+        F.expr(
+            "CAST(raise_error('jaccard > 1: shingle input violates the "
+            "one-row-per-doc_id contract (duplicate doc_id rows)') AS DOUBLE)"
+        )
+    )
+
+
 def jaccard_pairs(shingles: DataFrame, threshold: float = 0.6) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
     Self-join on shingle -> |intersection|; sizes -> |union|."""
@@ -167,11 +187,10 @@ def jaccard_pairs(shingles: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))
     return (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", _guarded_jaccard().alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -259,11 +278,10 @@ def jaccard_for_pairs(
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))
     return (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", _guarded_jaccard().alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

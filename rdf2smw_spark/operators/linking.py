@@ -22,8 +22,16 @@ DICT_SIZE = 50
 
 def corpus_entity_dict(docs: DataFrame, k: int = DICT_SIZE) -> DataFrame:
     """(surface, uri, priority): top-k tokens by document frequency,
-    ties broken alphabetically — deterministic at any parallelism."""
-    from pyspark.sql import Window
+    ties broken alphabetically — deterministic at any parallelism.
+
+    Scale shape (round-3 verdict #1 fix): the old global
+    ``Window.orderBy(df desc, surface)`` ranked EVERY distinct corpus
+    token (10^8+ at web scale) through one reducer. Now the top-k runs
+    as ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+    k-row heaps, driver merge), and priority is derived from an in-row
+    array_sort over the k survivors — no Window anywhere in the plan
+    (operators/topk.py). Same rows, same priorities, same hash."""
+    from rdf2smw_spark.operators.topk import global_topk_ranked
 
     tok = (
         docs.select("doc_id", F.explode(F.expr(_tokens("text"))).alias("surface"))
@@ -31,15 +39,13 @@ def corpus_entity_dict(docs: DataFrame, k: int = DICT_SIZE) -> DataFrame:
         .distinct()
     )
     freq = tok.groupBy("surface").agg(F.count("*").alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("surface"))
-    return (
-        freq.withColumn("priority", F.row_number().over(w))
-        .filter(F.col("priority") <= k)
-        .select(
-            "surface",
-            F.concat(F.lit(ENTITY_NS), F.col("surface")).alias("uri"),
-            "priority",
-        )
+    ranked = global_topk_ranked(
+        freq, [("df", "desc"), ("surface", "asc")], k, rank_col="priority"
+    )
+    return ranked.select(
+        "surface",
+        F.concat(F.lit(ENTITY_NS), F.col("surface")).alias("uri"),
+        "priority",
     )
 
 

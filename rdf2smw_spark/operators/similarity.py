@@ -528,6 +528,7 @@ def ivf_train(
         F.col("embedding").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+    prev_ckpt = None  # superseded checkpoint, released once replaced
     for _ in range(iters):
         score = F.round(
             F.expr(DOT.format(a="embedding", b="cvec")) / (F.col("norm") * F.col("cnorm")), 6
@@ -579,6 +580,18 @@ def ivf_train(
             .select("list_id", F.coalesce("cvec", "old_cvec").alias("cvec"))
         )
         cent = _with_norm(cent, "cvec").withColumnRenamed("norm", "cnorm")
+        # truncate lineage per iteration (round-3 verdict #6): without
+        # this the centroid plan nests one full assignment+mean subtree
+        # per iteration — harmless at iters=2, plan explosion at 20+.
+        # The table is n_lists rows, so the checkpoint is ~free; same
+        # discipline as the class-depth fixpoint and dedup_clusters.
+        # eager=True materializes the NEW checkpoint before the previous
+        # one is released (localCheckpoint data is unrecoverable after
+        # unpersist); the final iteration's stays — the result reads it.
+        cent = cent.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = cent
     return cent.select("list_id", F.posexplode("cvec").alias("pos", "component"))
 
 

@@ -19,6 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 # queries would accumulate them forever (round-2 verdict). Builders route
 # through scoped_persist(); callers that own the terminal action (bench
 # runner, pipeline, tests) call release_scoped_caches() afterwards.
+#
+# Blast radius (ADVICE r3): the registry is PROCESS-GLOBAL, not per-
+# composition — release_scoped_caches() unpersists frames registered by
+# ANY in-flight composition in the process, including another thread's.
+# The failure mode is recomputation (a released frame re-materializes on
+# next use), never wrong answers, so the single sequential driver this
+# repo runs (CLI, bench, pytest, oracle checker) is safe; a caller
+# interleaving pipelines concurrently in one process must serialize its
+# release points at composition boundaries.
 
 _SCOPED_CACHES: list[DataFrame] = []
 

@@ -56,6 +56,8 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from rdf2smw_spark.session import release_scoped_caches
+
     failures = []
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -67,6 +69,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        finally:
+            # each query's scoped persists (minhash bands, shingles,
+            # conversion dims) are dead after its toPandas — release per
+            # iteration or the 47-query sweep accumulates them all
+            # (memory pressure/spill at larger sf dirs; ADVICE r3)
+            release_scoped_caches()
         if name not in ORACLES:
             print(f"ok    {name}: rows-only ({len(sdf)} rows, {time.monotonic()-t0:.1f}s)")
             if len(sdf) == 0:
