@@ -152,14 +152,6 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _floor_eff(draws: dict[int, list[dict]], lo: int, hi: int) -> float:
-    if not draws.get(lo) or not draws.get(hi):
-        return 0.0
-    t_lo = min(d["elapsed_sec"] for d in draws[lo])
-    t_hi = min(d["elapsed_sec"] for d in draws[hi])
-    return t_lo / ((hi / lo) * t_hi)
-
-
 def run_scaling() -> dict:
     """Two scaling pairs, EQUAL standing in the JSON (both carry floor
     AND median efficiency plus every raw draw — cross-round comparisons
@@ -172,14 +164,15 @@ def run_scaling() -> dict:
         heap/allocator — measures this box's DRAM ceiling and
         understates executor scaling; analysis in BASELINE.md).
 
-    Interference handling: parallelism levels are interleaved and
-    per-level floors taken (a slow draw can only leave the floor
-    unchanged). If the north-rule floor efficiency still reads below
-    target — the shape round-2's official artifact caught, where one
-    interference window inflated only the 4-executor draws — up to
-    SPARK_GRAFT_SCALE_EXTRA additional interleaved pairs are probed.
-    More draws never fabricate speed: floors converge monotonically to
-    the machine's steady state, and every draw is recorded."""
+    Interference handling (FIXED-DRAW protocol, ADVICE r3): parallelism
+    levels are interleaved and per-level floors taken (a slow draw can
+    only leave the floor unchanged), and the number of pair rounds is
+    set A PRIORI by SPARK_GRAFT_SCALE_PAIRS (default 3 → 6 draws per
+    level). Round 3's adaptive retry — probe extra pairs only while the
+    floor efficiency read below target — was outcome-conditioned
+    (optional stopping) and is gone: the draw count never depends on
+    the observed efficiency, so the reported floors/medians carry no
+    stopping bias. Every raw draw is recorded."""
     _ensure_probe_input()
     shared: dict[int, list[dict]] = {8: [], 32: []}
     for cores in (8, 32, 8, 32):
@@ -194,15 +187,9 @@ def run_scaling() -> dict:
             if m:
                 cl[execs].append(m)
 
-    cluster_pair()
-    cluster_pair()  # 4 draws/level baseline (round-2 parity)
-    target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "2"))
-    extra = 0
-    # no-data guard: if cluster probes failed entirely, retrying won't help
-    while cl[1] and cl[4] and _floor_eff(cl, 1, 4) < target + 0.02 and extra < max_extra:
+    n_pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    for _ in range(n_pair_rounds):
         cluster_pair()
-        extra += 1
 
     def eff(res: dict[int, list[dict]], lo: int, hi: int, label: str) -> dict:
         tl = [d["elapsed_sec"] for d in res[lo]]
@@ -238,7 +225,8 @@ def run_scaling() -> dict:
         "replication": REPLICATION,
         "n_triples": shared[32][0]["n_triples"] if shared[32] else None,
         "n_pages": shared[32][0]["n_pages"] if shared[32] else None,
-        "extra_pairs_probed": extra,
+        "protocol": f"fixed-draw: {n_pair_rounds} pair rounds set a priori, "
+                    "no outcome-conditioned stopping",
         "pairs": pairs,
     }
 
@@ -275,18 +263,49 @@ def main() -> None:
     times: dict[str, float] = {}
     times_median: dict[str, float] = {}
     counts: dict[str, int] = {}
-    # two draws per query: floor (steady state on this interference-prone
-    # VM) AND median reported, so cross-round comparisons can use either
+    # Interference hardening for the HEADLINE block (round-3 verdict #2:
+    # the scaling pairs were hardened, but the headline queries recorded
+    # whatever window they landed in — official 67.6s vs 31.4-34.8s
+    # same-code runs). Two defenses:
+    #   1. INTERLEAVED rounds: the whole query list runs per round, so a
+    #      multi-minute interference window inflates one round's draws
+    #      while each query's floor recovers from the other rounds
+    #      (sequential per-query draws both landed inside the window).
+    #   2. Per-query spread-triggered re-draws: when a query's
+    #      median/floor spread exceeds the documented ~2x interference
+    #      band, up to HEADLINE_EXTRA more draws run. Unlike the
+    #      efficiency-ratio retry ADVICE r3 flagged, a timing FLOOR is
+    #      bounded below by the machine's steady state — interference
+    #      only ever adds time — so extra draws converge the floor
+    #      monotonically toward the true value and cannot bias it past
+    #      it. The trigger is a dispersion diagnostic, not the reported
+    #      statistic crossing a target. All draws are recorded.
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
+    extra_max = int(os.environ.get("SPARK_GRAFT_HEADLINE_EXTRA", "2"))
+    spread_band = float(os.environ.get("SPARK_GRAFT_SPREAD_BAND", "1.5"))
+    draws_by_q: dict[str, list[float]] = {n: [] for n in HEADLINE}
+
+    def one_draw(name: str) -> None:
+        spark.catalog.clearCache()
+        release_scoped_caches()
+        t0 = time.monotonic()
+        counts[name] = QUERIES[name](spark, SF_DIR).count()
+        draws_by_q[name].append(time.monotonic() - t0)
+
+    for _ in range(rounds):
+        for name in HEADLINE:
+            one_draw(name)
     for name in HEADLINE:
-        draws = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            release_scoped_caches()
-            t0 = time.monotonic()
-            counts[name] = QUERIES[name](spark, SF_DIR).count()
-            draws.append(time.monotonic() - t0)
-        times[name] = round(min(draws), 3)
-        times_median[name] = round(_median(draws), 3)
+        extra = 0
+        while (
+            _median(draws_by_q[name]) / min(draws_by_q[name]) > spread_band
+            and extra < extra_max
+        ):
+            one_draw(name)
+            extra += 1
+    for name in HEADLINE:
+        times[name] = round(min(draws_by_q[name]), 3)
+        times_median[name] = round(_median(draws_by_q[name]), 3)
 
     # throughput on the flagship conversion (warm: codegen compiled by
     # the headline pass; this is the steady-state per-byte rate).
@@ -302,10 +321,20 @@ def main() -> None:
     n_triples = tri.count()
     conv_draws = []
     n_pages = 0
-    for _ in range(3):
+
+    def conv_draw() -> None:
+        nonlocal n_pages
         t0 = time.monotonic()
         n_pages = triples_to_pages(spark, tri, cache=False).count()
         conv_draws.append(time.monotonic() - t0)
+
+    for _ in range(3):
+        conv_draw()
+    # same spread-triggered hardening as the headline block
+    extra = 0
+    while _median(conv_draws) / min(conv_draws) > spread_band and extra < extra_max:
+        conv_draw()
+        extra += 1
     conv_sec = min(conv_draws)
     tri.unpersist()
     n_facts = counts.get("kg_fact_rows", 0)
@@ -353,6 +382,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_median": times_median,
+        "queries_draws": {
+            n: [round(x, 3) for x in ds] for n, ds in draws_by_q.items()
+        },
+        "headline_protocol": f"{rounds} interleaved rounds + spread-triggered "
+                             f"re-draws (band {spread_band}, max {extra_max})",
         "sf": SF_DIR,
         "throughput": {
             "triples_per_sec": round(n_triples / conv_sec),

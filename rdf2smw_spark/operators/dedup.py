@@ -223,16 +223,18 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_candidates(
+def minhash_bands(
     shingles: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
-    """LSH banding: hash each band of r=k/bands signature values; docs
-    colliding in any band are candidates. (doc_a, doc_b) distinct."""
+    """(doc_id, band, band_hash): the banded LSH signature frame — the
+    join key space of minhash_candidates, exposed separately so the
+    streaming near-dup state table (streaming/stream.py) can key its
+    cross-drain state on the exact same band hashes the batch path
+    joins on. All bands come from ONE pass over the signature
+    aggregation (explode of a band-struct array) — a per-band union
+    would re-run the k-way min-agg once per band."""
     r = k // bands
     sigs = minhash_signatures(shingles, k)
-    # all bands from ONE pass over the signature aggregation (explode of
-    # a band-struct array) — a per-band union re-runs the k-way min-agg
-    # once per band
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
@@ -242,10 +244,19 @@ def minhash_candidates(
         )
         for bnd in range(bands)
     ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+    return sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
-)
-    banded = scoped_persist(banded)  # feeds both halves of the self-join
+    )
+
+
+def minhash_candidates(
+    shingles: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """LSH banding: hash each band of r=k/bands signature values; docs
+    colliding in any band are candidates. (doc_a, doc_b) distinct."""
+    banded = scoped_persist(  # feeds both halves of the self-join
+        minhash_bands(shingles, k, bands)
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (

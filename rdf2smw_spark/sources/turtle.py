@@ -414,7 +414,7 @@ def parse_turtle_docs(docs: DataFrame, src_col: str = "src_url", text_col: str =
                 try:
                     for t in parse_turtle(text, src):
                         out.append((*t, src, None))
-                except (TurtleSyntaxError, Exception) as exc:  # noqa: BLE001
+                except Exception as exc:  # noqa: BLE001 — TurtleSyntaxError + any parser bug: both quarantine the doc
                     out.append((None, None, None, None, None, src, str(exc)))
             yield pd.DataFrame(
                 out,

@@ -227,3 +227,150 @@ def run_stream_triplify(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_near_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    schema,
+    ttl_seconds: int | None = None,
+) -> None:
+    """Cross-drain NEAR-duplicate suppression — the streaming lift of
+    the batch MinHash→connected-components dedup (round-3 verdict #7):
+    a recrawl whose text is merely similar (not byte-identical, so
+    dedup_stream_by_fingerprint passes it) is suppressed when any of
+    its MinHash LSH band hashes collides with a band seen in an earlier
+    drain inside the TTL window.
+
+    Design: foreachBatch + an explicit versioned band-key state table,
+    NOT applyInPandasWithState. The emit decision spans state KEYS (a
+    doc is new only if NONE of its bands has prior state), and chaining
+    a second stateful aggregation behind applyInPandasWithState is
+    unsupported in append mode — while a band-keyed state TABLE joined
+    per micro-batch expresses it exactly. This is the standard
+    production shape (Delta/Iceberg MERGE of an LSH-band table); here
+    the table is versioned parquet (state_dir/v=<batch_id>, latest
+    version wins, idempotent on batch replay).
+
+    Semantics: suppression fires on BAND COLLISION — the same candidate
+    signal the batch path verifies with exact Jaccard. The state table
+    stores band hashes, not shingle sets, so the streaming pass skips
+    the verify step; for md5-hashed r-row bands a collision between
+    genuinely dissimilar docs is ~2^-128, so the practical effect is the
+    LSH candidate curve itself (P = 1-(1-j^r)^bands). Within one batch
+    the same collision graph feeds dedup_clusters (hash-to-min CC) and
+    the MIN url per cluster survives — identical to near_dedup_pages.
+
+    TTL is EVENT-time (max warc_ts of the batch is the clock): state
+    rows idle past ttl_seconds are dropped before the probe join, so
+    state is bounded by bands active within one TTL window and an
+    expired near-dup re-emits — the same contract as the exact-dedup
+    operators' ProcessingTimeTimeout, but deterministic for replayed
+    crawl dumps. Activity refreshes the clock (every batch band upserts
+    last_ts, including suppressed docs' bands — sliding TTL).
+
+    Plan shape per batch: shingles+bands are linear map-side work, the
+    state probe is one shuffle join on (band, band_hash) (uniform md5
+    keys — no skew), CC runs on candidate edges only. No corpus
+    self-join, no driver-side loop over rows."""
+    import os as _os
+    import shutil as _shutil
+
+    from rdf2smw_spark.operators.dedup import (
+        char_shingles,
+        dedup_clusters,
+        minhash_bands,
+    )
+
+    def _latest_state():
+        if not _os.path.isdir(state_dir):
+            return None
+        vs = [d for d in _os.listdir(state_dir) if d.startswith("v=")]
+        if not vs:
+            return None
+        path = _os.path.join(state_dir, max(vs, key=lambda d: int(d[2:])))
+        return spark.read.parquet(path)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        # one row per url within the batch: earliest capture wins
+        docs = (
+            batch.filter(F.col("text").isNotNull())
+            .groupBy("url")
+            .agg(F.min(F.struct("warc_ts", "lang", "text")).alias("s"))
+            .select("url", "s.warc_ts", "s.lang", "s.text")
+            .persist()
+        )
+        if docs.limit(1).count() == 0:
+            docs.unpersist()
+            return
+        sh = char_shingles(docs.select(F.col("url").alias("doc_id"), "text"))
+        bb = minhash_bands(sh).persist()
+        clock = docs.agg(F.max("warc_ts")).first()[0]
+        state = _latest_state()
+        if state is not None and ttl_seconds is not None:
+            state = state.filter(
+                F.col("last_ts")
+                >= F.lit(clock) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+            )
+        if state is not None:
+            suppressed = (
+                bb.join(state.select("band", "band_hash"), ["band", "band_hash"])
+                .select("doc_id")
+                .distinct()
+            )
+            surv_bands = bb.join(suppressed, "doc_id", "left_anti")
+        else:
+            surv_bands = bb
+        a = surv_bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        b = surv_bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+        edges = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sdocs = surv_bands.select("doc_id").distinct()
+        keep = (
+            dedup_clusters(sdocs, edges)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select(F.col("doc_id").alias("url"))
+        )
+        docs.join(keep, "url").select("url", "warc_ts", "lang").write.mode(
+            "append"
+        ).parquet(out_dir)
+        # upsert: live prior state ∪ this batch's bands (ALL docs — a
+        # suppressed recrawl refreshes its colliding bands' clock)
+        batch_bands = bb.groupBy("band", "band_hash").agg(
+            F.min("doc_id").alias("first_url"), F.lit(clock).alias("last_ts")
+        )
+        prior = (
+            state.select("band", "band_hash", "first_url", "last_ts")
+            if state is not None
+            else None
+        )
+        merged = batch_bands if prior is None else prior.unionByName(batch_bands)
+        new_state = merged.groupBy("band", "band_hash").agg(
+            F.min("first_url").alias("first_url"), F.max("last_ts").alias("last_ts")
+        )
+        new_state.write.mode("overwrite").parquet(
+            _os.path.join(state_dir, f"v={batch_id}")
+        )
+        # retain only the latest two versions (current + rollback)
+        for d in _os.listdir(state_dir):
+            if d.startswith("v=") and int(d[2:]) < batch_id - 1:
+                _shutil.rmtree(_os.path.join(state_dir, d), ignore_errors=True)
+        bb.unpersist()
+        docs.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

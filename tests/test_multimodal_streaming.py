@@ -361,3 +361,110 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     assert (10, 2) in got      # on-time window emitted complete
     assert (14, 1) in got      # advancer's own window emitted
     assert not any(h == 7 for h, _ in got)  # the late event's window never appears
+
+
+# --- streaming NEAR-dup suppression (round-4: band-key state + TTL) ----------
+
+
+def _near_dedup_setup(tmp_path):
+    return (
+        str(tmp_path / "nd_src"),
+        str(tmp_path / "nd_out"),
+        str(tmp_path / "nd_ck"),
+        str(tmp_path / "nd_state"),
+    )
+
+
+_ND_SCHEMA = "url string, warc_ts timestamp, lang string, text string"
+
+_BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "astronauts catalog improbable minerals beneath the glacier and "
+    "the committee debates logistics of the northern expedition route"
+)
+
+
+def test_stream_near_dedup_suppresses_recrawl_within_ttl(spark, tmp_path):
+    """A near-duplicate (NOT identical) recrawl under a different url
+    must be suppressed on a later drain; after the event-time TTL it
+    must re-emit."""
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import run_stream_near_dedup
+
+    src, out, ck, state = _near_dedup_setup(tmp_path)
+    sch = _ND_SCHEMA
+
+    def drain():
+        run_stream_near_dedup(
+            spark, src, out, ck, state,
+            spark.read.parquet(src).schema, ttl_seconds=3600,
+        )
+
+    # drain 1: the original + one genuinely different doc
+    spark.createDataFrame(
+        [
+            ("https://a.example/1", datetime(2024, 1, 1, 10), "en", _BASE_TEXT),
+            ("https://b.example/1", datetime(2024, 1, 1, 10), "en",
+             "completely unrelated content about maritime signal flags and "
+             "the taxonomy of deepwater cephalopods in the southern ocean"),
+        ],
+        sch,
+    ).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    # drain 2 (inside TTL): a near-dup recrawl of doc A (small suffix,
+    # exactly the planted-positive shape of near_dup_corpus) + a new doc
+    spark.createDataFrame(
+        [
+            ("https://a.example/recrawl", datetime(2024, 1, 1, 10, 30), "en",
+             _BASE_TEXT + " extra tail words appended here"),
+            ("https://c.example/1", datetime(2024, 1, 1, 10, 30), "en",
+             "a third document on the economics of lighthouse maintenance "
+             "contracts along rocky coastlines during the winter season"),
+        ],
+        sch,
+    ).write.mode("append").parquet(src)
+    drain()
+    urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "https://c.example/1" in urls
+    assert "https://a.example/recrawl" not in urls, "near-dup must be suppressed"
+
+    # drain 3 (event time far past the TTL): the same near-dup re-emits
+    spark.createDataFrame(
+        [
+            ("https://a.example/later", datetime(2024, 1, 3, 10), "en",
+             _BASE_TEXT + " extra tail words appended here"),
+        ],
+        sch,
+    ).write.mode("append").parquet(src)
+    drain()
+    urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "https://a.example/later" in urls, "expired state must re-emit"
+
+
+def test_stream_near_dedup_within_batch_keeps_min_url(spark, tmp_path):
+    """Two near-dups arriving in the SAME drain collapse to one survivor
+    (the MIN url), exactly like the batch near_dedup_pages."""
+    from datetime import datetime
+
+    from rdf2smw_spark.streaming.stream import run_stream_near_dedup
+
+    src, out, ck, state = _near_dedup_setup(tmp_path)
+    spark.createDataFrame(
+        [
+            ("https://x.example/b", datetime(2024, 2, 1), "en",
+             _BASE_TEXT + " extra tail words appended here"),
+            ("https://x.example/a", datetime(2024, 2, 1), "en", _BASE_TEXT),
+            ("https://y.example/1", datetime(2024, 2, 1), "en",
+             "unrelated treatise concerning the migration patterns of arctic "
+             "terns and the instrumentation used to track their journeys"),
+        ],
+        _ND_SCHEMA,
+    ).write.mode("append").parquet(src)
+    run_stream_near_dedup(
+        spark, src, out, ck, state, spark.read.parquet(src).schema,
+    )
+    urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert urls == {"https://x.example/a", "https://y.example/1"}
