@@ -489,3 +489,102 @@ def stratified_sample_sql(docs_sql: str, per_lang: int = 50) -> str:
         FROM {docs_sql}
     ) WHERE rn <= {per_lang}
     """
+
+
+# --- PII scrubbing (round 4) -------------------------------------------------------
+
+# Engine-portable regexes: RE2 (DuckDB) has no \b or lookarounds and the
+# two engines disagree on string-literal escaping of \d/\s — so the
+# patterns use only [..] classes and \. / \+ escapes, which Java regex
+# and RE2 read identically, and they are injected through the Python API
+# (Spark) / single-quoted SQL (DuckDB) without re-escaping.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RX = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE_RX = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+_PII_STAGES = [
+    ("email", PII_EMAIL_RX, "<EMAIL>"),
+    ("ip", PII_IP_RX, "<IP>"),
+    ("phone", PII_PHONE_RX, "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone, text_clean): redact emails, IPv4
+    addresses, and phone-like digit runs — the standard PII pass a
+    training pipeline runs before release. Stages apply in a FIXED
+    order (email → ip → phone), each counting matches on the output of
+    the previous stage so an address is never double-counted as a phone
+    number; the oracle mirrors the same cascade. Pure JVM
+    regexp_replace/extract_all — a map-side projection, no shuffle, no
+    UDF; at 100 TB this fuses into the extraction scan stage."""
+    cur = F.col("text")
+    out = [F.col("doc_id")]
+    for name, rx, token in _PII_STAGES:
+        out.append(
+            F.size(F.regexp_extract_all(cur, F.lit(rx), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, rx, token)
+    out.append(cur.alias("text_clean"))
+    return docs.select(*out)
+
+
+def pii_scrub_sql(docs_sql: str) -> str:
+    cur = "text"
+    cols = ["doc_id"]
+    for name, rx, token in _PII_STAGES:
+        cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{rx}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{rx}', '{token}', 'g')"
+    cols.append(f"{cur} AS text_clean")
+    return f"SELECT {', '.join(cols)} FROM {docs_sql}"
+
+
+# --- token-length histogram (round 4) ----------------------------------------------
+
+HIST_BUCKET_WIDTH = 50
+HIST_MAX_BUCKET = 20
+
+
+def token_length_histogram(
+    docs: DataFrame,
+    width: int = HIST_BUCKET_WIDTH,
+    max_bucket: int = HIST_MAX_BUCKET,
+) -> DataFrame:
+    """(bucket, lo_tokens, n_docs): the corpus length distribution a
+    curation pipeline inspects before setting min/max-length gates.
+    bucket = min(n_tokens DIV width, max_bucket) — all-integer (no
+    float binning drift), the last bucket is open-ended. One map-side
+    token count + one tiny groupBy(bucket) shuffle (≤ max_bucket+1
+    groups); scale-independent output size."""
+    toks = f"size(filter({_tokens('text')}, t -> t <> ''))"
+    return (
+        docs.select(
+            F.expr(f"least(CAST({toks} AS BIGINT) DIV {width}, {max_bucket})").alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width).cast("long").alias("lo_tokens"),
+            "n_docs",
+        )
+    )
+
+
+def token_length_histogram_sql(
+    docs_sql: str, width: int = HIST_BUCKET_WIDTH, max_bucket: int = HIST_MAX_BUCKET
+) -> str:
+    toks = f"len(list_filter({_tokens('text', 'duckdb')}, t -> t <> ''))"
+    return f"""
+    SELECT bucket, CAST(bucket * {width} AS BIGINT) AS lo_tokens,
+           COUNT(*) AS n_docs
+    FROM (SELECT least(CAST({toks} AS BIGINT) // {width}, {max_bucket}) AS bucket
+          FROM {docs_sql})
+    GROUP BY bucket
+    """

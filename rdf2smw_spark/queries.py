@@ -256,6 +256,18 @@ def q_ta_stratified_sample(spark, sf_dir):
     return ta.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_ta_pii_scrub(spark, sf_dir):
+    """PII redaction cascade (email -> IPv4 -> phone) with per-kind
+    counts — the standard pre-release scrub; engine-portable regexes."""
+    return ta.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_ta_token_histogram(spark, sf_dir):
+    """Corpus token-length histogram (all-integer bucketing) — the
+    distribution behind min/max-length gate tuning."""
+    return ta.token_length_histogram(_docs(spark, sf_dir))
+
+
 def q_ta_repetition(spark, sf_dir):
     """Repetition-based quality signals (Gopher/C4-style): duplicate
     lines, most-frequent-bigram fraction, duplicate-token fraction."""
@@ -473,6 +485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_corpus_stats": q_ta_corpus_stats,
     "ta_stratified_sample": q_ta_stratified_sample,
     "ta_top_ngrams": q_ta_top_ngrams,
+    "ta_pii_scrub": q_ta_pii_scrub,
+    "ta_token_histogram": q_ta_token_histogram,
     "dd_exact": q_dd_exact,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_minhash_near_dups": q_dd_minhash_near_dups,
@@ -549,6 +563,8 @@ ORACLES: dict[str, str] = {
     "ta_corpus_stats": ta.corpus_stats_sql("documents"),
     "ta_stratified_sample": ta.stratified_sample_sql("documents"),
     "ta_top_ngrams": ta.top_ngrams_sql("documents"),
+    "ta_pii_scrub": ta.pii_scrub_sql("documents"),
+    "ta_token_histogram": ta.token_length_histogram_sql("documents"),
     "ta_decontam": ta.decontaminate_sql(
         f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
         "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",

@@ -214,3 +214,79 @@ def test_changed_benchmark_recomputes_decontam_on_resume(spark, sf_dir, tmp_path
     r3 = run_web_pipeline(spark, pages, work, resume=True, benchmark=bm_leak)
     assert r3["extracted"] == r2["extracted"]
     assert r3["pages_xml"] == r2["pages_xml"]
+
+
+# --- round-4 additions: PII scrub + token histogram --------------------------
+
+
+def test_pii_scrub_planted_values(spark):
+    """The sf docs carry no PII, so the oracle row-match alone is
+    vacuous for the redaction logic — plant real values and check the
+    cascade order (an email's digits never double-count as a phone)."""
+    from rdf2smw_spark.operators.text_analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob12345678@example.com or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.10.25 responded"),
+            (3, "no sensitive content here"),
+            (4, "two mails: a@b.io c@d.org and ip 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["text_clean"] and "<PHONE>" in rows[1]["text_clean"]
+    assert "bob12345678" not in rows[1]["text_clean"]
+    assert rows[2]["n_ip"] == 1 and "<IP>" in rows[2]["text_clean"]
+    # an IP must not be eaten by the phone pattern
+    assert rows[2]["n_phone"] == 0
+    assert rows[3]["n_email"] == rows[3]["n_ip"] == rows[3]["n_phone"] == 0
+    assert rows[3]["text_clean"] == "no sensitive content here"
+    assert rows[4]["n_email"] == 2 and rows[4]["n_ip"] == 1
+
+
+def test_pii_scrub_matches_duckdb_on_planted(spark):
+    """Cross-engine regex parity on text that actually exercises every
+    pattern (the registered sf-docs check is clean-input parity)."""
+    import duckdb
+    import pandas as pd
+
+    from rdf2smw_spark.operators.text_analysis import pii_scrub, pii_scrub_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail x9@site.net, host 8.8.8.8, tel 0812 345 6789 end",
+                "+44 20 7946 0958 is a number and so is 555-867-5309 ok",
+                "edge: v1.2.3.4000 and semi@mail 1.2.3.4",
+            ],
+        }
+    )
+    got = (
+        pii_scrub(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = (
+        con.sql(pii_scrub_sql("docs")).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ["n_email", "n_ip", "n_phone", "text_clean"]:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_token_histogram_buckets(spark):
+    from rdf2smw_spark.operators.text_analysis import token_length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, " ".join(["w"] * 75)), (3, " ".join(["w"] * 2000))],
+        "doc_id long, text string",
+    )
+    rows = {r["bucket"]: r for r in token_length_histogram(docs).collect()}
+    assert rows[0]["n_docs"] == 1 and rows[0]["lo_tokens"] == 0
+    assert rows[1]["n_docs"] == 1
+    assert rows[20]["n_docs"] == 1, "open-ended last bucket"
