@@ -3,10 +3,11 @@ columns with typed metadata, processed by Arrow-batched mapInPandas.
 
 Codec support is honest about the sandbox: PIL/ffmpeg/librosa are NOT in
 this container, so `fake=False` decodes REAL pixels/samples for the
-codec-less formats a pure-Python parser can handle — 24-bit BMP and
-binary PPM (P6) images, 16-bit PCM WAV audio — and raises
-NotImplementedError only for formats that genuinely need an external
-codec (JPEG/MP3/video). `fake=True` (test default for synthetic opaque
+formats decodable with the standard library alone — 24-bit BMP, binary
+PPM (P6), and non-interlaced 8-bit PNG (gray/RGB/RGBA; inflate via
+stdlib zlib, all five scanline filters) images, 16-bit PCM WAV audio —
+and raises NotImplementedError only for formats that genuinely need an
+external codec (JPEG/MP3/video). `fake=True` (test default for synthetic opaque
 payloads) runs the deterministic digest-based stand-in that exercises
 the same Spark-side plumbing — schema, batch shape, partitioning,
 metadata propagation — with no parsing at all.
@@ -58,10 +59,87 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
 # --- real codec-less decoders (pure Python, no PIL/ffmpeg) -------------------------
 
 
+def _decode_png(raw: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Non-interlaced 8-bit-depth PNG (color types 0 grayscale, 2 RGB,
+    6 RGBA — alpha dropped): IDAT inflate via stdlib zlib, then the five
+    scanline filters (None/Sub/Up/Average/Paeth) undone per the spec.
+    Palette/16-bit/interlaced variants raise NotImplementedError."""
+    import zlib
+
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = b""
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    data = zlib.decompress(idat)
+    stride = width * nch
+    px: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        f = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (row[i] + row[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - nch] if i >= nch else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        for cix in range(width):
+            o = cix * nch
+            if nch == 1:
+                v = row[o]
+                px.append((v, v, v))
+            else:
+                px.append((row[o], row[o + 1], row[o + 2]))
+        prev = row
+    return width, height, px
+
+
 def decode_image(raw: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """(width, height, row-major RGB pixels) for 24-bit uncompressed BMP
-    or binary PPM (P6). Pure struct/bytes parsing — the two formats that
-    need no codec library. Anything else raises NotImplementedError."""
+    """(width, height, row-major RGB pixels) for 24-bit uncompressed BMP,
+    binary PPM (P6), or non-interlaced 8-bit PNG — the formats decodable
+    with the standard library alone (PNG's deflate is stdlib zlib).
+    Anything else raises NotImplementedError."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(raw)
     if raw[:2] == b"BM":
         if len(raw) < 54:
             raise ValueError("truncated BMP header")
@@ -111,7 +189,7 @@ def decode_image(raw: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         px = [tuple(body[i : i + 3]) for i in range(0, need, 3)]
         return width, height, px
     raise NotImplementedError(
-        "image format needs an external codec (only BMP/PPM decode without PIL)"
+        "image format needs an external codec (only BMP/PPM/PNG decode without PIL)"
     )
 
 
@@ -253,6 +331,74 @@ def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> b
         "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return header + bytes(body)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced; color_type 0 gray /
+    2 RGB / 6 RGBA with opaque alpha) — lets tests build REAL PNG bytes
+    without PIL. filter_type applies the given scanline filter to every
+    row (0..4), so tests can exercise each unfilter branch of
+    _decode_png against an independent forward implementation."""
+    import zlib
+
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * nch
+    raw_rows = []
+    for r in range(height):
+        row = bytearray()
+        for c in range(width):
+            rr, g, b = pixels[r * width + c]
+            if color_type == 0:
+                row.append((rr + g + b) // 3)
+            elif color_type == 2:
+                row += bytes((rr, g, b))
+            else:
+                row += bytes((rr, g, b, 255))
+        raw_rows.append(row)
+    body = bytearray()
+    prev = bytearray(stride)
+    for row in raw_rows:
+        body.append(filter_type)
+        for i in range(stride):
+            a = row[i - nch] if i >= nch else 0
+            b_ = prev[i]
+            c_ = prev[i - nch] if i >= nch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b_
+            elif filter_type == 3:
+                pred = (a + b_) >> 1
+            else:  # Paeth
+                p = a + b_ - c_
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+            body.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav(sample_rate: int, samples: list[float], channels: int = 1) -> bytes:

@@ -468,3 +468,54 @@ def test_stream_near_dedup_within_batch_keeps_min_url(spark, tmp_path):
     )
     urls = {r["url"] for r in spark.read.parquet(out).collect()}
     assert urls == {"https://x.example/a", "https://y.example/1"}
+
+
+# --- PNG decode (round 4: the last stdlib-decodable image seam closed) -------
+
+
+def test_png_roundtrip_all_filters():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) decodes back to
+    the exact pixels — encoder and decoder implement the filters
+    independently (forward vs inverse), so agreement is evidence."""
+    px = [
+        ((r * 37 + c * 91) % 256, (r * 11 + c * 3) % 256, (r * 201 + c * 53) % 256)
+        for r in range(5)
+        for c in range(7)
+    ]
+    for ft in range(5):
+        raw = mm.encode_png(7, 5, px, color_type=2, filter_type=ft)
+        w, h, got = mm.decode_image(raw)
+        assert (w, h) == (7, 5) and got == px, f"filter {ft}"
+
+
+def test_png_gray_and_rgba():
+    px = [(i * 8 % 256,) * 3 for i in range(12)]
+    for ct in (0, 6):
+        raw = mm.encode_png(4, 3, px, color_type=ct, filter_type=4)
+        w, h, got = mm.decode_image(raw)
+        assert (w, h) == (4, 3) and got == px, f"color_type {ct}"
+
+
+def test_png_features_through_spark(spark):
+    """fake=False computes real pixel statistics from PNG bytes inside
+    the Arrow-batched kernel, same as BMP/PPM."""
+    green = mm.encode_png(4, 2, [(0, 255, 0)] * 8, filter_type=2)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(green), 4, 2, None, None)], mm.MEDIA_SCHEMA
+    )
+    feats = mm.extract_features(media, fake=False).collect()[0]["feature"]
+    assert feats[2] == 0.0 and abs(feats[3] - 1.0) < 1e-6 and feats[4] == 0.0
+
+
+def test_png_unsupported_variants_raise():
+    import struct as st
+    import zlib
+
+    # 16-bit depth header
+    ihdr = st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = lambda t, d: st.pack(">I", len(d)) + t + d + st.pack(
+        ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+    )
+    raw = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(raw)

@@ -96,9 +96,21 @@ def test_registry_sweep_releases_all_scoped_caches(spark, sf_dir):
     from rdf2smw_spark.queries import QUERIES
     from rdf2smw_spark.session import release_scoped_caches
 
-    size = lambda: spark.sparkContext._jsc.getPersistentRDDs().size()
+    # Track RDD IDS, not counts: earlier tests' terminal localCheckpoint
+    # RDDs (iterative loops keep their LAST checkpoint alive — the
+    # result reads it) are reaped ASYNCHRONOUSLY by the ContextCleaner
+    # once their DataFrames are GC'd, so absolute counts can shrink (or
+    # not) at any moment during this test and both == and <= on sizes
+    # are racy. The invariant under test is exactly: every persistent
+    # RDD the sweep itself registered is gone after the release — which
+    # the id-set difference states directly, immune to concurrent
+    # cleanup of OLD ids.
+    def ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
     release_scoped_caches()
-    base = size()
+    base_ids = ids()
     for name in [
         "dd_minhash_near_dups",
         "ann_topk_lsh",
@@ -108,16 +120,11 @@ def test_registry_sweep_releases_all_scoped_caches(spark, sf_dir):
         "kg_fact_rows",
     ]:
         QUERIES[name](spark, sf_dir).count()
-    assert size() > base, "caching queries should have registered persists"
+    new_ids = ids() - base_ids
+    assert new_ids, "caching queries should have registered persists"
     released = release_scoped_caches()
     assert released > 0
-    # <= not ==: earlier tests' terminal localCheckpoint RDDs (iterative
-    # loops keep their LAST checkpoint alive — the result reads it) are
-    # reaped asynchronously by the ContextCleaner once their DataFrames
-    # are GC'd, so the absolute count can legitimately SHRINK during
-    # this test. The invariant under test is only that the sweep's own
-    # scoped persists are all gone.
-    assert size() <= base
+    assert not (ids() & new_ids), "sweep-registered persists must all be gone"
 
 
 # --- resume fingerprinting (ADVICE r2, medium) -------------------------------------
