@@ -17,7 +17,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -55,13 +55,23 @@ class CheckpointStore:
 
     def _append_lineage(self, stage: str, wall_ms: int) -> None:
         out = self.read(stage)
+        # partition_id parses the writer's own part number out of the
+        # file name (part-NNNNN-...) instead of a dense_rank over an
+        # UNPARTITIONED window — one row per file still meant one
+        # reducer sorting every split name (10^6-10^8 rows per stage at
+        # web scale). -1 flags a non-Spark-written file (external table
+        # import); ids stay exactly the contiguous 0..n-1 the writer
+        # assigned, so the lineage semantics are unchanged.
+        part_no = F.regexp_extract(F.col("input_split"), "part-([0-9]+)", 1)
         lin = (
             out.groupBy(F.input_file_name().alias("input_split"))
             .agg(F.count("*").alias("rows_out"))
             .select(
                 F.lit(self.run_id).alias("run_id"),
                 F.lit(stage).alias("stage"),
-                (F.dense_rank().over(Window.orderBy("input_split")) - 1).alias("partition_id"),
+                F.when(part_no != "", part_no.cast("int"))
+                .otherwise(F.lit(-1))
+                .alias("partition_id"),
                 "input_split",
                 F.col("rows_out").cast("long"),
                 F.lit(wall_ms).cast("long").alias("wall_ms"),

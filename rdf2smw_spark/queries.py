@@ -400,15 +400,16 @@ def q_kg_linked_triples(spark, sf_dir):
         .groupBy("surface")
         .agg(F.count("*").alias("df"))
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("surface"))
-    d = (
-        freq.withColumn("priority", F.row_number().over(w))
-        .filter(F.col("priority") <= LINK_DICT_K)
-        .select(
-            "surface",
-            F.concat(F.lit(lk.ENTITY_NS), F.col("surface")).alias("uri"),
-            "priority",
-        )
+    # same Window-free top-k shape as corpus_entity_dict (round-4 fix):
+    # TakeOrderedAndProject + in-row rank, no single-reducer sort
+    from rdf2smw_spark.operators.topk import global_topk_ranked
+
+    d = global_topk_ranked(
+        freq, [("df", "desc"), ("surface", "asc")], LINK_DICT_K, rank_col="priority"
+    ).select(
+        "surface",
+        F.concat(F.lit(lk.ENTITY_NS), F.col("surface")).alias("uri"),
+        "priority",
     )
     return lk.link_triples(t, d)
 
