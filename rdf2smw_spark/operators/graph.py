@@ -1,0 +1,169 @@
+"""Graph analytics over the constructed KG: PageRank entity importance.
+
+The canonical iterative graph operator a KG-construction engine ships —
+"which entities matter" over the subject→object edge set the pipeline
+materializes. Engine-portable determinism uses the same exact
+scaled-BIGINT summation discipline as ivf_train (similarity.py): the
+per-node incoming-mass sum is the ONLY place floating-point summation
+order could differ across partitionings/engines, so each edge's
+contribution quantizes to a BIGINT (half-away-from-zero at 1e12 — one
+correctly-rounded IEEE op per step) and the sum is exact integer
+arithmetic. Because total rank mass is ≤ 1, the quantized sum is
+bounded by ~1e12 regardless of corpus size — no overflow at ANY scale.
+Every other arithmetic step is a fixed sequence of IEEE double ops over
+exact inputs, mirrored token-for-token in the DuckDB twin (constants
+CAST to DOUBLE there — DuckDB otherwise parses 0.85 as DECIMAL and
+diverges from IEEE).
+
+Plan shape per iteration: one (src)-keyed broadcast-or-shuffle join of
+ranks onto edges, one (dst)-keyed exact-sum aggregation, one 1-row
+dangling-mass aggregate (a bounded driver scalar, like the fixpoint
+convergence probes), and a localCheckpoint to truncate lineage. No
+vector of ranks ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.session import scoped_persist
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+_Q = "1000000000000.0"  # quantization scale (1e12)
+
+
+def _quant(expr: str) -> str:
+    """Half-away-from-zero quantization to a scaled BIGINT — float→
+    double then one correctly-rounded multiply/add/floor each, so the
+    integers are bit-identical across engines (same formula as
+    ivf_train's exact means)."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 0"
+        f" THEN floor(({expr}) * {_Q} + 0.5)"
+        f" ELSE ceil(({expr}) * {_Q} - 0.5) END AS BIGINT)"
+    )
+
+
+def link_edges(triples: DataFrame) -> DataFrame:
+    """(src, dst): the distinct entity-to-entity edge set of the KG —
+    every triple whose object is an IRI, self-loops dropped."""
+    return (
+        triples.filter(F.col("obj_is_iri") & (F.col("subj") != F.col("obj")))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING
+) -> DataFrame:
+    """(uri, rank_e12): PageRank over (src, dst) edges after `iters`
+    power iterations, emitted as the exact scaled-BIGINT rank (rank ×
+    1e12, half-away rounded) so the oracle compare is integer-exact.
+
+    Dangling-node mass (out-degree 0) redistributes uniformly each
+    iteration — computed as a 1-row exact-integer aggregate collected
+    to the driver (bounded: one scalar per iteration). Ranks stay
+    distributed; the per-iteration localCheckpoint keeps the plan flat
+    at any iteration count (same discipline as ivf_train/CC)."""
+    e = scoped_persist(edges.select("src", "dst").distinct())
+    nodes = scoped_persist(
+        e.select(F.col("src").alias("uri"))
+        .unionByName(e.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = scoped_persist(e.groupBy("src").agg(F.count("*").alias("od")))
+    base = (1 - damping) / n  # python IEEE: (1-d) then /n — mirrored in SQL
+    rank = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    prev_ckpt = rank
+    for _ in range(iters):
+        r_od = rank.join(outdeg, rank.uri == outdeg.src, "left")
+        contrib = (
+            e.join(
+                r_od.select(
+                    F.col("src").alias("__src"),
+                    F.expr(_quant("rank / CAST(od AS DOUBLE)")).alias("qc"),
+                ).filter(F.col("__src").isNotNull()),
+                e.src == F.col("__src"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("qc").alias("s"))
+        )
+        dm_row = (
+            r_od.filter(F.col("od").isNull())
+            .agg(F.sum(F.expr(_quant("rank"))).alias("dm"))
+            .first()
+        )
+        dm = int(dm_row["dm"] or 0)
+        dm_over = dm / float(_Q) / n  # python: /1e12 then /n — mirrored
+        new_rank = (
+            nodes.join(contrib, nodes.uri == contrib.dst, "left")
+            .select(
+                "uri",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(float(_Q))
+                        + F.lit(dm_over)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_ckpt.unpersist()
+        prev_ckpt = new_rank
+        rank = new_rank
+    return rank.select("uri", F.expr(_quant("rank")).alias("rank_e12"))
+
+
+def pagerank_sql(
+    triples_sql: str, iters: int = PR_ITERS, damping: float = PR_DAMPING
+) -> str:
+    """Unrolled-CTE DuckDB twin (same pattern as ivf_train_sql): every
+    constant CAST to DOUBLE so DuckDB's DECIMAL literal arithmetic never
+    enters; op order mirrors pagerank() token-for-token."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"""e AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
+        WHERE obj_is_iri AND subj <> obj
+    ),
+    nodes AS (SELECT src AS uri FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    rank_0 AS (
+        SELECT uri, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"rank_{it - 1}"
+        parts.append(f"""contrib_{it} AS (
+        SELECT e.dst, SUM({_quant('r.rank / CAST(o.od AS DOUBLE)')}) AS s
+        FROM e
+        JOIN {prev} r ON r.uri = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    dang_{it} AS (
+        SELECT COALESCE(SUM({_quant('r.rank')}), 0) AS dm
+        FROM {prev} r LEFT JOIN outdeg o ON o.src = r.uri
+        WHERE o.src IS NULL
+    ),
+    rank_{it} AS (
+        SELECT n.uri,
+               (CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+               + {d} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / {_Q}
+                        + (CAST((SELECT dm FROM dang_{it}) AS DOUBLE) / {_Q})
+                          / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN contrib_{it} c ON c.dst = n.uri
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT uri, {_quant('rank')} AS rank_e12 FROM rank_{iters}
+    """

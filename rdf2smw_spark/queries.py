@@ -23,6 +23,7 @@ from rdf2smw_spark.extract import (
 )
 from rdf2smw_spark.functions.textnorm import sql_local_name, sql_wiki_title_full
 from rdf2smw_spark.operators import dedup as dd
+from rdf2smw_spark.operators import graph as gr
 from rdf2smw_spark.operators import linking as lk
 from rdf2smw_spark.operators import similarity as sim
 from rdf2smw_spark.operators import text_analysis as ta
@@ -387,6 +388,16 @@ def q_link_exact(spark, sf_dir):
 LINK_DICT_K = 20
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank entity importance over the KG's subject->object edge
+    set — the canonical iterative graph pass a kg-construction engine
+    ships. Exact scaled-BIGINT summation makes the result integer-exact
+    against the unrolled-CTE DuckDB twin at any parallelism."""
+    from rdf2smw_spark.operators.graph import link_edges, pagerank
+
+    return pagerank(link_edges(testdata_triples(spark, sf_dir)))
+
+
 def q_kg_linked_triples(spark, sf_dir):
     """LINK stage (pipeline stage 3) over the KG stream: the entity
     dictionary is the top-K most frequent literal surfaces (ties broken
@@ -505,6 +516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_exact": q_link_exact,
     "link_fuzzy": q_link_fuzzy,
     "kg_linked_triples": q_kg_linked_triples,
+    "kg_pagerank": q_kg_pagerank,
     "ev_window_counts": q_ev_window_counts,
     "ev_sessionize": q_ev_sessionize,
 }
@@ -585,6 +597,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_ivf": sim.ann_topk_ivf_sql(_EMB_SQL, n_queries=10, k=5),
     "ivf_centroids": sim.ivf_train_sql(_EMB_SQL),
     "ivf_kmeans_assign": sim.ivf_kmeans_assign_sql(_EMB_SQL),
+    "kg_pagerank": f"WITH triples AS {TRIPLES_SQL} SELECT * FROM ({gr.pagerank_sql('triples')})",
     "kg_linked_triples": f"""
         WITH triples AS {TRIPLES_SQL},
         freq AS (

@@ -290,3 +290,63 @@ def test_token_histogram_buckets(spark):
     assert rows[0]["n_docs"] == 1 and rows[0]["lo_tokens"] == 0
     assert rows[1]["n_docs"] == 1
     assert rows[20]["n_docs"] == 1, "open-ended last bucket"
+
+
+# --- round-4: PageRank over the KG edge set ----------------------------------
+
+
+def test_pagerank_star_graph(spark):
+    """Hand-checkable graph: hub <- 3 spokes (spokes also link each
+    other pairwise one-way). The hub must outrank every spoke, ranks
+    must sum to ~1 (mass conservation incl. dangling redistribution),
+    and the result must be partitioning-invariant bit-for-bit."""
+    from rdf2smw_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "b"), ("b", "c")],
+        ["src", "dst"],
+    )
+    r = {row["uri"]: row["rank_e12"] for row in pagerank(edges).collect()}
+    assert set(r) == {"a", "b", "c", "hub"}
+    assert r["hub"] > max(r["a"], r["b"], r["c"])
+    total = sum(r.values()) / 1e12
+    assert abs(total - 1.0) < 1e-6
+    r2 = {
+        row["uri"]: row["rank_e12"]
+        for row in pagerank(edges.repartition(13)).collect()
+    }
+    assert r2 == r, "exact-integer ranks must not depend on partitioning"
+
+
+def test_pagerank_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rdf2smw_spark.operators.graph import pagerank, pagerank_sql
+
+    rows = [
+        ("u1", "p", "u2", True, None, "s"),
+        ("u2", "p", "u3", True, None, "s"),
+        ("u3", "p", "u1", True, None, "s"),
+        ("u4", "p", "u1", True, None, "s"),
+        ("u4", "q", "lit", False, None, "s"),  # literal: not an edge
+        ("u5", "p", "u5", True, None, "s"),  # self-loop: dropped
+        ("u5", "p", "u2", True, None, "s"),
+    ]
+    cols = "subj string, pred string, obj string, obj_is_iri boolean, obj_datatype string, src_url string"
+    t = spark.createDataFrame(rows, cols)
+    from rdf2smw_spark.operators.graph import link_edges
+
+    got = sorted(
+        (r["uri"], r["rank_e12"]) for r in pagerank(link_edges(t)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW triples AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{s}', '{p}', '{o}', {str(i).upper()}, NULL, '{u}')"
+            for s, p, o, i, _, u in rows
+        )
+        + ") AS t(subj, pred, obj, obj_is_iri, obj_datatype, src_url)"
+    )
+    want = sorted((u, int(e)) for u, e in con.sql(pagerank_sql("triples")).fetchall())
+    assert got == want
