@@ -121,6 +121,98 @@ def pagerank(
     return rank.select("uri", F.expr(_quant("rank")).alias("rank_e12"))
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(uri, n_triangles): per-node triangle count over the UNDIRECTED
+    distinct edge set (nodes in ≥1 triangle only) — the local-clustering
+    primitive for KG quality auditing (dense spam cliques light up).
+
+    Scale shape — degree-ordered orientation (the standard O(m^1.5)
+    node-iterator bound): every undirected edge is oriented from its
+    (degree, uri)-smaller endpoint to the larger, making the graph a
+    DAG in which each triangle {x,y,z} appears as EXACTLY one
+    path x→y→z closed by x→z. The wedge join therefore fans out from
+    low-degree sources only — a hub with degree 10^6 contributes no
+    wedges unless both endpoints have even higher degree — which is
+    what keeps the intermediate wedge set near m^1.5 instead of
+    sum(deg^2). Three shuffles total (degree agg, path join on the
+    middle vertex, closing-edge join); all integer-exact.
+
+    The DuckDB oracle deliberately uses a DIFFERENT orientation
+    (lexical a<b<c, no degrees) — same triangle set, independently
+    derived, so agreement cross-validates the algorithm rather than
+    mirroring it."""
+    und = scoped_persist(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("uri"))
+        .unionByName(und.select(F.col("b").alias("uri")))
+        .groupBy("uri")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("uri", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("uri", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    oriented = scoped_persist(
+        ranked.select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        ).select("e.lo", "e.hi")
+    )
+    paths = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.hi") == F.col("e2.lo")
+    ).select(
+        F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"), F.col("e2.hi").alias("z")
+    )
+    tris = paths.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("uri"))
+        .groupBy("uri")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(triples_sql: str) -> str:
+    """Lexical-orientation oracle: triangles as a<b<c over the
+    undirected edge set — independent of the degree-ordered plan."""
+    return f"""
+    WITH dedges AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
+        WHERE obj_is_iri AND subj <> obj
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dedges
+    ),
+    tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT uri, COUNT(*) AS n_triangles
+    FROM (
+        SELECT x AS uri FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+    )
+    GROUP BY uri
+    """
+
+
 def pagerank_sql(
     triples_sql: str, iters: int = PR_ITERS, damping: float = PR_DAMPING
 ) -> str:

@@ -1,0 +1,184 @@
+"""BM25 keyword search over the corpus — top-k documents for a fixed
+query-term set, scored with Okapi BM25 (k1=1.2, b=0.75).
+
+Engine-portable determinism (the pagerank/ivf_train discipline, one
+step further because BM25 needs a transcendental):
+
+- Every corpus statistic is an exact integer: tf (term count in doc),
+  dl (doc token count), df (docs containing term), N, total_dl.
+- ``ln`` is the ONLY operation whose last ulp is not guaranteed
+  identical across engines (JVM Math.log vs DuckDB's libm), so the idf
+  is quantized to a 1e-6 grid the moment it is computed —
+  ``round_half_away(ln(...) * 1e6)`` as BIGINT. A cross-engine ulp
+  discrepancy (~1e-16 relative) lands on a grid boundary with
+  probability ~1e-10 per distinct term; after the quantization the idf
+  is an exact integer both engines agree on.
+- Everything downstream is a FIXED sequence of correctly-rounded IEEE
+  double ops over exact inputs (integers and the gridded idf), written
+  token-for-token identically in the Spark expression and the DuckDB
+  twin (constants CAST to DOUBLE there), so the per-(doc, term) score
+  is bit-identical by construction.
+- The per-doc sum over query terms — the one reduction whose float
+  order could vary — is an integer sum of e12-quantized scores.
+
+Plan shape at 100 TB: tokenize+explode is map-side; tf and dl are one
+(doc_id[, term])-keyed aggregation each; df and the corpus totals are
+|Q|-row / 1-row aggregates broadcast back onto the per-doc rows; the
+final top-k is TakeOrderedAndProject via topk.global_topk_ranked — no
+global sort, no single-partition window, nothing driver-side but the
+k-row result. The reference engine has no search scope (rdf2smw.go);
+this extends the corpus-analytics surface like text_analysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators.text_analysis import _tokens
+from rdf2smw_spark.operators.topk import global_topk_ranked
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+_Q12 = "1000000000000.0"  # score grid (1e12)
+_Q6 = "1000000.0"  # idf grid (1e6)
+DEFAULT_QUERY = ["spark", "window", "stream"]
+DEFAULT_TOPK = 20
+
+
+def _quant(expr: str, scale: str) -> str:
+    """Half-away-from-zero rounding to a scaled BIGINT (same formula as
+    graph._quant / ivf_train's exact means)."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 0"
+        f" THEN floor(({expr}) * {scale} + 0.5)"
+        f" ELSE ceil(({expr}) * {scale} - 0.5) END AS BIGINT)"
+    )
+
+
+def _score_expr() -> str:
+    """The shared per-(doc, term) BM25 factor — the IDENTICAL token
+    sequence is fed to both engines so the IEEE op DAG matches."""
+    k1 = f"CAST({BM25_K1} AS DOUBLE)"
+    b = f"CAST({BM25_B} AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    idf = f"(CAST(idf_e6 AS DOUBLE) / {_Q6})"
+    tf = "CAST(tf AS DOUBLE)"
+    dl = "CAST(dl AS DOUBLE)"
+    return (
+        f"{idf} * (({tf} * ({k1} + {one}))"
+        f" / ({tf} + {k1} * (({one} - {b}) + {b} * ({dl} / avgdl))))"
+    )
+
+
+def bm25_scores(docs: DataFrame, query: list[str] | None = None) -> DataFrame:
+    """(doc_id, score_e12): BM25 score (×1e12, exact BIGINT) of every
+    document matching ≥1 query term."""
+    query = query or DEFAULT_QUERY
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_tokens("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(query))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = docs.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg(F.sum("dl").alias("total_dl"))
+    )
+    # idf gridded to 1e-6 the moment ln() is evaluated
+    idf = df_stats.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.expr(
+            _quant(
+                "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " + CAST(1 AS DOUBLE))",
+                _Q6,
+            )
+        ).alias("idf_e6"),
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(
+            F.broadcast(
+                corpus.select(
+                    (F.col("total_dl").cast("double") / F.col("n").cast("double")).alias(
+                        "avgdl"
+                    )
+                )
+            )
+        )
+        .select("doc_id", F.expr(_quant(_score_expr(), _Q12)).alias("s_e12"))
+    )
+    return scored.groupBy("doc_id").agg(F.sum("s_e12").alias("score_e12"))
+
+
+def bm25_topk(
+    docs: DataFrame, query: list[str] | None = None, k: int = DEFAULT_TOPK
+) -> DataFrame:
+    """(rank, doc_id, score_e12): top-k docs by BM25 — ties broken by
+    doc_id so the ranking is a total order at any parallelism."""
+    return global_topk_ranked(
+        bm25_scores(docs, query),
+        [("score_e12", "desc"), ("doc_id", "asc")],
+        k,
+        rank_col="rank",
+    )
+
+
+def bm25_topk_sql(
+    docs_sql: str, query: list[str] | None = None, k: int = DEFAULT_TOPK
+) -> str:
+    """DuckDB twin — token-for-token the same arithmetic."""
+    query = query or DEFAULT_QUERY
+    terms_lit = ", ".join(f"'{t}'" for t in query)
+    toks = _tokens("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, UNNEST({toks}) AS term FROM {docs_sql})
+        WHERE term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({terms_lit}) GROUP BY doc_id, term
+    ),
+    df_stats AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    corpus AS (
+        SELECT (SELECT COUNT(*) FROM {docs_sql}) AS n,
+               (SELECT SUM(dl) FROM dl) AS total_dl
+    ),
+    idf AS (
+        SELECT term,
+               {_quant("ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                       " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                       " + CAST(1 AS DOUBLE))", _Q6)} AS idf_e6
+        FROM df_stats CROSS JOIN corpus
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               {_quant(_score_expr(), _Q12)} AS s_e12
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN idf ON idf.term = tf.term
+        CROSS JOIN (
+            SELECT CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+            FROM corpus
+        )
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(s_e12) AS BIGINT) AS score_e12
+        FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e12 DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, score_e12
+    FROM agg
+    ORDER BY rank
+    LIMIT {k}
+    """

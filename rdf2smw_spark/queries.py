@@ -22,9 +22,11 @@ from rdf2smw_spark.extract import (
     site_stats_sql,
 )
 from rdf2smw_spark.functions.textnorm import sql_local_name, sql_wiki_title_full
+from rdf2smw_spark.operators import asof as _asof
 from rdf2smw_spark.operators import dedup as dd
 from rdf2smw_spark.operators import graph as gr
 from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import search as _search
 from rdf2smw_spark.operators import similarity as sim
 from rdf2smw_spark.operators import text_analysis as ta
 from rdf2smw_spark.operators.convert import triples_to_pages
@@ -398,6 +400,38 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(link_edges(testdata_triples(spark, sf_dir)))
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts over the KG edge set (degree-ordered
+    orientation; the DuckDB oracle uses an independent lexical
+    orientation — agreement cross-validates the algorithm)."""
+    return gr.triangle_counts(gr.link_edges(testdata_triples(spark, sf_dir)))
+
+
+def q_search_bm25(spark, sf_dir):
+    """BM25 top-k keyword search over the documents corpus (gridded-idf
+    + exact-integer score summation; see operators/search.py)."""
+    from rdf2smw_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+def q_ev_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join: each click enriched with the most
+    recent purchase at-or-before it per user. Spark lacks the operator;
+    asof.py composes it from one union + one per-key window (the
+    sessionize plan shape). Oracle = DuckDB's NATIVE ASOF JOIN."""
+    from rdf2smw_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(clicks, purchases)
+
+
 def q_kg_linked_triples(spark, sf_dir):
     """LINK stage (pipeline stage 3) over the KG stream: the entity
     dictionary is the top-K most frequent literal surfaces (ties broken
@@ -466,6 +500,51 @@ def q_ev_sessionize(spark, sf_dir):
     )
 
 
+def q_ev_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: one pass computes the
+    (day, hour, event_type), (day, hour), (day) and grand-total
+    aggregates via ROLLUP grouping sets — Catalyst expands the sets and
+    the partial aggregation is map-side combined, so the cost is one
+    shuffle, not four scans. gid disambiguates the NULL group keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        ev.rollup("day", "hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.grouping_id().alias("gid"),
+            "day",
+            "hour",
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_ev_range_join(spark, sf_dir):
+    """Bucketized interval join: purchases in the 30 minutes up to each
+    click, per user — equi-join on (key, epoch-bucket)×2 probes instead
+    of a per-key nested loop. Oracle = DuckDB's native IEJoin plan."""
+    from rdf2smw_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return range_join(clicks, purchases)
+
+
 # --- registry -----------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -517,8 +596,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_fuzzy": q_link_fuzzy,
     "kg_linked_triples": q_kg_linked_triples,
     "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
+    "search_bm25": q_search_bm25,
     "ev_window_counts": q_ev_window_counts,
     "ev_sessionize": q_ev_sessionize,
+    "ev_asof_join": q_ev_asof_join,
+    "ev_range_join": q_ev_range_join,
+    "ev_rollup": q_ev_rollup,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -598,6 +682,34 @@ ORACLES: dict[str, str] = {
     "ivf_centroids": sim.ivf_train_sql(_EMB_SQL),
     "ivf_kmeans_assign": sim.ivf_kmeans_assign_sql(_EMB_SQL),
     "kg_pagerank": f"WITH triples AS {TRIPLES_SQL} SELECT * FROM ({gr.pagerank_sql('triples')})",
+    "kg_triangles": (
+        f"WITH triples AS {TRIPLES_SQL}"
+        f" SELECT * FROM ({gr.triangle_counts_sql('triples')})"
+    ),
+    "search_bm25": _search.bm25_topk_sql("documents"),
+    "ev_asof_join": f"""
+        SELECT * FROM {_asof.asof_join_sql(
+            "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')",
+            "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')",
+        )}
+    """,
+    "ev_range_join": f"""
+        SELECT * FROM {_asof.range_join_sql(
+            "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')",
+            "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')",
+        )}
+    """,
+    "ev_rollup": """
+        SELECT CAST(GROUPING(day, hour, event_type) AS BIGINT) AS gid,
+               day, hour, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM (
+            SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY ROLLUP (day, hour, event_type)
+    """,
     "kg_linked_triples": f"""
         WITH triples AS {TRIPLES_SQL},
         freq AS (
