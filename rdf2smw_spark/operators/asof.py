@@ -107,8 +107,11 @@ def range_join(
     win_us = window_sec * 1_000_000
     # integer microsecond arithmetic end-to-end: timestamps carry
     # microseconds, so second-truncating unix_timestamp() would both
-    # mis-bucket and disagree with the oracle's INTERVAL compare
-    bucket = F.expr(f"unix_micros({ts}) DIV {win_us}")
+    # mis-bucket and disagree with the oracle's INTERVAL compare.
+    # cast-to-TIMESTAMP first: parquet naive timestamps read as
+    # TIMESTAMP_NTZ (which unix_micros rejects), and with the session
+    # timezone pinned to UTC (session.py) the cast is epoch-identity.
+    bucket = F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP)) DIV {win_us}")
     lcols = left.columns
     l1 = left.withColumn("__b", bucket)
     r1 = right.select(
@@ -116,15 +119,15 @@ def range_join(
         F.col(ts).alias("r_ts"),
         F.col("event_id").alias("r_event_id"),
         F.col("value").alias("r_payload"),
-    ).withColumn("__b", F.expr(f"unix_micros(r_ts) DIV {win_us}"))
+    ).withColumn("__b", F.expr(f"unix_micros(CAST(r_ts AS TIMESTAMP)) DIV {win_us}"))
     # probe own bucket and the previous one
     probes = l1.select(*lcols, "__b").unionByName(
         l1.select(*lcols, (F.col("__b") - 1).alias("__b"))
     )
     joined = probes.join(r1, [key, "__b"])
-    keep = (
-        F.expr("unix_micros(r_ts)") > F.expr(f"unix_micros({ts})") - F.lit(win_us)
-    ) & (F.expr("unix_micros(r_ts)") <= F.expr(f"unix_micros({ts})"))
+    r_us = F.expr("unix_micros(CAST(r_ts AS TIMESTAMP))")
+    l_us = F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP))")
+    keep = (r_us > l_us - F.lit(win_us)) & (r_us <= l_us)
     return joined.filter(keep).select(*lcols, "r_ts", "r_event_id", "r_payload")
 
 

@@ -515,17 +515,11 @@ def q_ev_rollup(spark, sf_dir):
     return (
         ev.rollup("day", "hour", "event_type")
         .agg(
+            F.grouping_id().alias("gid"),
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(
-            F.grouping_id().alias("gid"),
-            "day",
-            "hour",
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+        .select("gid", "day", "hour", "event_type", "n_events", "total_value")
     )
 
 
@@ -542,7 +536,7 @@ def q_ev_range_join(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    return range_join(clicks, purchases)
+    return range_join(clicks, purchases, window_sec=86400)
 
 
 # --- registry -----------------------------------------------------------------------
@@ -697,6 +691,7 @@ ORACLES: dict[str, str] = {
         SELECT * FROM {_asof.range_join_sql(
             "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')",
             "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')",
+            window_sec=86400,
         )}
     """,
     "ev_rollup": """
