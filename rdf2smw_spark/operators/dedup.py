@@ -546,3 +546,121 @@ def simhash_near_dups_sql(docs_sql: str, max_hamming: int = 3) -> str:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# --- exact duplicated-substring spans (Lee et al. 2022 windowed form) ---------
+
+SPAN_K = 8  # token window width; same order as decontamination's 8-grams
+
+
+def duplicated_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens):
+    exact duplicated-substring detection in its windowed form — for every
+    document, how many of its k-token sliding windows occur elsewhere in
+    the corpus (>= 2 occurrences anywhere, within-doc repeats included)
+    and how many token positions those duplicated windows cover. This is
+    the flag-and-measure rendering of exact substring deduplication
+    ("Deduplicating Training Data Makes Language Models Better" uses a
+    suffix array to REMOVE the spans; the corpus-quality signal is the
+    same window evidence, and covered_tokens/n_tokens is the removal
+    fraction a cut pass would take).
+
+    Scale shape: the window stream is one row per corpus token (the
+    inherent cost of exact substring evidence — the suffix-array
+    alternative scans the same volume), keyed by the 128-bit md5 of the
+    window text so the duplicate-count shuffle moves slim fixed-width
+    keys, with map-side partial aggregation. A left-semi join back on
+    the same key restricts per-doc accounting to duplicated windows
+    only, and coverage is an in-row distinct count over positions —
+    bounded by ONE document's length, never the corpus. No self-join,
+    no driver-side state. The md5 key equates windows across engines
+    exactly (DuckDB md5() emits the identical hex), so the oracle is a
+    full hash match, not an approximation."""
+    from rdf2smw_spark.operators.text_analysis import _tokens
+
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"filter({_tokens('text')}, t -> t <> '')").alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(f"greatest(size(toks) - {k - 1}, 0)").cast("long").alias("n_windows"),
+    )
+    w = (
+        toks.filter(F.expr(f"size(toks) >= {k}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(concat_ws(' ', slice(toks, i, {k}))) AS gh))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    )
+    w = scoped_persist(w)
+    dup = (
+        w.groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gh")
+    )
+    dw = w.join(dup, "gh", "left_semi")
+    per_doc = dw.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.expr(f"sequence(pos, pos + {k - 1})")))
+            )
+        )
+        .cast("long")
+        .alias("covered_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+    )
+
+
+def duplicated_span_stats_sql(docs_sql: str, k: int = SPAN_K) -> str:
+    """DuckDB twin — identical tokenization, window text, and md5 keys."""
+    from rdf2smw_spark.operators.text_analysis import _tokens
+
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS toks FROM {docs_sql}),
+    w AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i:i+{k - 1}], ' ')) AS gh
+        FROM (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, len(toks) - {k - 1})) AS i
+            FROM toks WHERE len(toks) >= {k}
+        )
+    ),
+    dup AS (SELECT gh FROM w GROUP BY gh HAVING COUNT(*) >= 2),
+    dw AS (SELECT w.* FROM w JOIN dup USING (gh)),
+    ndw AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dw GROUP BY doc_id),
+    cov AS (
+        SELECT doc_id, COUNT(DISTINCT pp) AS covered_tokens
+        FROM (
+            SELECT doc_id, UNNEST(generate_series(pos, pos + {k - 1})) AS pp
+            FROM dw
+        )
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(t.toks) - {k - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(ndw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens
+    FROM toks t
+    LEFT JOIN ndw ON ndw.doc_id = t.doc_id
+    LEFT JOIN cov ON cov.doc_id = t.doc_id
+    """

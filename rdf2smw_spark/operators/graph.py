@@ -259,3 +259,95 @@ def pagerank_sql(
     WITH {body}
     SELECT uri, {_quant('rank')} AS rank_e12 FROM rank_{iters}
     """
+
+
+# --- BFS hop distance from the hub entity -------------------------------------
+
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """(uri, hops): breadth-first hop distance over the UNDIRECTED edge
+    set from the graph's hub entity — the highest-degree node (uri
+    tiebreak) — up to `max_hops`. "How far is everything from the
+    center" is the standard KG connectivity audit: a healthy entity
+    graph is shallow from its hub; orphan subgraphs simply never appear
+    (unreached nodes are absent from the result, which is itself the
+    signal).
+
+    Scale shape: per hop, one (a)-keyed equi-join of the frontier onto
+    edges plus one anti-join against the visited set — the classic
+    distributed BFS round, all shuffles on the node key, frontiers as
+    distributed frames throughout. The seed selection is
+    TakeOrderedAndProject (per-partition heaps, k=1) and the only
+    driver-side value is that single row — the pattern every bounded
+    scalar in this codebase follows (pagerank's dangling mass, the
+    fixpoint convergence probes). localCheckpoint per hop keeps the
+    lineage flat, exactly like the pagerank/CC/ivf_train loops. Hop
+    count is bounded a priori (no data-dependent driver loop), so the
+    plan is cycle-safe by construction — the same argument class_depth
+    makes against the reference's unguarded recursion
+    (triplestowikipageconv.go:278-292)."""
+    und = scoped_persist(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    seed = (
+        deg.orderBy(F.col("deg").desc(), F.col("a"))
+        .limit(1)
+        .collect()[0]["a"]
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(seed, 0)], "uri string, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        new = (
+            und.join(frontier.select(F.col("uri").alias("a")), "a")
+            .select(F.col("b").alias("uri"))
+            .distinct()
+            .join(dist, "uri", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist.select("uri", F.col("hops").cast("long").alias("hops"))
+
+
+def bfs_hops_sql(triples_sql: str, max_hops: int = BFS_MAX_HOPS) -> str:
+    """Unrolled-CTE DuckDB twin (one frontier/visited CTE pair per hop,
+    same pattern as pagerank_sql)."""
+    parts = [
+        f"""e AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
+        WHERE obj_is_iri AND subj <> obj
+    ),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e
+            UNION ALL SELECT dst, src FROM e
+        )
+    ),
+    deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+    d0 AS (
+        SELECT a AS uri, 0 AS hops
+        FROM deg ORDER BY deg DESC, a LIMIT 1
+    ),
+    v0 AS (SELECT * FROM d0)"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(f"""d{h} AS (
+        SELECT DISTINCT und.b AS uri, {h} AS hops
+        FROM und JOIN d{h - 1} f ON und.a = f.uri
+        WHERE und.b NOT IN (SELECT uri FROM v{h - 1})
+    ),
+    v{h} AS (SELECT * FROM v{h - 1} UNION ALL SELECT * FROM d{h})""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT uri, CAST(hops AS BIGINT) AS hops FROM v{max_hops}
+    """

@@ -415,6 +415,25 @@ def q_search_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir))
 
 
+def q_kg_bfs_hops(spark, sf_dir):
+    """Distributed BFS: hop distance of every reachable entity from the
+    hub (max-degree) node over the undirected KG edge set — the
+    connectivity audit; unrolled-CTE DuckDB twin."""
+    return gr.bfs_hops(gr.link_edges(testdata_triples(spark, sf_dir)))
+
+
+def q_ta_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — integer-exact (gridded idf ×
+    integer tf), per-doc-partitioned window for the top-k."""
+    return _search.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_dd_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring evidence (Lee et al. windowed form):
+    per-doc duplicated 8-token-window counts + covered-token spans."""
+    return dd.duplicated_span_stats(_docs(spark, sf_dir))
+
+
 def q_ev_asof_join(spark, sf_dir):
     """Backward-inclusive as-of join: each click enriched with the most
     recent purchase at-or-before it per user. Spark lacks the operator;
@@ -591,7 +610,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linked_triples": q_kg_linked_triples,
     "kg_pagerank": q_kg_pagerank,
     "kg_triangles": q_kg_triangles,
+    "kg_bfs_hops": q_kg_bfs_hops,
     "search_bm25": q_search_bm25,
+    "ta_tfidf_terms": q_ta_tfidf_terms,
+    "dd_substring_spans": q_dd_substring_spans,
     "ev_window_counts": q_ev_window_counts,
     "ev_sessionize": q_ev_sessionize,
     "ev_asof_join": q_ev_asof_join,
@@ -681,6 +703,12 @@ ORACLES: dict[str, str] = {
         f" SELECT * FROM ({gr.triangle_counts_sql('triples')})"
     ),
     "search_bm25": _search.bm25_topk_sql("documents"),
+    "kg_bfs_hops": (
+        f"WITH triples AS {TRIPLES_SQL}"
+        f" SELECT * FROM ({gr.bfs_hops_sql('triples')})"
+    ),
+    "ta_tfidf_terms": _search.tfidf_top_terms_sql("documents"),
+    "dd_substring_spans": dd.duplicated_span_stats_sql("documents"),
     "ev_asof_join": f"""
         SELECT * FROM {_asof.asof_join_sql(
             "(SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')",
