@@ -294,12 +294,11 @@ def bfs_hops(edges: DataFrame, max_hops: int = BFS_MAX_HOPS) -> DataFrame:
         .distinct()
     )
     deg = und.groupBy("a").agg(F.count("*").alias("deg"))
-    seed = (
-        deg.orderBy(F.col("deg").desc(), F.col("a"))
-        .limit(1)
-        .collect()[0]["a"]
-    )
+    seed_rows = deg.orderBy(F.col("deg").desc(), F.col("a")).limit(1).collect()
     spark = edges.sparkSession
+    if not seed_rows:  # empty edge set -> empty result, same schema
+        return spark.createDataFrame([], "uri string, hops long")
+    seed = seed_rows[0]["a"]
     dist = spark.createDataFrame(
         [(seed, 0)], "uri string, hops int"
     ).localCheckpoint(eager=True)
@@ -313,7 +312,14 @@ def bfs_hops(edges: DataFrame, max_hops: int = BFS_MAX_HOPS) -> DataFrame:
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=True)
         )
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        # release superseded checkpoints only AFTER their successor is
+        # eagerly materialized (localCheckpoint data is unrecoverable
+        # once released — the pagerank/ivf_train discipline)
+        prev_dist, prev_frontier = dist, frontier
+        dist = prev_dist.unionByName(new).localCheckpoint(eager=True)
+        prev_dist.unpersist()
+        if prev_frontier is not prev_dist:
+            prev_frontier.unpersist()
         frontier = new
     return dist.select("uri", F.col("hops").cast("long").alias("hops"))
 
