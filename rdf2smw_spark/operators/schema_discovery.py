@@ -1,0 +1,139 @@
+"""Schema discovery over the triple stream: property-table
+materialization and predicate co-occurrence.
+
+Both are KG-construction steps the reference implies but never
+materializes: its predicate index (reference aggregate.go —
+TripleAggregator collecting per-subject predicate sets, and the
+per-page property index feeding templates) stops at per-subject
+grouping. A warehouse-grade engine goes one step further:
+
+- ``property_table``: the classic RDF *property table* layout
+  (one row per subject, one column per frequent predicate) that
+  turns s-p-o triple scans into columnar scans — the storage layout
+  every triple-store paper since SW-Store/Virtuoso recommends for
+  star-shaped queries, and exactly what a Spark user wants before
+  joining entities against relational sides.
+- ``pred_cooccurrence``: which predicates appear together on the
+  same subjects — the signal used to cluster predicates into
+  candidate classes/templates (the reference hand-derives its
+  template page from ALL predicates of a category; co-occurrence is
+  the scalable generalization).
+
+Scale shape (100 TB audit):
+
+- ``property_table``: one TakeOrderedAndProject for the top-k
+  predicate vocabulary (k rows reach the driver — same bounded
+  collect as the IVF coarse quantizer), then ONE groupBy(subj) with
+  map-side partial min() aggregation. No join, no window, no skew
+  (subjects are near-uniform by construction of the fingerprint
+  space).
+- ``pred_cooccurrence``: per-subject predicate sets are bounded by
+  the *schema* size (tens), not the corpus size, so pairs are
+  generated in-row (flatten/transform) from one collect_set — the
+  quadratic blow-up of a distinct-pairs self-join on subj never
+  materializes. Two shuffles total: the distinct+collect_set and the
+  final pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators.topk import global_topk_ranked
+
+PROPERTY_TABLE_K = 6
+
+
+def top_predicates(triples: DataFrame, k: int = PROPERTY_TABLE_K) -> list[str]:
+    """The k most frequent predicates, ties broken lexically — a total
+    order, so the vocabulary is identical at any parallelism. k rows
+    cross to the driver (TakeOrderedAndProject; never a global sort)."""
+    counts = triples.groupBy("pred").agg(F.count("*").alias("n"))
+    ranked = global_topk_ranked(counts, [("n", "desc"), ("pred", "asc")], k)
+    return [r["pred"] for r in ranked.orderBy("rank").collect()]
+
+
+def property_table(
+    triples: DataFrame, preds: list[str] | None = None, k: int = PROPERTY_TABLE_K
+) -> DataFrame:
+    """(subj, p1..pk): one row per subject holding the first-wins
+    (min) object value of each of the top-k predicates. Positional
+    column names keep the schema static across corpora; the
+    rank->predicate mapping is `top_predicates` (deterministic).
+
+    min() as the first-wins rule mirrors the reference's fact dedup
+    (first value per predicate wins — see operators/aggregate.py),
+    made order-independent by taking the lexical minimum."""
+    if preds is None:
+        preds = top_predicates(triples, k)
+    cols = [
+        F.min(F.when(F.col("pred") == p, F.col("obj"))).alias(f"p{i + 1}")
+        for i, p in enumerate(preds)
+    ]
+    return (
+        triples.filter(F.col("pred").isin(preds))
+        .groupBy("subj")
+        .agg(*cols)
+    )
+
+
+def property_table_sql(triples_sql: str, k: int = PROPERTY_TABLE_K) -> str:
+    """DuckDB twin: same top-k vocabulary via QUALIFY row_number, same
+    positional min(CASE WHEN ...) columns via scalar subqueries."""
+    cols = ",\n          ".join(
+        "min(CASE WHEN pred = (SELECT pred FROM tk WHERE rnk = {r}) "
+        "THEN obj END) AS p{r}".format(r=i + 1)
+        for i in range(k)
+    )
+    return f"""(
+        WITH triples AS {triples_sql},
+        pc AS (SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred),
+        tk AS (SELECT pred, ROW_NUMBER() OVER (ORDER BY n DESC, pred) AS rnk
+               FROM pc QUALIFY rnk <= {k})
+        SELECT subj,
+          {cols}
+        FROM triples
+        WHERE pred IN (SELECT pred FROM tk)
+        GROUP BY subj
+    )"""
+
+
+def pred_cooccurrence(triples: DataFrame) -> DataFrame:
+    """(p1, p2, n_subjects) with p1 < p2: how many subjects carry both
+    predicates. Pairs are generated IN-ROW from each subject's sorted
+    distinct predicate set (bounded by schema size), so no self-join
+    on subj ever ships data — the plan is distinct -> collect_set ->
+    flatten(transform) -> one pair-count shuffle."""
+    sets_ = (
+        triples.select("subj", "pred")
+        .distinct()
+        .groupBy("subj")
+        .agg(F.array_sort(F.collect_set("pred")).alias("ps"))
+    )
+    pairs = sets_.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_subjects"))
+    )
+
+
+def pred_cooccurrence_sql(triples_sql: str) -> str:
+    """DuckDB twin: the straightforward distinct-pairs self-join — the
+    O(n^2)-per-subject formulation the Spark side avoids; agreement
+    cross-validates the in-row generator."""
+    return f"""(
+        WITH triples AS {triples_sql},
+        d AS (SELECT DISTINCT subj, pred FROM triples)
+        SELECT a.pred AS p1, b.pred AS p2, COUNT(*) AS n_subjects
+        FROM d a JOIN d b ON a.subj = b.subj AND a.pred < b.pred
+        GROUP BY 1, 2
+    )"""

@@ -26,6 +26,7 @@ from rdf2smw_spark.operators import asof as _asof
 from rdf2smw_spark.operators import dedup as dd
 from rdf2smw_spark.operators import graph as gr
 from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import schema_discovery as _sd
 from rdf2smw_spark.operators import search as _search
 from rdf2smw_spark.operators import similarity as sim
 from rdf2smw_spark.operators import text_analysis as ta
@@ -558,6 +559,25 @@ def q_ev_range_join(spark, sf_dir):
     return range_join(clicks, purchases, window_sec=86400)
 
 
+def q_kg_property_table(spark, sf_dir):
+    """Property-table materialization: one row per subject, one column
+    per top-6 predicate (first-wins min value) — the columnar layout
+    star-shaped KG queries want. One TakeOrderedAndProject + one
+    groupBy; no join, no window (operators/schema_discovery.py)."""
+    from rdf2smw_spark.operators import schema_discovery as sd
+
+    return sd.property_table(testdata_triples(spark, sf_dir))
+
+
+def q_kg_pred_cooccur(spark, sf_dir):
+    """Predicate co-occurrence (schema discovery): (p1, p2, n_subjects)
+    generated in-row from bounded per-subject predicate sets — the
+    distinct-pairs self-join the oracle uses never ships data here."""
+    from rdf2smw_spark.operators import schema_discovery as sd
+
+    return sd.pred_cooccurrence(testdata_triples(spark, sf_dir))
+
+
 # --- registry -----------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -619,6 +639,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_asof_join": q_ev_asof_join,
     "ev_range_join": q_ev_range_join,
     "ev_rollup": q_ev_rollup,
+    "kg_property_table": q_kg_property_table,
+    "kg_pred_cooccur": q_kg_pred_cooccur,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -789,4 +811,6 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
         FROM sess GROUP BY 1, 2
     """,
+    "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
+    "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
 }

@@ -1,0 +1,71 @@
+"""Schema discovery: property-table pivot + predicate co-occurrence
+(operators/schema_discovery.py)."""
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, False, None, "t://x") for s, p, o in rows],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, src_url string",
+    )
+
+
+def test_property_table_topk_vocab_and_first_wins(spark):
+    from rdf2smw_spark.operators.schema_discovery import (
+        property_table,
+        top_predicates,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("s1", "name", "zed"),
+            ("s1", "name", "abe"),  # first-wins = lexical min -> "abe"
+            ("s1", "age", "30"),
+            ("s2", "name", "bob"),
+            ("s2", "rare", "x"),
+            ("s3", "name", "cat"),
+            ("s3", "age", "40"),
+        ],
+    )
+    # freq: name=4, age=2, rare=1 -> top-2 = [name, age]
+    assert top_predicates(t, k=2) == ["name", "age"]
+    out = {r["subj"]: r.asDict() for r in property_table(t, k=2).collect()}
+    assert out["s1"]["p1"] == "abe" and out["s1"]["p2"] == "30"
+    assert out["s2"]["p1"] == "bob" and out["s2"]["p2"] is None
+    assert out["s3"]["p1"] == "cat" and out["s3"]["p2"] == "40"
+
+
+def test_property_table_tie_break_is_lexical(spark):
+    from rdf2smw_spark.operators.schema_discovery import top_predicates
+
+    t = _triples(spark, [("s1", "b", "1"), ("s1", "a", "1"), ("s2", "c", "1")])
+    # all counts tie (b=1, a=1, c=1) -> lexical order breaks them
+    assert top_predicates(t, k=3) == ["a", "b", "c"]
+
+
+def test_pred_cooccurrence_counts_subjects_once(spark):
+    from rdf2smw_spark.operators.schema_discovery import pred_cooccurrence
+
+    t = _triples(
+        spark,
+        [
+            ("s1", "a", "1"),
+            ("s1", "a", "2"),  # duplicate (subj, pred) must not double-count
+            ("s1", "b", "1"),
+            ("s1", "c", "1"),
+            ("s2", "a", "1"),
+            ("s2", "b", "1"),
+            ("s3", "z", "1"),  # lone predicate -> contributes no pair
+        ],
+    )
+    out = {(r["p1"], r["p2"]): r["n_subjects"] for r in pred_cooccurrence(t).collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_pred_cooccurrence_plan_has_no_join_or_window(spark):
+    from rdf2smw_spark.operators.schema_discovery import pred_cooccurrence
+
+    t = _triples(spark, [("s1", "a", "1"), ("s1", "b", "1")])
+    plan = pred_cooccurrence(t)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
