@@ -588,3 +588,68 @@ def token_length_histogram_sql(
           FROM {docs_sql})
     GROUP BY bucket
     """
+
+
+# --- exact length quantiles (bounded-domain histogram method) -------------------
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def length_quantiles(docs: DataFrame, pcts: tuple[int, ...] = QUANTILE_PCTS) -> DataFrame:
+    """(lang, n_docs, p50, p90, p99): EXACT per-language token-count
+    quantiles, integer end to end.
+
+    Spark's exact percentile() aggregate buffers every group value in
+    executor memory — a per-language OOM at corpus scale. Token counts
+    live in a BOUNDED integer domain, so the scale-correct exact method
+    is the histogram: one (lang, n_tok) count shuffle with map-side
+    combine collapses the corpus to at most |domain| rows per language,
+    then the cumulative window runs over HISTOGRAM rows (thousands),
+    never documents. The quantile definition is pinned (no engine
+    built-in): p-th quantile = the smallest value whose cumulative
+    count reaches ceil(p*n/100) — mirrored verbatim in the DuckDB twin
+    with the same (n*p + 99) DIV 100 integer ceiling."""
+    from pyspark.sql import Window
+
+    toks = f"size(filter({_tokens('text')}, t -> t <> ''))"
+    hist = (
+        docs.select("lang", F.expr(toks).cast("long").alias("n_tok"))
+        .groupBy("lang", "n_tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n_docs"))
+    qcols = [
+        F.min(
+            F.when(
+                F.expr(f"cum >= (n_docs * {p} + 99) DIV 100"), F.col("n_tok")
+            )
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return cum.join(tot, "lang").groupBy("lang", "n_docs").agg(*qcols)
+
+
+def length_quantiles_sql(docs_sql: str, pcts: tuple[int, ...] = QUANTILE_PCTS) -> str:
+    toks = f"len(list_filter({_tokens('text', 'duckdb')}, t -> t <> ''))"
+    qcols = ",\n           ".join(
+        f"MIN(CASE WHEN cum >= (n_docs * {p} + 99) // 100 THEN n_tok END) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+    WITH base AS (SELECT lang, CAST({toks} AS BIGINT) AS n_tok FROM {docs_sql}),
+    hist AS (SELECT lang, n_tok, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    cum AS (SELECT lang, n_tok,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY n_tok
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs FROM hist GROUP BY 1)
+    SELECT lang, n_docs, {qcols}
+    FROM cum JOIN tot USING (lang)
+    GROUP BY lang, n_docs
+    """

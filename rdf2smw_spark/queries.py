@@ -559,6 +559,13 @@ def q_ev_range_join(spark, sf_dir):
     return range_join(clicks, purchases, window_sec=86400)
 
 
+def q_ta_length_quantiles(spark, sf_dir):
+    """Exact per-language token-count quantiles via the bounded-domain
+    histogram method — no per-group value buffering (the scale failure
+    of exact percentile aggregates); integer end to end."""
+    return ta.length_quantiles(_docs(spark, sf_dir))
+
+
 def q_kg_property_table(spark, sf_dir):
     """Property-table materialization: one row per subject, one column
     per top-6 predicate (first-wins min value) — the columnar layout
@@ -639,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_asof_join": q_ev_asof_join,
     "ev_range_join": q_ev_range_join,
     "ev_rollup": q_ev_rollup,
+    "ta_length_quantiles": q_ta_length_quantiles,
     "kg_property_table": q_kg_property_table,
     "kg_pred_cooccur": q_kg_pred_cooccur,
 }
@@ -811,6 +819,7 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
         FROM sess GROUP BY 1, 2
     """,
+    "ta_length_quantiles": ta.length_quantiles_sql("documents"),
     "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
     "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
 }

@@ -69,3 +69,17 @@ def test_pred_cooccurrence_plan_has_no_join_or_window(spark):
     t = _triples(spark, [("s1", "a", "1"), ("s1", "b", "1")])
     plan = pred_cooccurrence(t)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_length_quantiles_pinned_definition(spark):
+    """10 docs with 1..10 tokens: ceil-rank definition gives p50=5
+    (cum>=5), p90=9, p99=10; a single-doc language reads its own count
+    for every percentile."""
+    from rdf2smw_spark.operators.text_analysis import length_quantiles
+
+    rows = [("en", " ".join(["w"] * n)) for n in range(1, 11)]
+    rows.append(("fr", "a b c"))
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r.asDict() for r in length_quantiles(docs).collect()}
+    assert out["en"] == {"lang": "en", "n_docs": 10, "p50": 5, "p90": 9, "p99": 10}
+    assert out["fr"] == {"lang": "fr", "n_docs": 1, "p50": 3, "p90": 3, "p99": 3}
