@@ -653,3 +653,60 @@ def length_quantiles_sql(docs_sql: str, pcts: tuple[int, ...] = QUANTILE_PCTS) -
     FROM cum JOIN tot USING (lang)
     GROUP BY lang, n_docs
     """
+
+
+# --- training-mix temperature weights -------------------------------------------
+
+MIX_GRID = 1_000_000
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """(lang, total_tokens, weight_e6): per-language sampling weights
+    under temperature alpha = 0.5 — w_i ∝ (token share)^0.5, the
+    standard up-weighting of tail languages in a training mix
+    (temperature sampling; UniMax-style budget reasoning).
+
+    Cross-engine float discipline (the BM25 pattern): the ONE
+    irrational op (sqrt of an exact integer — correctly rounded IEEE in
+    both engines) is gridded to 1e-6 immediately; the normalization is
+    then pure BIGINT arithmetic (s_i * 1e6 DIV sum(s_i)), so weights
+    are identical at any parallelism and in the DuckDB twin. The
+    aggregate is one slim groupBy(lang) with map-side partials; the
+    normalizing sum runs over #languages rows."""
+    toks = f"size(filter({_tokens('text')}, t -> t <> ''))"
+    per_lang = (
+        docs.select("lang", F.expr(toks).cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("total_tokens"))
+        .withColumn(
+            "s_e6",
+            F.expr(f"CAST(floor(sqrt(total_tokens) * {MIX_GRID}) AS BIGINT)"),
+        )
+    )
+    tot = per_lang.agg(F.sum("s_e6").alias("s_sum"))
+    # widen before the multiply: s_e6 ~ sqrt(tokens)*1e6 can reach 1e13
+    # at 10^14 corpus tokens, and *1e6 would wrap a BIGINT silently
+    norm = (
+        f"CAST(CAST(s_e6 AS DECIMAL(38, 0)) * {MIX_GRID}"
+        f" DIV CAST(s_sum AS DECIMAL(38, 0)) AS BIGINT)"
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select("lang", "total_tokens", F.expr(norm).alias("weight_e6"))
+    )
+
+
+def mixture_weights_sql(docs_sql: str) -> str:
+    toks = f"len(list_filter({_tokens('text', 'duckdb')}, t -> t <> ''))"
+    return f"""
+    WITH base AS (SELECT lang, CAST({toks} AS BIGINT) AS n_tok FROM {docs_sql}),
+    per_lang AS (
+        SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(floor(sqrt(CAST(SUM(n_tok) AS BIGINT)) * {MIX_GRID}) AS BIGINT) AS s_e6
+        FROM base GROUP BY lang
+    )
+    SELECT lang, total_tokens,
+           CAST(CAST(s_e6 AS HUGEINT) * {MIX_GRID}
+                // (SELECT CAST(SUM(s_e6) AS HUGEINT) FROM per_lang) AS BIGINT) AS weight_e6
+    FROM per_lang
+    """

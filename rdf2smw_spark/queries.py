@@ -566,6 +566,14 @@ def q_ta_length_quantiles(spark, sf_dir):
     return ta.length_quantiles(_docs(spark, sf_dir))
 
 
+def q_ta_mixture_weights(spark, sf_dir):
+    """Per-language temperature-0.5 training-mix weights — the single
+    sqrt is gridded to 1e-6 (BM25 discipline), normalization is pure
+    widened-integer arithmetic, so weights hash-match at any
+    parallelism."""
+    return ta.mixture_weights(_docs(spark, sf_dir))
+
+
 def q_kg_property_table(spark, sf_dir):
     """Property-table materialization: one row per subject, one column
     per top-6 predicate (first-wins min value) — the columnar layout
@@ -647,6 +655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_range_join": q_ev_range_join,
     "ev_rollup": q_ev_rollup,
     "ta_length_quantiles": q_ta_length_quantiles,
+    "ta_mixture_weights": q_ta_mixture_weights,
     "kg_property_table": q_kg_property_table,
     "kg_pred_cooccur": q_kg_pred_cooccur,
 }
@@ -820,6 +829,7 @@ ORACLES: dict[str, str] = {
         FROM sess GROUP BY 1, 2
     """,
     "ta_length_quantiles": ta.length_quantiles_sql("documents"),
+    "ta_mixture_weights": ta.mixture_weights_sql("documents"),
     "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
     "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
 }

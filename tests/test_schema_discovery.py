@@ -83,3 +83,16 @@ def test_length_quantiles_pinned_definition(spark):
     out = {r["lang"]: r.asDict() for r in length_quantiles(docs).collect()}
     assert out["en"] == {"lang": "en", "n_docs": 10, "p50": 5, "p90": 9, "p99": 10}
     assert out["fr"] == {"lang": "fr", "n_docs": 1, "p50": 3, "p90": 3, "p99": 3}
+
+
+def test_mixture_weights_sqrt_upweights_tail(spark):
+    """9:1 token split at alpha=0.5 -> 3:1 weights (sqrt), integer-exact:
+    s_en = floor(sqrt(9)*1e6) = 3e6, s_fr = 1e6, weights 750000/250000."""
+    from rdf2smw_spark.operators.text_analysis import mixture_weights
+
+    docs = spark.createDataFrame(
+        [("en", " ".join(["w"] * 9)), ("fr", "w")], "lang string, text string"
+    )
+    out = {r["lang"]: r.asDict() for r in mixture_weights(docs).collect()}
+    assert out["en"] == {"lang": "en", "total_tokens": 9, "weight_e6": 750000}
+    assert out["fr"] == {"lang": "fr", "total_tokens": 1, "weight_e6": 250000}
