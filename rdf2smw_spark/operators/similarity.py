@@ -714,3 +714,100 @@ def ivf_kmeans_assign_sql(
         FROM scored
     ) WHERE rn = 1
     """
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def semantic_dedup(
+    emb: DataFrame, n_lists: int = 8, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """(vec_id, cluster_id, keep): embedding-space near-duplicate
+    collapse in the SemDeDup shape (Abbas et al. 2023): cluster the
+    corpus with the coarse quantizer, compare pairs ONLY within a
+    cluster, connect the above-threshold pairs into components, keep
+    the min-id representative of each.
+
+    Scale shape: the corpus-wide pair join never exists — the only
+    pair computation is the within-list self-join keyed on list_id,
+    whose cost is sum(|list|^2); production sizes n_lists ~ sqrt(N)
+    (the k-means-k rule SemDeDup uses) so per-list work stays bounded
+    and the join key cardinality stays high. Cross-cluster duplicates
+    are missed by construction — the method's documented recall
+    trade-off, shared by the oracle (which mirrors the same
+    clustering), so the hash compare is exact, not best-effort.
+    Component assignment reuses dedup.dedup_clusters (hash-to-min +
+    pointer doubling, O(log diameter) rounds)."""
+    from rdf2smw_spark.operators.dedup import dedup_clusters
+
+    assigned = scoped_persist(ivf_assign(emb, n_lists=n_lists))
+    a = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(
+        F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    cc = dedup_clusters(docs, pairs.select("doc_a", "doc_b"))
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def semantic_dedup_sql(
+    emb_sql: str, n_lists: int = 8, threshold: float = SEMDEDUP_THRESHOLD
+) -> str:
+    """DuckDB twin: same seed centroids / 6-dp assignment argmax as
+    ann_topk_ivf_sql, same 4-dp pair cosine, recursive-CTE transitive
+    closure (dedup_clusters_sql)."""
+    from rdf2smw_spark.operators.dedup import dedup_clusters_sql
+
+    pairs_sql = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM {emb_sql}
+    ),
+    cent AS (SELECT vec_id AS list_id, emb AS cvec, nrm AS cnorm FROM e
+             WHERE vec_id < {n_lists}),
+    assign0 AS (
+        SELECT e.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.emb, c.cvec)
+                                                 / (e.nrm * c.cnorm), 6) DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, list_id FROM assign0 WHERE rn = 1)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM assigned a
+    JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE ROUND(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 4)
+          >= {threshold}
+    """
+    cc = dedup_clusters_sql(f"(SELECT vec_id AS doc_id FROM {emb_sql})", pairs_sql)
+    return f"""
+    SELECT doc_id AS vec_id, cluster_id, doc_id = cluster_id AS keep
+    FROM ({cc})
+    """

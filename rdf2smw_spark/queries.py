@@ -566,6 +566,13 @@ def q_ta_length_quantiles(spark, sf_dir):
     return ta.length_quantiles(_docs(spark, sf_dir))
 
 
+def q_dd_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the planted-near-dup
+    embedding corpus: cluster-partitioned exact cosine (no corpus-wide
+    pair join), transitive components, min-id survivor."""
+    return sim.semantic_dedup(sim.near_dup_embeddings(_emb(spark, sf_dir)))
+
+
 def q_ta_mixture_weights(spark, sf_dir):
     """Per-language temperature-0.5 training-mix weights — the single
     sqrt is gridded to 1e-6 (BM25 discipline), normalization is pure
@@ -656,6 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_rollup": q_ev_rollup,
     "ta_length_quantiles": q_ta_length_quantiles,
     "ta_mixture_weights": q_ta_mixture_weights,
+    "dd_semantic": q_dd_semantic,
     "kg_property_table": q_kg_property_table,
     "kg_pred_cooccur": q_kg_pred_cooccur,
 }
@@ -830,6 +838,7 @@ ORACLES: dict[str, str] = {
     """,
     "ta_length_quantiles": ta.length_quantiles_sql("documents"),
     "ta_mixture_weights": ta.mixture_weights_sql("documents"),
+    "dd_semantic": sim.semantic_dedup_sql(sim.near_dup_embeddings_sql(_EMB_SQL)),
     "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
     "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
 }

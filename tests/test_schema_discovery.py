@@ -96,3 +96,34 @@ def test_mixture_weights_sqrt_upweights_tail(spark):
     out = {r["lang"]: r.asDict() for r in mixture_weights(docs).collect()}
     assert out["en"] == {"lang": "en", "total_tokens": 9, "weight_e6": 750000}
     assert out["fr"] == {"lang": "fr", "total_tokens": 1, "weight_e6": 250000}
+
+
+def test_semantic_dedup_collapses_same_list_variants(spark):
+    """Every planted +1M variant (cosine ~0.99 to its base) that lands
+    in its base's list collapses onto the base id — within-cluster
+    recall is 1.0. Cross-list variants are SemDeDup's documented
+    recall trade-off (the random corpus puts ~quarter of them there:
+    near-uniform centroid scores flip on the noise) and must survive
+    as their own keepers. Untouched vectors stay singleton keepers."""
+    from rdf2smw_spark.operators.similarity import (
+        ivf_assign,
+        near_dup_embeddings,
+        semantic_dedup,
+    )
+
+    emb = near_dup_embeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    lists = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb).collect()}
+    by_id = {r["vec_id"]: r for r in semantic_dedup(emb).collect()}
+    planted = [v for v in by_id if v >= 1_000_000]
+    same = [v for v in planted if lists[v] == lists[v - 1_000_000]]
+    cross = [v for v in planted if lists[v] != lists[v - 1_000_000]]
+    assert same, "corpus must contain same-list planted variants"
+    for v in same:
+        assert by_id[v]["cluster_id"] == v - 1_000_000 and not by_id[v]["keep"]
+        assert by_id[v - 1_000_000]["keep"]
+    for v in cross:  # the method's recall loss, shared by the oracle
+        assert by_id[v]["cluster_id"] == v and by_id[v]["keep"]
+    lone = next(v for v in by_id if 0 < v < 1_000_000 and v % 5)
+    assert by_id[lone]["cluster_id"] == lone and by_id[lone]["keep"]
