@@ -710,3 +710,96 @@ def mixture_weights_sql(docs_sql: str) -> str:
                 // (SELECT CAST(SUM(s_e6) AS HUGEINT) FROM per_lang) AS BIGINT) AS weight_e6
     FROM per_lang
     """
+
+
+# --- KMV distinct-count sketch ---------------------------------------------------
+
+KMV_K = 32
+KMV_SALTS = 64
+_HEX = "0123456789abcdef"
+
+
+def _hex32(expr: str, dialect: str) -> str:
+    """First 8 hex chars of an md5 string -> exact uint32 as BIGINT,
+    written as portable arithmetic (neither engine shares a hex-parse
+    builtin: Spark conv() has no DuckDB twin, DuckDB unhex() yields a
+    BLOB)."""
+    pos = "strpos" if dialect == "duckdb" else "instr"
+    # widen each digit BEFORE the place-value multiply: instr() is
+    # INT32 and *16^7 overflows it under Spark ANSI mode
+    terms = " + ".join(
+        f"(CAST({pos}('{_HEX}', substring({expr}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def distinct_sketch(
+    docs: DataFrame, k: int = KMV_K, n_salts: int = KMV_SALTS
+) -> DataFrame:
+    """(lang, est_distinct): per-language distinct-token estimate via a
+    KMV (k-minimum-values) sketch — the sketch family CIDR'19 "Every
+    Row Counts" builds group-by estimates from, chosen here over HLL
+    because md5 makes it DETERMINISTIC across engines: the k smallest
+    hash values of a set are a pure function of the set, so the DuckDB
+    twin hash-matches exactly instead of "approximately agreeing".
+
+    Estimator: with h_(k) the k-th smallest of the distinct 32-bit
+    hash prefixes, est = (k-1) * 2^32 DIV h_(k) — all-integer; when a
+    group holds fewer than k distinct hashes the sketch IS the set and
+    the exact count is emitted (the KMV convention).
+
+    Scale shape: one distinct (lang, h) shuffle (the slim vocabulary
+    stream, never documents), then salted two-phase k-minima — per
+    (lang, salt) partial k-minima bound memory to |vocab|/n_salts per
+    group (size n_salts to the corpus; the merge is associative so
+    phases can stack), and the per-language merge sorts n_salts*k
+    values IN-ROW. No per-language vocabulary sort, no single-reducer
+    window — the failure shape of the naive formulation the oracle
+    deliberately uses."""
+    toks = f"filter({_tokens('text')}, t -> t <> '')"
+    d = (
+        docs.select("lang", F.explode(F.expr(toks)).alias("tok"))
+        .select("lang", F.md5("tok").alias("h"))
+        .distinct()
+    )
+    part = (
+        d.withColumn("salt", F.expr(f"{_hex32('h', 'spark')} % {n_salts}"))
+        .groupBy("lang", "salt")
+        .agg(F.expr(f"slice(array_sort(collect_list(h)), 1, {k})").alias("hs"))
+    )
+    merged = part.groupBy("lang").agg(
+        F.expr(f"slice(array_sort(flatten(collect_list(hs))), 1, {k})").alias("hs")
+    )
+    kth = _hex32(f"element_at(hs, least({k}, size(hs)))", "spark")
+    return merged.select(
+        "lang",
+        F.expr(
+            f"CASE WHEN size(hs) < {k} THEN CAST(size(hs) AS BIGINT) "
+            f"ELSE {k - 1} * 4294967296 DIV greatest({kth}, 1) END"
+        ).alias("est_distinct"),
+    )
+
+
+def distinct_sketch_sql(docs_sql: str, k: int = KMV_K) -> str:
+    """DuckDB twin — deliberately the NAIVE formulation (per-language
+    ROW_NUMBER over the full vocabulary): same k-th minimum, same
+    integer estimator, so agreement cross-validates the salted
+    two-phase merge against the direct definition."""
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    kth = _hex32("h", "duckdb")
+    return f"""
+    WITH t AS (SELECT lang, unnest({toks}) AS tok FROM {docs_sql}),
+    d AS (SELECT DISTINCT lang, md5(tok) AS h FROM t),
+    r AS (SELECT lang, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS nd
+          FROM d)
+    SELECT lang,
+           CASE WHEN nd < {k} THEN CAST(nd AS BIGINT)
+                ELSE CAST({k - 1} * 4294967296 // greatest({kth}, 1) AS BIGINT)
+           END AS est_distinct
+    FROM r
+    WHERE rn = CASE WHEN nd < {k} THEN nd ELSE {k} END
+    """

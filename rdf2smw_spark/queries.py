@@ -566,6 +566,13 @@ def q_ta_length_quantiles(spark, sf_dir):
     return ta.length_quantiles(_docs(spark, sf_dir))
 
 
+def q_ta_distinct_sketch(spark, sf_dir):
+    """KMV distinct-token sketch per language — deterministic (md5)
+    so the estimate hash-matches the naive DuckDB formulation exactly;
+    salted two-phase k-minima, no per-group vocabulary sort."""
+    return ta.distinct_sketch(_docs(spark, sf_dir))
+
+
 def q_dd_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup over the planted-near-dup
     embedding corpus: cluster-partitioned exact cosine (no corpus-wide
@@ -664,6 +671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_length_quantiles": q_ta_length_quantiles,
     "ta_mixture_weights": q_ta_mixture_weights,
     "dd_semantic": q_dd_semantic,
+    "ta_distinct_sketch": q_ta_distinct_sketch,
     "kg_property_table": q_kg_property_table,
     "kg_pred_cooccur": q_kg_pred_cooccur,
 }
@@ -839,6 +847,7 @@ ORACLES: dict[str, str] = {
     "ta_length_quantiles": ta.length_quantiles_sql("documents"),
     "ta_mixture_weights": ta.mixture_weights_sql("documents"),
     "dd_semantic": sim.semantic_dedup_sql(sim.near_dup_embeddings_sql(_EMB_SQL)),
+    "ta_distinct_sketch": ta.distinct_sketch_sql("documents"),
     "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
     "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
 }

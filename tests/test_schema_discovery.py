@@ -127,3 +127,34 @@ def test_semantic_dedup_collapses_same_list_variants(spark):
         assert by_id[v]["cluster_id"] == v and by_id[v]["keep"]
     lone = next(v for v in by_id if 0 < v < 1_000_000 and v % 5)
     assert by_id[lone]["cluster_id"] == lone and by_id[lone]["keep"]
+
+
+def test_kmv_sketch_exact_below_k_and_bounded_error_above(spark):
+    """A 10-token language (vocab < k) reads the EXACT distinct count;
+    a 2000-token language reads a KMV estimate within the ~2/sqrt(k)
+    relative-error envelope (asserted at a loose 60% to stay
+    flake-free: k=32 -> stderr ~18%)."""
+    from rdf2smw_spark.operators.text_analysis import distinct_sketch
+
+    big = " ".join(f"tok{i}" for i in range(2000))
+    small = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [("en", big), ("fr", small), ("fr", small)], "lang string, text string"
+    )
+    out = {r["lang"]: r["est_distinct"] for r in distinct_sketch(docs).collect()}
+    assert out["fr"] == 10  # below k: the sketch IS the set
+    assert 800 <= out["en"] <= 3200  # estimate, not a count
+
+
+def test_kmv_sketch_merge_is_salt_invariant(spark):
+    """The salted two-phase merge returns the same global k-minima (and
+    so the same estimate) at any salt fan-out — associativity evidence."""
+    from rdf2smw_spark.operators.text_analysis import distinct_sketch
+
+    docs = spark.createDataFrame(
+        [("en", " ".join(f"w{i}" for i in range(500)))], "lang string, text string"
+    )
+    a = distinct_sketch(docs, n_salts=1).collect()[0]["est_distinct"]
+    b = distinct_sketch(docs, n_salts=64).collect()[0]["est_distinct"]
+    c = distinct_sketch(docs, n_salts=7).collect()[0]["est_distinct"]
+    assert a == b == c
