@@ -134,3 +134,81 @@ def duckdb_extract_sql(expr: str) -> str:
         out = f"replace({out}, '{old_q}', '{new_q}')"
     out = f"regexp_replace({out}, '{COLLAPSE_WS[0]}', ' ', 'g')"
     return f"trim({out})"
+
+
+# --- URL canonicalization ----------------------------------------------------
+
+def canonical_url_sql(col: str, dialect: str = "spark") -> str:
+    """Pinned URL canonicalization (the crawl-frontier dedup key):
+    drop the #fragment, lowercase scheme+host, strip default :80/:443
+    ports, drop a trailing slash on the path, sort query parameters.
+    One expression, both dialects — pure string/list builtins, a
+    map-side projection with no shuffle at any scale."""
+    if dialect == "duckdb":
+        split1 = "string_split({s}, '{d}')[1]"
+        split2 = "string_split({s}, '{d}')[2]"
+        nparts = "len(string_split({s}, '{d}'))"
+        sortq = "array_to_string(list_sort(string_split({q}, '&')), '&')"
+    else:
+        split1 = "element_at(split({s}, '{d}'), 1)"
+        split2 = "element_at(split({s}, '{d}'), 2)"
+        nparts = "size(split({s}, '{d}'))"
+        sortq = "concat_ws('&', array_sort(split({q}, '&')))"
+    # 1. fragment off ('#' is not regex-special in either split)
+    nofrag = split1.format(s=col, d="#")
+    # 2. scheme://host[:port] head, lowercased, default ports stripped
+    head = f"regexp_replace(lower(regexp_extract({nofrag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)), ':(80|443)$', '')"
+    tail = f"substring({nofrag}, length(regexp_extract({nofrag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)) + 1)"
+    # 3. split path from query ('?' needs escaping for Spark's regex split)
+    qmark = "[?]" if dialect == "spark" else "?"
+    path = split1.format(s=tail, d=qmark)
+    query = split2.format(s=tail, d=qmark)
+    has_q = f"{nparts.format(s=tail, d=qmark)} > 1"
+    # 4. trailing slash off the path, sorted query back on
+    cpath = f"regexp_replace({path}, '/$', '')"
+    return (
+        f"CASE WHEN {has_q} THEN concat({head}, {cpath}, '?', {sortq.format(q=query)}) "
+        f"ELSE concat({head}, {cpath}) END"
+    )
+
+
+def canonical_urls(pages: DataFrame) -> DataFrame:
+    """(url, canon_url): the canonicalization projection."""
+    return pages.select("url", F.expr(canonical_url_sql("url", "spark")).alias("canon_url"))
+
+
+def messy_urls(pages: DataFrame) -> DataFrame:
+    """Deterministic messy-variant augmentation (the planted-positive
+    pattern of near_dup_embeddings): every page whose url length is
+    divisible by 3 also appears with an uppercased scheme+host, an
+    explicit :443 port, unsorted query params, and a fragment — so the
+    canonicalization oracle compares non-vacuous collapses. Mirrored
+    verbatim in messy_urls_sql."""
+    base = pages.select("url")
+    variants = base.filter(F.length("url") % 3 == 0).select(
+        F.concat(
+            F.upper(F.expr("substring(url, 1, 20)")),
+            F.expr("substring(url, 21, 999999)"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url")
+    )
+    # the planted port: rewrite 'https://example.org/' -> ':443/'
+    variants = variants.select(
+        F.expr(
+            "regexp_replace(url, '^([a-zA-Z]+://[^/]*)/', '$1:443/')"
+        ).alias("url")
+    )
+    return base.unionByName(variants)
+
+
+def messy_urls_sql(pages_sql: str) -> str:
+    return f"""(
+    WITH pages AS {pages_sql}
+    SELECT url FROM pages
+    UNION ALL
+    SELECT regexp_replace(
+               upper(substring(url, 1, 20)) || substring(url, 21, 999999)
+               || '?b=2&a=1#frag',
+               '^([a-zA-Z]+://[^/]*)/', '\\1:443/')
+    FROM pages WHERE length(url) % 3 = 0
+)"""

@@ -45,6 +45,12 @@ from rdf2smw_spark.functions.textnorm import sql_smw_type
 
 TRIPLES_SQL = duckdb_triples_sql()
 PAGES_SQL = duckdb_pages_sql()
+
+from rdf2smw_spark.extract import canonical_url_sql as _canon_sql  # noqa: E402
+from rdf2smw_spark.extract import messy_urls_sql as _messy_sql  # noqa: E402
+
+_canon_url_duck = _canon_sql("url", "duckdb")
+_messy_urls_sql_const = _messy_sql(PAGES_SQL)
 WEB_TRIPLES_SQL = (
     f"(WITH pages AS {PAGES_SQL} SELECT * FROM {duckdb_triplify_sql('pages')})"
 )
@@ -580,6 +586,15 @@ def q_dd_semantic(spark, sf_dir):
     return sim.semantic_dedup(sim.near_dup_embeddings(_emb(spark, sf_dir)))
 
 
+def q_web_url_canon(spark, sf_dir):
+    """URL canonicalization (crawl-frontier dedup key) over the synth
+    crawl with planted messy variants (case/port/fragment/param-order)
+    so every rule is exercised — map-side projection, no shuffle."""
+    from rdf2smw_spark.extract import canonical_urls, messy_urls
+
+    return canonical_urls(messy_urls(synth_pages(spark, sf_dir)))
+
+
 def q_ta_mixture_weights(spark, sf_dir):
     """Per-language temperature-0.5 training-mix weights — the single
     sqrt is gridded to 1e-6 (BM25 discipline), normalization is pure
@@ -672,6 +687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_mixture_weights": q_ta_mixture_weights,
     "dd_semantic": q_dd_semantic,
     "ta_distinct_sketch": q_ta_distinct_sketch,
+    "web_url_canon": q_web_url_canon,
     "kg_property_table": q_kg_property_table,
     "kg_pred_cooccur": q_kg_pred_cooccur,
 }
@@ -848,6 +864,10 @@ ORACLES: dict[str, str] = {
     "ta_mixture_weights": ta.mixture_weights_sql("documents"),
     "dd_semantic": sim.semantic_dedup_sql(sim.near_dup_embeddings_sql(_EMB_SQL)),
     "ta_distinct_sketch": ta.distinct_sketch_sql("documents"),
+    "web_url_canon": (
+        f"SELECT url, {_canon_url_duck} AS canon_url"
+        f" FROM {_messy_urls_sql_const} u"
+    ),
     "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
     "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
 }

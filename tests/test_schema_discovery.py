@@ -158,3 +158,23 @@ def test_kmv_sketch_merge_is_salt_invariant(spark):
     b = distinct_sketch(docs, n_salts=64).collect()[0]["est_distinct"]
     c = distinct_sketch(docs, n_salts=7).collect()[0]["est_distinct"]
     assert a == b == c
+
+
+def test_url_canonicalization_rules(spark):
+    """Each rule individually and combined: fragment, case, default
+    port, trailing slash, query-param order; a non-default port
+    survives."""
+    from rdf2smw_spark.extract import canonical_urls
+
+    urls = [
+        "HTTPS://Example.ORG:443/A/b?z=1&a=2#frag",
+        "http://h.com:80/path/",
+        "http://h.com:8080/path",
+        "https://h.com/p?one=1",
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r["url"]: r["canon_url"] for r in canonical_urls(pages).collect()}
+    assert out[urls[0]] == "https://example.org/A/b?a=2&z=1"
+    assert out[urls[1]] == "http://h.com/path"
+    assert out[urls[2]] == "http://h.com:8080/path"
+    assert out[urls[3]] == "https://h.com/p?one=1"
