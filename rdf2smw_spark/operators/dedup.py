@@ -664,3 +664,48 @@ def duplicated_span_stats_sql(docs_sql: str, k: int = SPAN_K) -> str:
     LEFT JOIN ndw ON ndw.doc_id = t.doc_id
     LEFT JOIN cov ON cov.doc_id = t.doc_id
     """
+
+
+def containment_pairs(shingles: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Directed containment C(a in b) = |A∩B| / |A|: catches QUOTATION /
+    subset duplication that symmetric Jaccard misses (a tweet quoted
+    inside an article has tiny Jaccard but containment ≈ 1). Emits
+    (doc_a, doc_b, containment) for doc_a's shingles contained in doc_b,
+    both directions, a != b.
+
+    Same exact-verify role as jaccard_pairs: the shingle self-join is
+    the oracle-grade quadratic path, kept feasible by the max_df cap on
+    the shingle frame; the LSH families are the 100-TB candidate
+    generators and this is their verifier with the containment
+    numerator."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cont = F.round(F.col("n_int") / F.col("na"), 4)
+    return (
+        inter.join(sz_a, "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_sql(shingles_sql: str, threshold: float = 0.8) -> str:
+    return f"""
+    WITH sh AS (SELECT * FROM {shingles_sql}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(n_int / sa.n_sh, 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE ROUND(n_int / sa.n_sh, 4) >= {threshold}
+    """

@@ -24,7 +24,7 @@ vector of ranks ever collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdf2smw_spark.session import scoped_persist
@@ -356,4 +356,89 @@ def bfs_hops_sql(triples_sql: str, max_hops: int = BFS_MAX_HOPS) -> str:
     return f"""
     WITH {body}
     SELECT uri, CAST(hops AS BIGINT) AS hops FROM v{max_hops}
+    """
+
+
+# --- label-propagation communities --------------------------------------------
+
+LP_ITERS = 4
+
+
+def lp_communities(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
+    """(uri, community, community_size): synchronous label propagation
+    (Raghavan et al. 2007) over the undirected KG edge set — the cheap
+    community detector for entity-graph audits (which entities cluster
+    into one topic/template family). Each round every node adopts its
+    neighbors' MOST FREQUENT label, ties broken by minimum label — a
+    total order, so the synchronous schedule is deterministic at any
+    parallelism (asynchronous LPA is not, which is why this variant is
+    the one with an exact oracle). Fixed iteration count: bounded plan,
+    oscillation-safe by construction.
+
+    Scale shape per round: labels⋈edges equi-join on the node key, a
+    (node, label) partial-agg shuffle, and a partitionBy(node) window
+    for the argmax — never a global window. localCheckpoint per round
+    flattens the lineage exactly like pagerank/BFS/ivf_train. At 10^12
+    edges each round is two slim shuffles; iters is a constant."""
+    und = scoped_persist(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("a").alias("uri")).distinct()
+        .withColumn("lbl", F.col("uri"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(iters):
+        nb = und.join(
+            labels.select(F.col("uri").alias("b"), "lbl"), "b"
+        ).groupBy("a", "lbl").agg(F.count("*").alias("c"))
+        new = (
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("a").alias("uri"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        labels = new
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        "uri", F.col("lbl").alias("community"), "community_size"
+    )
+
+
+def lp_communities_sql(triples_sql: str, iters: int = LP_ITERS) -> str:
+    """Unrolled-CTE twin: one (neighbor-count + argmax) CTE per round."""
+    parts = [
+        f"""dedges AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
+        WHERE obj_is_iri AND subj <> obj
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM dedges
+        UNION
+        SELECT dst, src FROM dedges
+    ),
+    l0 AS (SELECT DISTINCT a AS uri, a AS lbl FROM und)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS (
+        SELECT uri, lbl FROM (
+            SELECT e.a AS uri, l.lbl, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                                      ORDER BY COUNT(*) DESC, l.lbl) AS rn
+            FROM und e JOIN l{i - 1} l ON l.uri = e.b
+            GROUP BY e.a, l.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    sizes AS (SELECT lbl, COUNT(*) AS community_size FROM l{iters} GROUP BY lbl)
+    SELECT uri, l.lbl AS community, community_size
+    FROM l{iters} l JOIN sizes USING (lbl)
     """

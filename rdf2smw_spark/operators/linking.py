@@ -9,7 +9,7 @@ production it would be a curated table — same join shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdf2smw_spark.operators.dedup import jaccard_for_pairs, minhash_candidates
@@ -313,4 +313,189 @@ def link_fuzzy_sql(
     )
     SELECT substring(v.m_id, 3) AS mention, d.surface, d.uri, v.jaccard
     FROM verified v JOIN d ON 'd:' || d.surface = v.d_id
+    """
+
+
+# --- sorted-neighborhood blocking --------------------------------------------
+
+SN_WINDOW = 3
+
+
+def _grams3_expr(col: str) -> str:
+    """In-row distinct char-3-gram array (Spark SQL dialect)."""
+    return (
+        f"array_distinct(filter(transform("
+        f"sequence(1, greatest(length({col}) - 2, 1)),"
+        f" i -> substring({col}, i, 3)), s -> length(s) = 3))"
+    )
+
+
+def link_sorted_neighborhood(
+    mention_surfaces: DataFrame,
+    entity_dict: DataFrame,
+    w: int = SN_WINDOW,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The OTHER classical ER blocking family (sorted-neighborhood,
+    Hernandez & Stolfo SIGMOD'95) as a cross-check to MinHash LSH
+    (link_fuzzy): merge mentions and dictionary surfaces into one
+    lexicographically sorted sequence, pair records at most `w` ranks
+    apart, keep mention↔dict pairs, verify with exact char-3-gram
+    Jaccard computed IN-ROW (no shingle shuffle — both strings are
+    already in the candidate row).
+
+    (mention, surface, uri, jaccard), jaccard >= threshold.
+
+    Scale shape: the sort is BLOCKED by the 2-char key prefix, so the
+    rank window is a partitionBy(prefix) row_number — never a global
+    single-reducer window (round-3 verdict #1 lesson). The rank-
+    adjacency join expands each row into `w` (block, rank+off) keys and
+    equi-joins — hash shuffle on a slim composite key, no range-join
+    scan. Cross-block neighbors are deliberately out of scope (standard
+    blocked-SN semantics; the prefix split is part of the blocking key).
+    Skewed prefixes ("th…" in English) split via AQE skew handling."""
+    m = (
+        mention_surfaces.select(F.col("mention").alias("key")).distinct()
+        .withColumn("is_dict", F.lit(0))
+        .withColumn("uri", F.lit(None).cast("string"))
+    )
+    d = entity_dict.select(
+        F.col("surface").alias("key"), F.lit(1).alias("is_dict"), "uri"
+    )
+    u = m.unionByName(d).withColumn("block", F.substring("key", 1, 2))
+    win = Window.partitionBy("block").orderBy("key", "is_dict", "uri")
+    ranked = u.withColumn("rn", F.row_number().over(win))
+    right = ranked.select(
+        "block", F.col("rn").alias("rn_b"),
+        F.col("key").alias("key_b"), F.col("is_dict").alias("db"), F.col("uri").alias("ub"),
+    )
+    left = ranked.select(
+        "block", "rn", "key", "is_dict", "uri",
+        F.explode(F.expr(f"sequence(1, {w})")).alias("off"),
+    ).withColumn("rn_b", F.col("rn") + F.col("off"))
+    pairs = (
+        left.join(right, ["block", "rn_b"])
+        .filter(F.col("is_dict") != F.col("db"))
+        .select(
+            F.when(F.col("is_dict") == 0, F.col("key")).otherwise(F.col("key_b")).alias("mention"),
+            F.when(F.col("is_dict") == 1, F.col("key")).otherwise(F.col("key_b")).alias("surface"),
+            F.when(F.col("is_dict") == 1, F.col("uri")).otherwise(F.col("ub")).alias("uri"),
+        )
+    )
+    ga, gb = _grams3_expr("mention"), _grams3_expr("surface")
+    jac = F.expr(
+        f"round(size(array_intersect({ga}, {gb})) / "
+        f"(size({ga}) + size({gb}) - size(array_intersect({ga}, {gb}))), 4)"
+    )
+    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold)
+
+
+def link_sorted_neighborhood_sql(
+    mentions_sql: str, dict_sql: str, w: int = SN_WINDOW, threshold: float = 0.5
+) -> str:
+    """DuckDB twin: same blocked rank window, same pairing, same in-row
+    3-gram Jaccard. NULL mention uris never participate in the ORDER BY
+    tie-break (keys are unique within is_dict=0), so Spark's nulls-first
+    vs DuckDB's nulls-last default cannot reorder ranks."""
+    def grams(col: str) -> str:
+        return (
+            f"list_distinct(list_filter(list_transform("
+            f"generate_series(1, greatest(length({col}) - 2, 1)),"
+            f" i -> substring({col}, i, 3)), s -> length(s) = 3))"
+        )
+
+    return f"""
+    WITH d AS (SELECT surface, uri FROM {dict_sql}),
+    m AS (SELECT DISTINCT mention FROM {mentions_sql}),
+    u AS (
+        SELECT mention AS key, 0 AS is_dict, CAST(NULL AS VARCHAR) AS uri FROM m
+        UNION ALL
+        SELECT surface, 1, uri FROM d
+    ),
+    ranked AS (
+        SELECT key, is_dict, uri, substring(key, 1, 2) AS block,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substring(key, 1, 2)
+                   ORDER BY key, is_dict, uri) AS rn
+        FROM u
+    ),
+    pairs AS (
+        SELECT CASE WHEN a.is_dict = 0 THEN a.key ELSE b.key END AS mention,
+               CASE WHEN a.is_dict = 1 THEN a.key ELSE b.key END AS surface,
+               CASE WHEN a.is_dict = 1 THEN a.uri ELSE b.uri END AS uri
+        FROM ranked a JOIN ranked b
+          ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + {w}
+        WHERE a.is_dict <> b.is_dict
+    ),
+    scored AS (
+        SELECT mention, surface, uri,
+               ROUND(len(list_intersect(ga, gb))
+                     / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+        FROM (SELECT mention, surface, uri,
+                     {grams('mention')} AS ga, {grams('surface')} AS gb
+              FROM pairs)
+    )
+    SELECT * FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+# --- entity co-occurrence ----------------------------------------------------
+
+def entity_cooccurrence_pmi(mentions: DataFrame) -> DataFrame:
+    """Pointwise mutual information over linked-entity pairs:
+    (uri_a, uri_b, n_ab, pmi) for entities co-mentioned in a document —
+    the statistical-association edge weight a KG adds on top of explicit
+    triples (candidate relatedness edges, anchor-dictionary priors).
+
+    pmi = ln(n_ab * N / (n_a * n_b)), N = docs with >= 1 linked entity.
+
+    Scale shape: pairs are generated IN-ROW from the per-doc sorted
+    entity set (collect_set is bounded by dictionary size per doc, not
+    corpus size) — no mentions-self-join shuffle. Two slim shuffles
+    (doc_id, then the pair key); the marginals frame is dictionary-sized
+    and broadcast. Mega-docs mentioning every entity are bounded by the
+    dictionary, not the text length."""
+    ents = mentions.select("doc_id", "uri").distinct()
+    per_doc = ents.groupBy("doc_id").agg(F.sort_array(F.collect_set("uri")).alias("us"))
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(us, (a, i) ->"
+                " transform(slice(us, i + 2, size(us)),"
+                " b -> struct(a AS uri_a, b AS uri_b))))"
+            )
+        ).alias("p")
+    ).select("p.uri_a", "p.uri_b")
+    n_ab = pairs.groupBy("uri_a", "uri_b").agg(F.count("*").alias("n_ab"))
+    marg = ents.groupBy("uri").agg(F.count("*").alias("n"))
+    total = ents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        n_ab.join(F.broadcast(marg.select(F.col("uri").alias("uri_a"), F.col("n").alias("n_a"))), "uri_a")
+        .join(F.broadcast(marg.select(F.col("uri").alias("uri_b"), F.col("n").alias("n_b"))), "uri_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "uri_a", "uri_b", "n_ab",
+            F.round(F.log(F.col("n_ab") * F.col("n_docs") / (F.col("n_a") * F.col("n_b"))), 4).alias("pmi"),
+        )
+    )
+
+
+def entity_cooccurrence_pmi_sql(link_sql: str) -> str:
+    """Oracle over a (doc_id, uri) mention relation; the pair generation
+    is the plain self-join (quadratic is fine at oracle scale)."""
+    return f"""
+    WITH ents AS (SELECT DISTINCT doc_id, uri FROM {link_sql}),
+    pairs AS (
+        SELECT a.uri AS uri_a, b.uri AS uri_b, COUNT(*) AS n_ab
+        FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.uri < b.uri
+        GROUP BY 1, 2
+    ),
+    marg AS (SELECT uri, COUNT(*) AS n FROM ents GROUP BY uri),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ents)
+    SELECT uri_a, uri_b, n_ab,
+           ROUND(ln(n_ab * n_docs / (ca.n * cb.n)), 4) AS pmi
+    FROM pairs
+    JOIN marg ca ON ca.uri = uri_a
+    JOIN marg cb ON cb.uri = uri_b
+    CROSS JOIN tot
     """

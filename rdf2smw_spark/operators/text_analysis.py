@@ -803,3 +803,98 @@ def distinct_sketch_sql(docs_sql: str, k: int = KMV_K) -> str:
     FROM r
     WHERE rn = CASE WHEN nd < {k} THEN nd ELSE {k} END
     """
+
+
+# --- weighted sampling (A-ES) ------------------------------------------------------
+
+def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:
+    """(rank, doc_id, lang, n_chars): deterministic weighted sample
+    WITHOUT replacement, weight = n_chars (token-budget-proportional
+    selection — the mixing primitive when a corpus slice should be
+    sampled by how many training tokens it contributes, not by document
+    count).
+
+    Algorithm A-ES (Efraimidis & Spirakis, IPL 2006): each row draws
+    u ~ U(0,1] and ranks by u^(1/w); the top-k keys are a weighted
+    sample without replacement. The draw is md5-derived so the same
+    sample reproduces at any parallelism and in any engine, and the
+    comparison uses the order-equivalent key ln(u)/w (exp is monotone)
+    to avoid pow's cross-engine edge cases. md5-spread keys make a
+    1-ulp libm divergence flipping an adjacent pair astronomically
+    unlikely; doc_id breaks exact ties.
+
+    Scale shape: the key is a map-side expression; selection is
+    TakeOrderedAndProject (per-partition k-heaps, no global sort, no
+    single-reducer window) — identical shape at 10^3 or 10^12 rows."""
+    from rdf2smw_spark.operators.topk import global_topk_ranked
+
+    u = f"({_hex32('md5(cast(doc_id as string))', 'spark')} + 1) / 4294967296.0"
+    base = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("__key", F.expr(f"ln({u}) / n_chars"))
+    )
+    top = global_topk_ranked(
+        base, [("__key", "desc"), ("doc_id", "asc")], k, rank_col="rank"
+    )
+    return top.select("rank", "doc_id", "lang", "n_chars")
+
+
+def weighted_sample_sql(docs_sql: str, k: int = 100) -> str:
+    u = f"({_hex32('md5(CAST(doc_id AS VARCHAR))', 'duckdb')} + 1) / 4294967296.0"
+    return f"""
+    SELECT rank, doc_id, lang, n_chars FROM (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY ln({u}) / n_chars DESC, doc_id) AS rank,
+               doc_id, lang, n_chars
+        FROM {docs_sql} WHERE n_chars > 0
+    ) WHERE rank <= {k}
+    """
+
+
+# --- linear quality-model inference ------------------------------------------------
+
+# Pinned logistic-regression weights (a stand-in for a trained fastText/
+# CCNet-style quality classifier — the INFERENCE shape is the point):
+# z = bias + w·features, keep ⇔ z >= 0. The weights live here, not in a
+# model file, so both dialects compile the same closed-form expression.
+QM_BIAS = -1.0
+QM_W_STOPWORD = 3.0   # stopword-rich text reads like natural language
+QM_W_PUNCT = -4.0     # symbol soup is boilerplate/code noise
+QM_W_LEN = 1.5        # saturating length credit, capped at 100 tokens
+
+
+def _qm_exprs(dialect: str) -> tuple[str, str]:
+    e = _quality_exprs(dialect)
+    z = (
+        f"({QM_BIAS} + {QM_W_STOPWORD} * {e['stopword_ratio']}"
+        f" + {QM_W_PUNCT} * {e['punct_ratio']}"
+        f" + {QM_W_LEN} * least({e['n_tokens']} / 100.0, 1.0))"
+    )
+    prob = f"ROUND(1.0 / (1.0 + exp(-{z})), 4)"
+    return z, prob
+
+
+def quality_model(docs: DataFrame) -> DataFrame:
+    """(doc_id, logit, prob, keep): model-based quality filtering as
+    pure JVM expression inference — batch scoring of a linear model
+    needs no UDF, no model server, no Python: the dot product compiles
+    into whole-stage codegen and fuses with the scan. `keep` compares
+    the logit (exact rational arithmetic), not the rounded sigmoid, so
+    the decision boundary is engine-exact. At 100 TB this is the
+    cheapest possible classifier pass: map-side, zero shuffle."""
+    z, prob = _qm_exprs("spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"ROUND({z}, 4)").alias("logit"),
+        F.expr(prob).alias("prob"),
+        F.expr(f"{z} >= 0").alias("keep"),
+    )
+
+
+def quality_model_sql(docs_sql: str) -> str:
+    z, prob = _qm_exprs("duckdb")
+    return (
+        f"SELECT doc_id, ROUND({z}, 4) AS logit, {prob} AS prob, "
+        f"{z} >= 0 AS keep FROM {docs_sql}"
+    )

@@ -29,6 +29,7 @@ from rdf2smw_spark.operators import linking as lk
 from rdf2smw_spark.operators import schema_discovery as _sd
 from rdf2smw_spark.operators import search as _search
 from rdf2smw_spark.operators import similarity as sim
+from rdf2smw_spark.operators import weblinks as wl
 from rdf2smw_spark.operators import text_analysis as ta
 from rdf2smw_spark.operators.convert import triples_to_pages
 from rdf2smw_spark.operators.dimensions import (
@@ -228,6 +229,86 @@ def q_web_kg_fact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fact_rows(spark, triplify(synth_pages(spark, sf_dir)))
 
 
+# --- SPARQL-style basic graph patterns over the KG ---------------------------
+
+_BGP_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_BGP_ONT = "http://example.org/onto#"
+_BGP_ORDER_CLASS = "http://example.org/class/Order"
+_BGP_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+_BGP_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def q_kg_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ ?o a :Order . ?o :customer ?c . ?o :orderstatus ?s .
+    ?o :totalprice ?p . FILTER(?p > 150000) } — star join on the shared
+    subject: one exchange, co-partitioned joins, pred filters pushed to
+    the scan. Price compares as DECIMAL so both engines agree exactly."""
+    from rdf2smw_spark.operators import bgp
+
+    t = testdata_triples(spark, sf_dir)
+    pats = [
+        bgp.subject_pattern(t, _BGP_TYPE, _BGP_ORDER_CLASS, "ord_uri"),
+        bgp.triple_pattern(t, _BGP_ONT + "customer", "ord_uri", "cust_uri"),
+        bgp.triple_pattern(t, _BGP_ONT + "orderstatus", "ord_uri", "status"),
+        bgp.triple_pattern(t, _BGP_ONT + "totalprice", "ord_uri", "price"),
+    ]
+    res = bgp.bgp_star(pats, "ord_uri")
+    return res.filter(F.col("price").cast("decimal(12,2)") > 150000).select(
+        "ord_uri", "cust_uri", "status", "price"
+    )
+
+
+def q_kg_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ ?o :customer ?c . ?c a ?n . ?n rdfs:subClassOf ?r .
+    ?r rdfs:label ?rn } — a 3-hop path: instance-level hops shuffle once
+    per hop; the tiny class-layer hop (nation→region, ~25 rows) is
+    broadcast so the chain costs two exchanges total."""
+    from rdf2smw_spark.operators import bgp
+
+    t = testdata_triples(spark, sf_dir)
+    oc = bgp.triple_pattern(t, _BGP_ONT + "customer", "ord_uri", "cust_uri")
+    ctype = bgp.triple_pattern(t, _BGP_TYPE, "cust_uri", "nation_uri")
+    nsub = bgp.triple_pattern(t, _BGP_SUBCLASS, "nation_uri", "region_uri")
+    rlabel = bgp.triple_pattern(t, _BGP_LABEL, "region_uri", "region_name")
+    return (
+        oc.join(ctype, "cust_uri")
+        .join(F.broadcast(nsub), "nation_uri")
+        .join(F.broadcast(rlabel), "region_uri")
+        .select("ord_uri", "cust_uri", "nation_uri", "region_uri", "region_name")
+    )
+
+
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ ?s :name ?name OPTIONAL { ?s rdfs:label ?label } } — SPARQL
+    OPTIONAL is a left outer join on the co-partitioned subject key."""
+    from rdf2smw_spark.operators import bgp
+
+    t = testdata_triples(spark, sf_dir)
+    name = bgp.triple_pattern(t, _BGP_ONT + "name", "subj_uri", "name")
+    label = bgp.triple_pattern(t, _BGP_LABEL, "subj_uri", "label")
+    return name.join(label, "subj_uri", "left").select("subj_uri", "name", "label")
+
+
+def q_web_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink edges from every capture: map-side regexp, no shuffle."""
+    return wl.extract_links(synth_pages(spark, sf_dir))
+
+
+def q_web_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text inventory per link target: one shuffle on href."""
+    return wl.anchor_stats(wl.extract_links(synth_pages(spark, sf_dir)))
+
+
+def q_web_indegree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-linked targets via TakeOrderedAndProject (no global window)."""
+    return wl.indegree_topk(wl.extract_links(synth_pages(spark, sf_dir)), k=25)
+
+
+def q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-over-capture change detection on 32-byte fingerprints."""
+    return wl.crawl_diff(extract_text(synth_pages(spark, sf_dir)))
+
+
 # --- text analysis -------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +345,16 @@ def q_ta_top_ngrams(spark, sf_dir):
 def q_ta_stratified_sample(spark, sf_dir):
     """Deterministic per-language sample (training-mix primitive)."""
     return ta.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_ta_weighted_sample(spark, sf_dir):
+    """A-ES weighted sample (weight = n_chars), TakeOrderedAndProject."""
+    return ta.weighted_sample(_docs(spark, sf_dir), k=100)
+
+
+def q_ta_quality_model(spark, sf_dir):
+    """Fixed-weight logistic-regression quality scoring, pure JVM."""
+    return ta.quality_model(_docs(spark, sf_dir))
 
 
 def q_ta_pii_scrub(spark, sf_dir):
@@ -310,6 +401,11 @@ def q_dd_jaccard_pairs(spark, sf_dir):
 
 def q_dd_minhash_near_dups(spark, sf_dir):
     return dd.minhash_near_dups(_shingles(spark, sf_dir), threshold=0.5)
+
+
+def q_dd_containment(spark, sf_dir):
+    """Directed containment (quotation/subset duplication)."""
+    return dd.containment_pairs(_shingles(spark, sf_dir), threshold=0.7)
 
 
 def q_dd_cluster(spark, sf_dir):
@@ -407,6 +503,12 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(link_edges(testdata_triples(spark, sf_dir)))
 
 
+def q_kg_communities(spark, sf_dir):
+    """Synchronous label-propagation communities over the KG edge set
+    (min-label tiebreak => deterministic; unrolled-CTE oracle)."""
+    return gr.lp_communities(gr.link_edges(testdata_triples(spark, sf_dir)))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over the KG edge set (degree-ordered
     orientation; the DuckDB oracle uses an independent lexical
@@ -495,6 +597,27 @@ def q_link_fuzzy(spark, sf_dir):
         F.concat(F.expr("substring(surface, 1, length(surface) - 1)"), F.lit("x")).alias("mention")
     )
     return lk.link_fuzzy(mentions, d, threshold=0.3)
+
+
+def q_link_pmi(spark, sf_dir):
+    """PMI association edges between co-mentioned linked entities."""
+    docs = _docs(spark, sf_dir)
+    mentions = lk.link_exact(docs, lk.corpus_entity_dict(docs))
+    return lk.entity_cooccurrence_pmi(mentions)
+
+
+def q_link_sorted_neighborhood(spark, sf_dir):
+    """Blocked sorted-neighborhood blocking (the non-LSH classical ER
+    family): corpus tokens vs the entity dictionary, rank-window
+    candidates, in-row 3-gram Jaccard verify."""
+    docs = _docs(spark, sf_dir)
+    d = lk.corpus_entity_dict(docs)
+    mentions = (
+        docs.select(F.explode(F.expr(ta._tokens("text"))).alias("mention"))
+        .filter(F.length("mention") >= 3)
+        .distinct()
+    )
+    return lk.link_sorted_neighborhood(mentions, d, w=3, threshold=0.5)
 
 
 # --- events: windows / sessionization ----------------------------------------------
@@ -644,6 +767,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_site_stats": q_web_site_stats,
     "web_triples": q_web_triples,
     "web_kg_fact_rows": q_web_kg_fact_rows,
+    "kg_bgp_star": q_kg_bgp_star,
+    "kg_bgp_path": q_kg_bgp_path,
+    "kg_bgp_optional": q_kg_bgp_optional,
+    "web_links": q_web_links,
+    "web_anchor_stats": q_web_anchor_stats,
+    "web_indegree_topk": q_web_indegree_topk,
+    "web_crawl_diff": q_web_crawl_diff,
     "ta_lang_id": q_ta_lang_id,
     "ta_quality": q_ta_quality,
     "ta_token_stats": q_ta_token_stats,
@@ -653,6 +783,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_corpus_stats": q_ta_corpus_stats,
     "ta_stratified_sample": q_ta_stratified_sample,
     "ta_top_ngrams": q_ta_top_ngrams,
+    "ta_weighted_sample": q_ta_weighted_sample,
+    "ta_quality_model": q_ta_quality_model,
     "ta_pii_scrub": q_ta_pii_scrub,
     "ta_token_histogram": q_ta_token_histogram,
     "dd_exact": q_dd_exact,
@@ -671,8 +803,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_entity_dict": q_link_entity_dict,
     "link_exact": q_link_exact,
     "link_fuzzy": q_link_fuzzy,
+    "link_sorted_neighborhood": q_link_sorted_neighborhood,
+    "link_pmi": q_link_pmi,
+    "dd_containment": q_dd_containment,
     "kg_linked_triples": q_kg_linked_triples,
     "kg_pagerank": q_kg_pagerank,
+    "kg_communities": q_kg_communities,
     "kg_triangles": q_kg_triangles,
     "kg_bfs_hops": q_kg_bfs_hops,
     "search_bm25": q_search_bm25,
@@ -739,6 +875,50 @@ ORACLES: dict[str, str] = {
         f"WITH pages AS {PAGES_SQL} SELECT * FROM {duckdb_triplify_sql('pages')}"
     ),
     "web_kg_fact_rows": orc.fact_rows_sql(WEB_TRIPLES_SQL),
+    "kg_bgp_star": f"""
+        WITH triples AS {TRIPLES_SQL},
+        o AS (SELECT subj AS ord_uri FROM triples
+              WHERE pred = '{_BGP_TYPE}' AND obj = '{_BGP_ORDER_CLASS}'),
+        c AS (SELECT subj AS ord_uri, obj AS cust_uri FROM triples
+              WHERE pred = '{_BGP_ONT}customer'),
+        st AS (SELECT subj AS ord_uri, obj AS status FROM triples
+               WHERE pred = '{_BGP_ONT}orderstatus'),
+        pr AS (SELECT subj AS ord_uri, obj AS price FROM triples
+               WHERE pred = '{_BGP_ONT}totalprice')
+        SELECT o.ord_uri, cust_uri, status, price
+        FROM o JOIN c USING (ord_uri) JOIN st USING (ord_uri) JOIN pr USING (ord_uri)
+        WHERE CAST(price AS DECIMAL(12,2)) > 150000
+    """,
+    "kg_bgp_path": f"""
+        WITH triples AS {TRIPLES_SQL},
+        oc AS (SELECT subj AS ord_uri, obj AS cust_uri FROM triples
+               WHERE pred = '{_BGP_ONT}customer'),
+        ct AS (SELECT subj AS cust_uri, obj AS nation_uri FROM triples
+               WHERE pred = '{_BGP_TYPE}'),
+        ns AS (SELECT subj AS nation_uri, obj AS region_uri FROM triples
+               WHERE pred = '{_BGP_SUBCLASS}'),
+        rl AS (SELECT subj AS region_uri, obj AS region_name FROM triples
+               WHERE pred = '{_BGP_LABEL}')
+        SELECT ord_uri, cust_uri, nation_uri, region_uri, region_name
+        FROM oc JOIN ct USING (cust_uri) JOIN ns USING (nation_uri)
+                JOIN rl USING (region_uri)
+    """,
+    "kg_bgp_optional": f"""
+        WITH triples AS {TRIPLES_SQL},
+        nm AS (SELECT subj AS subj_uri, obj AS name FROM triples
+               WHERE pred = '{_BGP_ONT}name'),
+        lb AS (SELECT subj AS subj_uri, obj AS label FROM triples
+               WHERE pred = '{_BGP_LABEL}')
+        SELECT nm.subj_uri, name, label
+        FROM nm LEFT JOIN lb ON nm.subj_uri = lb.subj_uri
+    """,
+    "web_links": f"SELECT * FROM {wl.extract_links_sql(PAGES_SQL)}",
+    "web_anchor_stats": wl.anchor_stats_sql(wl.extract_links_sql(PAGES_SQL)),
+    "web_indegree_topk": wl.indegree_topk_sql(wl.extract_links_sql(PAGES_SQL), k=25),
+    "web_crawl_diff": wl.crawl_diff_sql(
+        f"(WITH pages AS {PAGES_SQL} "
+        f"SELECT url, {duckdb_extract_sql('html_str')} AS text FROM pages)"
+    ),
     "ta_lang_id": ta.lang_id_sql("documents"),
     "ta_quality": ta.quality_score_sql("documents"),
     "ta_token_stats": ta.token_stats_sql("documents"),
@@ -747,6 +927,8 @@ ORACLES: dict[str, str] = {
     "ta_corpus_stats": ta.corpus_stats_sql("documents"),
     "ta_stratified_sample": ta.stratified_sample_sql("documents"),
     "ta_top_ngrams": ta.top_ngrams_sql("documents"),
+    "ta_weighted_sample": ta.weighted_sample_sql("documents", k=100),
+    "ta_quality_model": ta.quality_model_sql("documents"),
     "ta_pii_scrub": ta.pii_scrub_sql("documents"),
     "ta_token_histogram": ta.token_length_histogram_sql("documents"),
     "ta_decontam": ta.decontaminate_sql(
@@ -769,6 +951,10 @@ ORACLES: dict[str, str] = {
     "ivf_centroids": sim.ivf_train_sql(_EMB_SQL),
     "ivf_kmeans_assign": sim.ivf_kmeans_assign_sql(_EMB_SQL),
     "kg_pagerank": f"WITH triples AS {TRIPLES_SQL} SELECT * FROM ({gr.pagerank_sql('triples')})",
+    "kg_communities": (
+        f"WITH triples AS {TRIPLES_SQL} "
+        f"SELECT * FROM ({gr.lp_communities_sql('triples')})"
+    ),
     "kg_triangles": (
         f"WITH triples AS {TRIPLES_SQL}"
         f" SELECT * FROM ({gr.triangle_counts_sql('triples')})"
@@ -833,6 +1019,20 @@ ORACLES: dict[str, str] = {
         f" FROM {lk.corpus_entity_dict_sql('documents')})",
         lk.corpus_entity_dict_sql("documents"),
         threshold=0.3,
+    ),
+    "link_pmi": lk.entity_cooccurrence_pmi_sql(
+        "("
+        + lk.link_exact_sql("documents", lk.corpus_entity_dict_sql("documents"))
+        + ")"
+    ),
+    "dd_containment": dd.containment_pairs_sql(SHINGLES_SQL, threshold=0.7),
+    "link_sorted_neighborhood": lk.link_sorted_neighborhood_sql(
+        "(SELECT DISTINCT surface AS mention FROM "
+        f"(SELECT UNNEST({ta._tokens('text', 'duckdb')}) AS surface FROM documents)"
+        " WHERE length(surface) >= 3)",
+        lk.corpus_entity_dict_sql("documents"),
+        w=3,
+        threshold=0.5,
     ),
     "ev_window_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

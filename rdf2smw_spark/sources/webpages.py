@@ -24,13 +24,25 @@ _HTML_PREFIX = "<html><head><title>Doc "
 # <span property="http://example.org/onto#source" datatype="http://www.w3.org/2001/XMLSchema#string">{source}</span>
 # <span property="http://example.org/onto#nchars" datatype="http://www.w3.org/2001/XMLSchema#integer">{n_chars}</span>
 # <a property="http://example.org/onto#sameAs" href="http://example.org/doc/{id}">self</a>
+# <a rel="related" href="https://example.org/wiki/Doc_{(id*31+7)%997}">see also {(id*31+7)%997}</a>
 # <footer>(c) example.org</footer></body></html>
+#
+# The related link (no property= attribute, so TRIPLIFY ignores it) gives
+# the corpus a non-trivial hyperlink graph for operators/weblinks.py:
+# targets collide mod 997, so in-degree varies and anchor aggregation is
+# non-vacuous. The second capture appends a '<p>rev 2</p>' marker so
+# crawl_diff sees real content drift.
 
 
 def _escape_html(col):
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
     return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def _related_id() -> F.Column:
+    # BIGINT before the multiply: ANSI mode overflows INT32 otherwise.
+    return ((F.col("doc_id").cast("bigint") * 31 + 7) % 997).cast("string")
 
 
 def _html_col() -> F.Column:
@@ -45,7 +57,10 @@ def _html_col() -> F.Column:
         F.col("n_chars").cast("string"),
         F.lit('</span><a property="http://example.org/onto#sameAs" href="http://example.org/doc/'),
         i,
-        F.lit('">self</a><footer>(c) example.org</footer></body></html>'),
+        F.lit('">self</a><a rel="related" href="https://example.org/wiki/Doc_'),
+        _related_id(),
+        F.lit('">see also '), _related_id(),
+        F.lit("</a><footer>(c) example.org</footer></body></html>"),
     )
 
 
@@ -64,11 +79,12 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "warc_ts", F.encode("html_str", "UTF-8").alias("html"),
         F.lit(None).cast("string").alias("text"), "lang",
     )
-    # second capture, 1 hour later, same content (deterministic dup)
+    # second capture, 1 hour later, with a content revision marker
+    # (crawl_diff must see real drift, not identical bytes)
     dup = base.filter(F.col("doc_id") % 10 == 0).select(
         "url",
         F.expr("timestampadd(HOUR, 1, warc_ts)").alias("warc_ts"),
-        F.encode("html_str", "UTF-8").alias("html"),
+        F.encode(F.concat("html_str", F.lit("<p>rev 2</p>")), "UTF-8").alias("html"),
         F.lit(None).cast("string").alias("text"),
         "lang",
     )
@@ -89,7 +105,10 @@ def duckdb_pages_sql() -> str:
         "datatype=\"http://www.w3.org/2001/XMLSchema#integer\">' || n_chars || "
         "'</span><a property=\"http://example.org/onto#sameAs\" "
         "href=\"http://example.org/doc/' || doc_id || '\">self</a>"
-        "<footer>(c) example.org</footer></body></html>'"
+        "<a rel=\"related\" href=\"https://example.org/wiki/Doc_' || "
+        "((doc_id * 31 + 7) % 997) || '\">see also ' || "
+        "((doc_id * 31 + 7) % 997) || "
+        "'</a><footer>(c) example.org</footer></body></html>'"
     )
     return f"""(
     SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
@@ -100,7 +119,7 @@ def duckdb_pages_sql() -> str:
     UNION ALL
     SELECT 'https://example.org/' || source || '/doc/' || doc_id,
            TIMESTAMP '{BASE_TS}' + to_seconds(doc_id) + INTERVAL 1 HOUR,
-           {html},
+           {html} || '<p>rev 2</p>',
            lang
     FROM documents WHERE (doc_id % 10) = 0
 )"""

@@ -1,0 +1,198 @@
+"""Round-4 continuation: BGP matching, sorted-neighborhood blocking,
+entity PMI, containment dedup, weighted sampling, quality-model inference."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators import dedup as dd
+from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import text_analysis as ta
+from rdf2smw_spark.queries import (
+    q_kg_bgp_optional,
+    q_kg_bgp_path,
+    q_kg_bgp_star,
+)
+from rdf2smw_spark.sources.testdata import load_table
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- BGP ---------------------------------------------------------------------
+
+def test_bgp_star_matches_orders_table(spark, sf_dir):
+    res = q_kg_bgp_star(spark, sf_dir).toPandas()
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    expected = orders[orders["o_totalprice"].round(2) > 150000]
+    assert len(res) == len(expected)
+    assert (res["price"].astype(float) > 150000).all()
+    # every row joins the right customer
+    m = dict(zip(orders["o_orderkey"].astype(str), orders["o_custkey"].astype(str)))
+    for r in res.itertuples():
+        ok = r.ord_uri.rsplit("/", 1)[1]
+        assert r.cust_uri.rsplit("/", 1)[1] == m[ok]
+
+
+def test_bgp_path_reaches_region_labels(spark, sf_dir):
+    res = q_kg_bgp_path(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    # one row per order: the customer type hop fans out to nation+segment,
+    # but only nations have subClassOf edges
+    assert res.count() == orders.count()
+    region_names = {
+        r.r_name for r in load_table(spark, sf_dir, "region").collect()
+    }
+    got = {r.region_name for r in res.select("region_name").distinct().collect()}
+    assert got <= region_names and got
+
+
+def test_bgp_optional_left_join_semantics(spark, sf_dir):
+    res = q_kg_bgp_optional(spark, sf_dir).toPandas()
+    cust = res[res["subj_uri"].str.contains("/customer/")]
+    key = cust["subj_uri"].str.rsplit("/", n=1).str[1].astype(int)
+    has_label = cust["label"].notna()
+    assert (has_label == (key % 3 == 0)).all()
+    # the static weird thing has both name and label
+    weird = res[res["subj_uri"] == "http://example.org/thing/weird"]
+    assert len(weird) == 1 and weird["label"].notna().all()
+
+
+# --- sorted-neighborhood blocking --------------------------------------------
+
+def test_sorted_neighborhood_finds_exact_and_near(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    d = lk.corpus_entity_dict(docs, k=20)
+    mentions = (
+        docs.select(F.explode(F.expr(ta._tokens("text"))).alias("mention"))
+        .filter(F.length("mention") >= 3)
+        .distinct()
+    )
+    res = lk.link_sorted_neighborhood(mentions, d, w=3, threshold=0.5).toPandas()
+    # every dict surface occurs as a corpus token, sorts adjacent to its
+    # identical mention, and scores jaccard 1.0
+    exact = res[(res["jaccard"] == 1.0) & (res["mention"] == res["surface"])]
+    dict_surfaces = {r.surface for r in d.select("surface").collect()}
+    assert set(exact["surface"]) == dict_surfaces
+    assert (res["jaccard"] <= 1.0).all() and (res["jaccard"] >= 0.5).all()
+
+
+def test_sorted_neighborhood_parallelism_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(200)
+    d = lk.corpus_entity_dict(docs, k=10)
+    mentions = (
+        docs.select(F.explode(F.expr(ta._tokens("text"))).alias("mention"))
+        .filter(F.length("mention") >= 3)
+        .distinct()
+    )
+    a = lk.link_sorted_neighborhood(mentions, d).toPandas()
+    b = lk.link_sorted_neighborhood(mentions.repartition(17), d).toPandas()
+    key = ["mention", "surface", "uri", "jaccard"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+# --- containment -------------------------------------------------------------
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    docs = dd.near_dup_corpus(_docs(spark, sf_dir))
+    sh = dd.char_shingles(docs, max_df=100)
+    jac = dd.jaccard_pairs(sh, threshold=0.5).toPandas()
+    cont = dd.containment_pairs(sh, threshold=0.0).toPandas()
+    cmap = {(r.doc_a, r.doc_b): r.containment for r in cont.itertuples()}
+    assert len(jac) > 0
+    for r in jac.itertuples():
+        # C(a in b) = I/|A| >= I/U = J, both directions
+        assert cmap[(r.doc_a, r.doc_b)] >= r.jaccard - 1e-9
+        assert cmap[(r.doc_b, r.doc_a)] >= r.jaccard - 1e-9
+
+
+# --- entity co-occurrence PMI ------------------------------------------------
+
+def test_pmi_matches_hand_computation(spark):
+    rows = [
+        (1, "e:a"), (1, "e:b"),
+        (2, "e:a"), (2, "e:b"),
+        (3, "e:a"), (3, "e:c"),
+        (4, "e:d"),
+    ]
+    m = spark.createDataFrame(
+        [(d, "s", u) for d, u in rows], "doc_id long, surface string, uri string"
+    )
+    res = {
+        (r.uri_a, r.uri_b): (r.n_ab, r.pmi)
+        for r in lk.entity_cooccurrence_pmi(m).collect()
+    }
+    # N=4 docs; n_a=3, n_b=2, n_ab=2 -> pmi = ln(2*4/(3*2))
+    n_ab, pmi = res[("e:a", "e:b")]
+    assert n_ab == 2 and abs(pmi - round(math.log(8 / 6), 4)) < 1e-9
+    n_ac, pmi_ac = res[("e:a", "e:c")]
+    assert n_ac == 1 and abs(pmi_ac - round(math.log(4 / 3), 4)) < 1e-9
+    assert ("e:d", "e:a") not in res and ("e:a", "e:d") not in res
+
+
+# --- weighted sampling -------------------------------------------------------
+
+def test_weighted_sample_shape_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = ta.weighted_sample(docs, k=50).toPandas()
+    b = ta.weighted_sample(docs.repartition(19), k=50).toPandas()
+    assert list(a["rank"]) == list(range(1, 51))
+    assert a[["rank", "doc_id"]].values.tolist() == b[["rank", "doc_id"]].values.tolist()
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sample = ta.weighted_sample(docs, k=100).toPandas()
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample["n_chars"].mean() > corpus_mean
+
+
+# --- quality model -----------------------------------------------------------
+
+def test_quality_model_decision_boundary(spark, sf_dir):
+    res = ta.quality_model(_docs(spark, sf_dir)).toPandas()
+    assert ((res["prob"] >= 0) & (res["prob"] <= 1)).all()
+    assert (res["keep"] == (res["logit"] >= 0)).all()
+    # both classes exist in the corpus (non-vacuous model)
+    assert res["keep"].any() and (~res["keep"]).any()
+
+
+def test_quality_model_prefers_prose_over_noise(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then it was done"),
+            (2, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ;;; :::"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r.doc_id: r.prob for r in ta.quality_model(df).collect()}
+    assert res[1] > res[2]
+
+
+# --- label propagation -------------------------------------------------------
+
+def test_lp_communities_two_cliques(spark):
+    # two triangles joined by nothing -> two communities
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    from rdf2smw_spark.operators.graph import lp_communities
+
+    res = {r.uri: (r.community, r.community_size) for r in lp_communities(edges).collect()}
+    assert {res[n][0] for n in "abc"} == {"a"} and res["a"][1] == 3
+    assert {res[n][0] for n in "xyz"} == {"x"} and res["x"][1] == 3
+
+
+def test_lp_communities_parallelism_invariant(spark, sf_dir):
+    from rdf2smw_spark.operators.graph import link_edges, lp_communities
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    t = testdata_triples(spark, sf_dir)
+    a = lp_communities(link_edges(t)).toPandas()
+    b = lp_communities(link_edges(t.repartition(23))).toPandas()
+    key = ["uri", "community", "community_size"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
