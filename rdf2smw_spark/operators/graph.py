@@ -416,16 +416,16 @@ def lp_communities_sql(triples_sql: str, iters: int = LP_ITERS) -> str:
         SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
         WHERE obj_is_iri AND subj <> obj
     ),
-    und AS (
+    und AS MATERIALIZED (
         SELECT src AS a, dst AS b FROM dedges
         UNION
         SELECT dst, src FROM dedges
     ),
-    l0 AS (SELECT DISTINCT a AS uri, a AS lbl FROM und)"""
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS uri, a AS lbl FROM und)"""
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
         SELECT uri, lbl FROM (
             SELECT e.a AS uri, l.lbl, COUNT(*) AS c,
                    ROW_NUMBER() OVER (PARTITION BY e.a
@@ -441,4 +441,187 @@ def lp_communities_sql(triples_sql: str, iters: int = LP_ITERS) -> str:
     sizes AS (SELECT lbl, COUNT(*) AS community_size FROM l{iters} GROUP BY lbl)
     SELECT uri, l.lbl AS community, community_size
     FROM l{iters} l JOIN sizes USING (lbl)
+    """
+
+
+# --- HITS hubs & authorities ----------------------------------------------------
+
+HITS_ITERS = 4
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(uri, hub_e12, auth_e12): HITS (Kleinberg 1999) over directed
+    (src, dst) edges — the hub/authority split PageRank can't express,
+    and the natural ranking for a crawl graph (pages that LINK well vs
+    pages that ARE linked well). L1-normalized power iteration, emitted
+    as exact scaled BIGINTs.
+
+    Arithmetic discipline (same as pagerank): per-edge contributions
+    quantize to BIGINT×1e12 BEFORE summation, so every aggregate is an
+    exact integer at any parallelism; each normalization total is ONE
+    bounded driver scalar per half-iteration (the dangling-mass
+    pattern), and the renormalized score is a single IEEE division of
+    the same two integers in both engines. localCheckpoint per
+    iteration keeps the plan flat.
+
+    Scale shape per half-iteration: one equi-join of scores onto edges
+    (node key) + one slim groupBy shuffle — identical to one pagerank
+    round; iters is a small constant."""
+    e = scoped_persist(edges.select("src", "dst").distinct())
+    nodes = scoped_persist(
+        e.select(F.col("src").alias("uri"))
+        .unionByName(e.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    hub = nodes.withColumn("h", F.lit(1.0)).localCheckpoint(eager=True)
+    auth = None
+    prev = [hub]
+    for _ in range(iters):
+        aq = (
+            e.join(hub.select(F.col("uri").alias("src"), F.expr(_quant("h")).alias("qh")), "src")
+            .groupBy("dst")
+            .agg(F.sum("qh").alias("s"))
+        )
+        at = int(aq.agg(F.sum("s")).first()[0] or 1)
+        new_auth = aq.select(
+            F.col("dst").alias("uri"),
+            (F.col("s").cast("double") / F.lit(float(at))).alias("a"),
+        ).localCheckpoint(eager=True)
+        hq = (
+            e.join(new_auth.select(F.col("uri").alias("dst"), F.expr(_quant("a")).alias("qa")), "dst")
+            .groupBy("src")
+            .agg(F.sum("qa").alias("s"))
+        )
+        ht = int(hq.agg(F.sum("s")).first()[0] or 1)
+        new_hub = hq.select(
+            F.col("src").alias("uri"),
+            (F.col("s").cast("double") / F.lit(float(ht))).alias("h"),
+        ).localCheckpoint(eager=True)
+        for p in prev:
+            p.unpersist()
+        prev, hub, auth = [new_auth, new_hub], new_hub, new_auth
+    out = (
+        nodes.join(hub.select("uri", F.expr(_quant("h")).alias("hub_e12")), "uri", "left")
+        .join(auth.select("uri", F.expr(_quant("a")).alias("auth_e12")), "uri", "left")
+        .select(
+            "uri",
+            F.coalesce("hub_e12", F.lit(0)).alias("hub_e12"),
+            F.coalesce("auth_e12", F.lit(0)).alias("auth_e12"),
+        )
+    )
+    return out
+
+
+def hits_sql(edges_sql: str, iters: int = HITS_ITERS) -> str:
+    """Unrolled-CTE twin over an (src_url AS src, href AS dst) edge
+    relation; each normalization total is a scalar subquery over the
+    same exact integers the Spark side collects."""
+    q = _quant  # noqa: shared quantizer keeps the two dialects in lockstep
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS uri FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT uri, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""aq{i} AS MATERIALIZED (
+        SELECT dst AS uri, SUM({q(f'h.h')}) AS s
+        FROM e JOIN h{i - 1} h ON h.uri = e.src GROUP BY dst
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT uri, CAST(s AS DOUBLE)
+               / CAST(greatest((SELECT SUM(s) FROM aq{i}), 1) AS DOUBLE) AS a
+        FROM aq{i}
+    ),
+    hq{i} AS MATERIALIZED (
+        SELECT src AS uri, SUM({q(f'a.a')}) AS s
+        FROM e JOIN a{i} a ON a.uri = e.dst GROUP BY src
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT uri, CAST(s AS DOUBLE)
+               / CAST(greatest((SELECT SUM(s) FROM hq{i}), 1) AS DOUBLE) AS h
+        FROM hq{i}
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT n.uri,
+           COALESCE({q(f'h.h')}, 0) AS hub_e12,
+           COALESCE({q(f'a.a')}, 0) AS auth_e12
+    FROM nodes n
+    LEFT JOIN h{iters} h ON h.uri = n.uri
+    LEFT JOIN a{iters} a ON a.uri = n.uri
+    """
+
+
+# --- bounded k-core ------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """(uri, degree): nodes surviving `rounds` of k-core peeling over
+    the undirected edge set — drop every node with degree < k, restrict
+    edges to survivors, repeat. The k-core is the densest-backbone
+    audit for an entity graph (leaf/chain trimming before community or
+    centrality passes). The round count is FIXED so the plan is bounded
+    (the class-depth lesson against unguarded recursion); peeling
+    converges from above, so round r is a superset of the true k-core
+    and equals it once a round removes nothing — the parity test checks
+    convergence on the test graph, and both engines define the result
+    as round-`rounds` survivors either way.
+
+    Scale shape per round: one degree aggregation + two semi-joins, all
+    on the node key; survivors localCheckpoint so lineage stays flat."""
+    und = scoped_persist(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    cur = und.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        nxt = (
+            cur.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        cur.unpersist()
+        cur = nxt
+    return cur.groupBy("a").agg(F.count("*").alias("degree")).select(
+        F.col("a").alias("uri"), "degree"
+    )
+
+
+def kcore_sql(triples_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [
+        f"""dedges AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
+        WHERE obj_is_iri AND subj <> obj
+    ),
+    e0 AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM dedges
+        UNION
+        SELECT dst, src FROM dedges
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT a FROM e{i - 1} GROUP BY a HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i - 1} e
+        JOIN k{i} ka ON ka.a = e.a
+        JOIN k{i} kb ON kb.a = e.b
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT a AS uri, COUNT(*) AS degree FROM e{rounds} GROUP BY a
     """

@@ -898,3 +898,94 @@ def quality_model_sql(docs_sql: str) -> str:
         f"SELECT doc_id, ROUND({z}, 4) AS logit, {prob} AS prob, "
         f"{z} >= 0 AS keep FROM {docs_sql}"
     )
+
+
+# --- unigram LM quality scoring ----------------------------------------------------
+
+_LM_Q = "1000000.0"  # logprob quantization scale (1e6)
+
+
+def _lm_quant(expr: str) -> str:
+    """Half-away-from-zero BIGINT quantization at 1e6 — dialect-neutral
+    (floor/ceil/CAST read identically in Spark SQL and DuckDB). Same
+    family as graph._quant; the coarser scale is deliberate: logprobs
+    are summed per document, so the quantized value IS the spec and the
+    only cross-engine risk is a libm ln() ulp landing exactly on a
+    rounding boundary — at 1e-6 granularity that is ~1e-9 per distinct
+    vocabulary count, negligible even at web vocabulary sizes."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 0"
+        f" THEN floor(({expr}) * {_LM_Q} + 0.5)"
+        f" ELSE ceil(({expr}) * {_LM_Q} - 0.5) END AS BIGINT)"
+    )
+
+
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): CCNet-style language-model
+    quality proxy — the corpus ITSELF is the unigram LM, and each
+    document scores the mean log-probability of its tokens under it.
+    Documents full of corpus-typical words score high (head of the
+    distribution ≈ fluent text); gibberish and boilerplate-soup score
+    low. This is the poor man's wikipedia-LM perplexity filter, with
+    the same filtering semantics and zero external model.
+
+    Determinism: ln is evaluated ONCE PER VOCABULARY ENTRY (not per
+    token), quantized to BIGINT×1e6, and summed exactly; the final
+    average is a fixed two-division IEEE sequence over exact integers,
+    mirrored verbatim in the oracle — so the result hash-matches at any
+    parallelism despite floating-point logs.
+
+    Scale shape: one token-count shuffle (vocabulary stream), one
+    token→vocab equi-join (the vocabulary is Zipf-bounded but NOT
+    broadcast — at web scale it exceeds memory; the join shuffles on
+    the token key), one per-doc aggregation. The corpus-total scalar is
+    a single bounded driver value (the pagerank dangling-mass
+    pattern)."""
+    toks_e = f"filter({_tokens('text')}, t -> t != '')"
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(toks_e)).alias("tok")
+    )
+    from rdf2smw_spark.session import scoped_persist
+
+    toks = scoped_persist(toks)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    q = vocab.select(
+        "tok",
+        F.expr(
+            _lm_quant(f"ln(CAST(cnt AS DOUBLE) / CAST({total} AS DOUBLE))")
+        ).alias("lp"),
+    )
+    return (
+        toks.join(q, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"ROUND(CAST(s AS DOUBLE) / {_LM_Q} / CAST(n_tokens AS DOUBLE), 4)"
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_lm_score_sql(docs_sql: str) -> str:
+    toks = _tokens("text", "duckdb")
+    lnq = _lm_quant("ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))")
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(list_filter({toks}, t -> t <> '')) AS tok
+            FROM {docs_sql}
+        )
+    ),
+    vocab AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS t FROM vocab),
+    q AS MATERIALIZED (SELECT tok, {lnq} AS lp FROM vocab, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / {_LM_Q} / CAST(COUNT(*) AS DOUBLE), 4)
+               AS avg_logprob
+    FROM toks JOIN q USING (tok)
+    GROUP BY doc_id
+    """

@@ -357,6 +357,11 @@ def q_ta_quality_model(spark, sf_dir):
     return ta.quality_model(_docs(spark, sf_dir))
 
 
+def q_ta_lm_score(spark, sf_dir):
+    """Corpus-as-unigram-LM mean token log-probability per document."""
+    return ta.unigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_ta_pii_scrub(spark, sf_dir):
     """PII redaction cascade (email -> IPv4 -> phone) with per-kind
     counts — the standard pre-release scrub; engine-portable regexes."""
@@ -507,6 +512,20 @@ def q_kg_communities(spark, sf_dir):
     """Synchronous label-propagation communities over the KG edge set
     (min-label tiebreak => deterministic; unrolled-CTE oracle)."""
     return gr.lp_communities(gr.link_edges(testdata_triples(spark, sf_dir)))
+
+
+def q_kg_kcore(spark, sf_dir):
+    """Bounded k-core peeling (k=2) over the KG edge set."""
+    return gr.kcore(gr.link_edges(testdata_triples(spark, sf_dir)))
+
+
+def q_web_hits(spark, sf_dir):
+    """HITS hubs/authorities over the crawl's hyperlink graph —
+    integer-exact via the pagerank quantization discipline."""
+    edges = wl.extract_links(synth_pages(spark, sf_dir)).select(
+        F.col("src_url").alias("src"), F.col("href").alias("dst")
+    )
+    return gr.hits(edges)
 
 
 def q_kg_triangles(spark, sf_dir):
@@ -784,6 +803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_stratified_sample": q_ta_stratified_sample,
     "ta_top_ngrams": q_ta_top_ngrams,
     "ta_weighted_sample": q_ta_weighted_sample,
+    "ta_lm_score": q_ta_lm_score,
     "ta_quality_model": q_ta_quality_model,
     "ta_pii_scrub": q_ta_pii_scrub,
     "ta_token_histogram": q_ta_token_histogram,
@@ -809,6 +829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linked_triples": q_kg_linked_triples,
     "kg_pagerank": q_kg_pagerank,
     "kg_communities": q_kg_communities,
+    "kg_kcore": q_kg_kcore,
+    "web_hits": q_web_hits,
     "kg_triangles": q_kg_triangles,
     "kg_bfs_hops": q_kg_bfs_hops,
     "search_bm25": q_search_bm25,
@@ -928,6 +950,7 @@ ORACLES: dict[str, str] = {
     "ta_stratified_sample": ta.stratified_sample_sql("documents"),
     "ta_top_ngrams": ta.top_ngrams_sql("documents"),
     "ta_weighted_sample": ta.weighted_sample_sql("documents", k=100),
+    "ta_lm_score": ta.unigram_lm_score_sql("documents"),
     "ta_quality_model": ta.quality_model_sql("documents"),
     "ta_pii_scrub": ta.pii_scrub_sql("documents"),
     "ta_token_histogram": ta.token_length_histogram_sql("documents"),
@@ -954,6 +977,12 @@ ORACLES: dict[str, str] = {
     "kg_communities": (
         f"WITH triples AS {TRIPLES_SQL} "
         f"SELECT * FROM ({gr.lp_communities_sql('triples')})"
+    ),
+    "kg_kcore": (
+        f"WITH triples AS {TRIPLES_SQL} SELECT * FROM ({gr.kcore_sql('triples')})"
+    ),
+    "web_hits": gr.hits_sql(
+        f"(SELECT src_url AS src, href AS dst FROM {wl.extract_links_sql(PAGES_SQL)})"
     ),
     "kg_triangles": (
         f"WITH triples AS {TRIPLES_SQL}"

@@ -196,3 +196,86 @@ def test_lp_communities_parallelism_invariant(spark, sf_dir):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+# --- HITS ----------------------------------------------------------------------
+
+def test_hits_bipartite_authority_ordering(spark):
+    # h1,h2,h3 all point to t1; only h1 points to t2 -> t1 is the
+    # stronger authority; h1 links both targets -> strongest hub
+    e = [("h1", "t1"), ("h2", "t1"), ("h3", "t1"), ("h1", "t2")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    from rdf2smw_spark.operators.graph import hits
+
+    res = {r.uri: (r.hub_e12, r.auth_e12) for r in hits(edges).collect()}
+    assert res["t1"][1] > res["t2"][1] > 0
+    assert res["h1"][0] > res["h2"][0]
+    assert res["h2"][0] == res["h3"][0]
+    # hubs have no authority, targets no hub score
+    assert res["h1"][1] == 0 and res["t1"][0] == 0
+
+
+def test_hits_parallelism_invariant(spark, sf_dir):
+    from rdf2smw_spark.operators.graph import hits
+    from rdf2smw_spark.operators.weblinks import extract_links
+    from rdf2smw_spark.sources.webpages import synth_pages
+    from pyspark.sql import functions as F2
+
+    pages = synth_pages(spark, sf_dir)
+    edges = extract_links(pages).select(
+        F2.col("src_url").alias("src"), F2.col("href").alias("dst")
+    )
+    a = hits(edges).toPandas().sort_values("uri").reset_index(drop=True)
+    b = hits(edges.repartition(29)).toPandas().sort_values("uri").reset_index(drop=True)
+    assert a.equals(b)
+
+
+# --- k-core --------------------------------------------------------------------
+
+def test_kcore_peels_tail(spark):
+    # triangle (2-core) with a pendant chain hanging off it
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    from rdf2smw_spark.operators.graph import kcore
+
+    res = {r.uri: r.degree for r in kcore(edges, k=2).collect()}
+    assert set(res) == {"a", "b", "c"} and all(d == 2 for d in res.values())
+
+
+def test_kcore_converges_on_testdata(spark, sf_dir):
+    from rdf2smw_spark.operators.graph import kcore, link_edges
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    t = testdata_triples(spark, sf_dir)
+    r6 = kcore(link_edges(t), rounds=6).toPandas()
+    r7 = kcore(link_edges(t), rounds=7).toPandas()
+    key = ["uri", "degree"]
+    assert sorted(map(tuple, r6[key].values.tolist())) == sorted(
+        map(tuple, r7[key].values.tolist())
+    )
+
+
+# --- unigram LM score ----------------------------------------------------------
+
+def test_lm_score_prefers_typical_text(spark):
+    import math as _m
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [(9, "zyx qwv jkp")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r.doc_id: r.avg_logprob for r in ta.unigram_lm_score(df).collect()}
+    # common-word docs score far above the all-rare-token doc
+    assert res[0] > res[9]
+    # hand-check doc 9: each token occurs once, total = 9*6+3 = 57
+    assert abs(res[9] - round(round(_m.log(1 / 57) * 1e6) / 1e6 / 1, 4)) < 1e-9
+
+
+def test_lm_score_parallelism_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = ta.unigram_lm_score(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        ta.unigram_lm_score(docs.repartition(31))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
