@@ -709,3 +709,142 @@ def containment_pairs_sql(shingles_sql: str, threshold: float = 0.8) -> str:
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
     WHERE ROUND(n_int / sa.n_sh, 4) >= {threshold}
     """
+
+
+# --- incremental crawl novelty -----------------------------------------------
+
+def incremental_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic recrawl batch against `docs` as the
+    existing index (the planted-positive pattern of near_dup_corpus):
+    every 7th doc returns slightly edited (+1M ids, near-dup), every
+    11th verbatim (+2M, exact dup), every 13th as entirely fresh
+    content (+3M, genuinely novel). No external data; mirrored in
+    incremental_batch_sql."""
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words appended here")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    novel = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely fresh crawl content item number "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return near.unionByName(exact).unionByName(novel)
+
+
+def incremental_batch_sql(docs_sql: str) -> str:
+    return f"""(
+    SELECT doc_id + 1000000 AS doc_id, text || ' extra tail words appended here' AS text
+    FROM {docs_sql} WHERE (doc_id % 7) = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM {docs_sql} WHERE (doc_id % 11) = 0
+    UNION ALL
+    SELECT doc_id + 3000000,
+           'entirely fresh crawl content item number ' || doc_id
+    FROM {docs_sql} WHERE (doc_id % 13) = 0
+)"""
+
+
+def incremental_novelty(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """(doc_id, is_exact_dup, has_near_dup, novel) for every batch doc:
+    the admission decision an INCREMENTAL ingest makes against the
+    standing corpus — verbatim recrawls and near-duplicate edits are
+    rejected, only novel content enters. This is the batch twin of the
+    streaming band-state dedup (streaming/stream.py), expressed as two
+    membership checks:
+
+    - exact: md5(normalized text) LEFT SEMI against the index
+      fingerprint set — one slim 32-byte-key shuffle;
+    - near: MinHash-banded LSH candidates + exact-Jaccard verify over
+      the union corpus, then keep pairs that CROSS the batch/index
+      split (a batch-batch near-dup does not make either doc novel vs
+      the index).
+
+    Scale shape: at 10^12 index docs the fingerprint set and band table
+    are the standing state (in production, pre-materialized parquet —
+    here derived in-query); the batch only shuffles its own shingles
+    plus candidate verifications. No batch×index cross join exists
+    anywhere; doc-id namespaces must be disjoint (the caller's
+    contract, as with char_shingles)."""
+    idx_ids = index_docs.select("doc_id")
+    b_ids = batch_docs.select("doc_id")
+    union = index_docs.select("doc_id", "text").unionByName(
+        batch_docs.select("doc_id", "text")
+    )
+    idx_fp = index_docs.select(
+        F.expr(f"md5({norm_text_sql('text')})").alias("fp")
+    ).distinct()
+    b_fp = batch_docs.select(
+        "doc_id", F.expr(f"md5({norm_text_sql('text')})").alias("fp")
+    )
+    exact = b_fp.join(idx_fp, "fp", "left_semi").select("doc_id")
+
+    sh = char_shingles(union, max_df=max_df)
+    pairs = minhash_near_dups(sh, threshold)
+    crossing = (
+        pairs.join(b_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(idx_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            pairs.join(
+                b_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+            )
+            .join(idx_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    return (
+        b_ids.join(exact.withColumn("__e", F.lit(True)), "doc_id", "left")
+        .join(crossing.withColumn("__n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__e", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("__n", F.lit(False)).alias("has_near_dup"),
+            (F.coalesce("__e", F.lit(False)) | F.coalesce("__n", F.lit(False)))
+            .eqNullSafe(False)
+            .alias("novel"),
+        )
+    )
+
+
+def incremental_novelty_sql(
+    index_sql: str, batch_sql: str, threshold: float = 0.5, max_df: int | None = 100
+) -> str:
+    norm = norm_text_sql("text", "duckdb")
+    union_sql = f"(SELECT doc_id, text FROM {index_sql} UNION ALL SELECT doc_id, text FROM {batch_sql})"
+    sh = char_shingles_sql(union_sql, max_df=max_df)
+    nd = minhash_near_dups_sql(sh, threshold=threshold)
+    return f"""
+    WITH idx AS MATERIALIZED (SELECT doc_id, text FROM {index_sql}),
+    batch AS MATERIALIZED (SELECT doc_id, text FROM {batch_sql}),
+    idx_fp AS (SELECT DISTINCT md5({norm}) AS fp FROM idx),
+    b_fp AS (SELECT doc_id, md5({norm}) AS fp FROM batch),
+    exact AS (SELECT doc_id FROM b_fp WHERE fp IN (SELECT fp FROM idx_fp)),
+    pairs AS MATERIALIZED ({nd}),
+    crossing AS (
+        SELECT DISTINCT CASE WHEN a_in_batch THEN doc_a ELSE doc_b END AS doc_id
+        FROM (
+            SELECT doc_a, doc_b,
+                   doc_a IN (SELECT doc_id FROM batch) AS a_in_batch,
+                   doc_b IN (SELECT doc_id FROM batch) AS b_in_batch
+            FROM pairs
+        ) WHERE a_in_batch <> b_in_batch
+    )
+    SELECT b.doc_id,
+           b.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+           b.doc_id IN (SELECT doc_id FROM crossing) AS has_near_dup,
+           NOT (b.doc_id IN (SELECT doc_id FROM exact)
+                OR b.doc_id IN (SELECT doc_id FROM crossing)) AS novel
+    FROM batch b
+    """

@@ -989,3 +989,103 @@ def unigram_lm_score_sql(docs_sql: str) -> str:
     FROM toks JOIN q USING (tok)
     GROUP BY doc_id
     """
+
+
+# --- count-min sketch --------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 256  # counters per row
+
+
+def _cms_col(expr: str, j: int, w: int, dialect: str) -> str:
+    """Counter column for hash row j: md5-derived 32-bit value mod w —
+    deterministic and identical in both engines (same trick as KMV)."""
+    if dialect == "duckdb":
+        h = _hex32(f"md5(CAST({j} AS VARCHAR) || ':' || {expr})", "duckdb")
+    else:
+        h = _hex32(f"md5(concat('{j}', ':', {expr}))", "spark")
+    return f"({h} % {w})"
+
+
+def cms_build(docs: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """(j, c, cnt): a count-min sketch (Cormode & Muthukrishnan 2005)
+    of the corpus token-frequency stream — d hash rows × w counters.
+    The mergeable heavy-hitter structure: the shuffle KEY SPACE is d·w
+    counters regardless of vocabulary size, so map-side partial
+    aggregation absorbs virtually the entire token stream before the
+    exchange; per-partition sketches union by addition (the property
+    that makes it a one-pass distributed/streaming structure, vs the
+    exact vocabulary count whose key space IS the vocabulary).
+
+    Scale shape: in-row expansion to d (row, counter) keys, ONE
+    d·w-key shuffle. At 10^12 documents the exchange still carries at
+    most d·w·n_partitions rows."""
+    toks_e = f"filter({_tokens('text')}, t -> t != '')"
+    toks = docs.select(F.explode(F.expr(toks_e)).alias("tok"))
+    cells = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} AS j, {_cms_col('tok', j, w, 'spark')} AS c)"
+            for j in range(d)
+        )
+        + ")"
+    )
+    return (
+        toks.select(F.explode(cells).alias("cell"))
+        .select("cell.j", "cell.c")
+        .groupBy("j", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, surfaces: DataFrame, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(surface, est): point-query the sketch — min over the d counters
+    a surface hashes to. est >= true count always (one-sided error);
+    the sketch frame is d·w rows and broadcasts."""
+    cells = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} AS j, {_cms_col('surface', j, w, 'spark')} AS c)"
+            for j in range(d)
+        )
+        + ")"
+    )
+    probes = surfaces.select("surface", F.explode(cells).alias("cell")).select(
+        "surface", "cell.j", "cell.c"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("surface")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_counts_sql(
+    docs_sql: str, surfaces_sql: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    toks = _tokens("text", "duckdb")
+    build_cells = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_col('tok', j, w, 'duckdb')} AS c FROM toks"
+        for j in range(d)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT surface, {j} AS j, {_cms_col('surface', j, w, 'duckdb')} AS c FROM s"
+        for j in range(d)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT tok FROM (
+            SELECT UNNEST(list_filter({toks}, t -> t <> '')) AS tok FROM {docs_sql}
+        )
+    ),
+    sketch AS MATERIALIZED (
+        SELECT j, c, COUNT(*) AS cnt FROM ({build_cells}) GROUP BY j, c
+    ),
+    s AS MATERIALIZED (SELECT surface FROM {surfaces_sql}),
+    probes AS ({probe_cells})
+    SELECT surface, MIN(cnt) AS est
+    FROM probes JOIN sketch USING (j, c)
+    GROUP BY surface
+    """

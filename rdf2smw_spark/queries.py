@@ -362,6 +362,14 @@ def q_ta_lm_score(spark, sf_dir):
     return ta.unigram_lm_score(_docs(spark, sf_dir))
 
 
+def q_ta_cms_counts(spark, sf_dir):
+    """Count-min-sketch heavy-hitter estimates for the entity-dict
+    surfaces: d*w counter key space, mergeable by addition."""
+    docs = _docs(spark, sf_dir)
+    sketch = ta.cms_build(docs)
+    return ta.cms_estimate(sketch, lk.corpus_entity_dict(docs).select("surface"))
+
+
 def q_ta_pii_scrub(spark, sf_dir):
     """PII redaction cascade (email -> IPv4 -> phone) with per-kind
     counts — the standard pre-release scrub; engine-portable regexes."""
@@ -411,6 +419,13 @@ def q_dd_minhash_near_dups(spark, sf_dir):
 def q_dd_containment(spark, sf_dir):
     """Directed containment (quotation/subset duplication)."""
     return dd.containment_pairs(_shingles(spark, sf_dir), threshold=0.7)
+
+
+def q_dd_incremental(spark, sf_dir):
+    """Incremental-ingest admission: batch docs vs the standing corpus
+    (exact fingerprint + cross-split LSH near-dup)."""
+    docs = _docs(spark, sf_dir)
+    return dd.incremental_novelty(docs, dd.incremental_batch(docs), threshold=0.5)
 
 
 def q_dd_cluster(spark, sf_dir):
@@ -668,6 +683,31 @@ def q_ev_sessionize(spark, sf_dir):
     )
 
 
+_CENTS = (
+    "CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5) "
+    "ELSE ceil(value * 100.0 - 0.5) END AS BIGINT)"
+)
+
+
+def q_ev_rolling(spark, sf_dir):
+    """Moving-frame window aggregation (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): the rolling per-user spend monitor. Value quantizes
+    to integer cents BEFORE the frame sum, so the running total is
+    exact at any parallelism; the window is user-partitioned (the
+    sessionize key) — never global."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", F.expr(_CENTS).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.sum("cents").over(w).alias("rolling_cents_3")
+    )
+
+
 def q_ev_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup: one pass computes the
     (day, hour, event_type), (day, hour), (day) and grand-total
@@ -804,6 +844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_top_ngrams": q_ta_top_ngrams,
     "ta_weighted_sample": q_ta_weighted_sample,
     "ta_lm_score": q_ta_lm_score,
+    "ta_cms_counts": q_ta_cms_counts,
     "ta_quality_model": q_ta_quality_model,
     "ta_pii_scrub": q_ta_pii_scrub,
     "ta_token_histogram": q_ta_token_histogram,
@@ -826,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_sorted_neighborhood": q_link_sorted_neighborhood,
     "link_pmi": q_link_pmi,
     "dd_containment": q_dd_containment,
+    "dd_incremental": q_dd_incremental,
     "kg_linked_triples": q_kg_linked_triples,
     "kg_pagerank": q_kg_pagerank,
     "kg_communities": q_kg_communities,
@@ -841,6 +883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_asof_join": q_ev_asof_join,
     "ev_range_join": q_ev_range_join,
     "ev_rollup": q_ev_rollup,
+    "ev_rolling": q_ev_rolling,
     "ta_length_quantiles": q_ta_length_quantiles,
     "ta_mixture_weights": q_ta_mixture_weights,
     "dd_semantic": q_dd_semantic,
@@ -951,6 +994,10 @@ ORACLES: dict[str, str] = {
     "ta_top_ngrams": ta.top_ngrams_sql("documents"),
     "ta_weighted_sample": ta.weighted_sample_sql("documents", k=100),
     "ta_lm_score": ta.unigram_lm_score_sql("documents"),
+    "ta_cms_counts": ta.cms_counts_sql(
+        "documents",
+        f"(SELECT surface FROM {lk.corpus_entity_dict_sql('documents')})",
+    ),
     "ta_quality_model": ta.quality_model_sql("documents"),
     "ta_pii_scrub": ta.pii_scrub_sql("documents"),
     "ta_token_histogram": ta.token_length_histogram_sql("documents"),
@@ -1008,6 +1055,13 @@ ORACLES: dict[str, str] = {
             window_sec=86400,
         )}
     """,
+    "ev_rolling": f"""
+        SELECT user_id, event_id,
+               CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rolling_cents_3
+        FROM (SELECT user_id, ts, event_id, {_CENTS} AS cents FROM events)
+    """,
     "ev_rollup": """
         SELECT CAST(GROUPING(day, hour, event_type) AS BIGINT) AS gid,
                day, hour, event_type,
@@ -1055,6 +1109,9 @@ ORACLES: dict[str, str] = {
         + ")"
     ),
     "dd_containment": dd.containment_pairs_sql(SHINGLES_SQL, threshold=0.7),
+    "dd_incremental": dd.incremental_novelty_sql(
+        "documents", dd.incremental_batch_sql("documents"), threshold=0.5
+    ),
     "link_sorted_neighborhood": lk.link_sorted_neighborhood_sql(
         "(SELECT DISTINCT surface AS mention FROM "
         f"(SELECT UNNEST({ta._tokens('text', 'duckdb')}) AS surface FROM documents)"

@@ -279,3 +279,82 @@ def test_lm_score_parallelism_invariant(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+# --- incremental novelty -------------------------------------------------------
+
+def test_incremental_novelty_plants(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    batch = dd.incremental_batch(docs)
+    res = dd.incremental_novelty(docs, batch, threshold=0.5).toPandas()
+    res = res.set_index("doc_id")
+    exact_ids = res.index[(res.index >= 2_000_000) & (res.index < 3_000_000)]
+    near_ids = res.index[(res.index >= 1_000_000) & (res.index < 2_000_000)]
+    novel_ids = res.index[res.index >= 3_000_000]
+    assert len(exact_ids) and res.loc[exact_ids, "is_exact_dup"].all()
+    assert not res.loc[exact_ids, "novel"].any()
+    assert len(near_ids) and res.loc[near_ids, "has_near_dup"].all()
+    assert not res.loc[near_ids, "is_exact_dup"].any()
+    assert len(novel_ids) and res.loc[novel_ids, "novel"].all()
+
+
+# --- count-min sketch ----------------------------------------------------------
+
+def test_cms_estimate_upper_bounds_truth(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sketch = ta.cms_build(docs)
+    surfaces = lk.corpus_entity_dict(docs).select("surface")
+    est = {
+        r.surface: r.est for r in ta.cms_estimate(sketch, surfaces).collect()
+    }
+    toks = docs.select(F.explode(F.expr(ta._tokens("text"))).alias("t"))
+    truth = {
+        r.t: r.c
+        for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+    }
+    assert est
+    for s, e in est.items():
+        assert e >= truth[s]  # one-sided error, always
+    # d*w >> heavy-hitter mass here, so the top surfaces are near-exact
+    close = sum(1 for s, e in est.items() if e <= truth[s] * 2)
+    assert close >= len(est) * 0.5
+
+
+def test_cms_sketch_is_mergeable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    full = ta.cms_build(docs).toPandas().set_index(["j", "c"])["cnt"]
+    merged = (
+        ta.cms_build(half_a)
+        .unionByName(ta.cms_build(half_b))
+        .groupBy("j", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+        .toPandas()
+        .set_index(["j", "c"])["cnt"]
+    )
+    assert full.sort_index().equals(merged.sort_index().astype(full.dtype))
+
+
+# --- rolling window ------------------------------------------------------------
+
+def test_ev_rolling_matches_pandas(spark, sf_dir):
+    from rdf2smw_spark.queries import q_ev_rolling
+
+    res = q_ev_rolling(spark, sf_dir).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    ev["cents"] = (ev["value"] * 100.0 + 0.5).apply(int)  # values are positive
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    expect = (
+        ev.groupby("user_id")["cents"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )
+    ev["rolling"] = expect.astype("int64")
+    m = res.set_index("event_id")["rolling_cents_3"]
+    assert all(m[r.event_id] == r.rolling for r in ev.itertuples())
