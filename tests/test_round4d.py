@@ -1,0 +1,117 @@
+"""Round-4 continuation: sequence packing (distributed prefix sum) and
+Bloom-filter decontamination pre-filter."""
+
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.operators import dedup as dd
+from rdf2smw_spark.operators import text_analysis as ta
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- pack_sequences ------------------------------------------------------------
+
+def test_pack_sequences_offsets_contiguous(spark, sf_dir):
+    out = ta.pack_sequences(_docs(spark, sf_dir)).orderBy("doc_id").toPandas()
+    assert len(out) == 500
+    # the token stream is gapless: each doc starts where the previous ended
+    assert out["start_offset"].iloc[0] == 0
+    assert (out["start_offset"].iloc[1:].to_numpy() == out["end_offset"].iloc[:-1].to_numpy()).all()
+    assert (out["end_offset"] - out["start_offset"] == out["n_tokens"]).all()
+    # chunk ids consistent with the fixed sequence length
+    nz = out[out["n_tokens"] > 0]
+    assert (nz["first_chunk"] == nz["start_offset"] // ta.PACK_SEQ_LEN).all()
+    assert (nz["last_chunk"] == (nz["end_offset"] - 1) // ta.PACK_SEQ_LEN).all()
+
+
+def test_pack_sequences_bucket_invariance(spark, sf_dir):
+    """The two-phase prefix sum must give the same offsets at ANY bucket
+    granularity — including the degenerate single-bucket plan."""
+    docs = _docs(spark, sf_dir)
+    ref = ta.pack_sequences(docs, n_buckets=64).orderBy("doc_id").toPandas()
+    for nb in (1, 7):
+        got = ta.pack_sequences(docs, n_buckets=nb).orderBy("doc_id").toPandas()
+        assert got.equals(ref)
+
+
+def test_pack_sequences_sparse_ids_and_zero_tokens(spark):
+    """Non-dense doc_ids order correctly across DIV buckets; zero-token
+    docs keep their slot with n_chunks=0 and NULL chunk ids."""
+    rows = [(3, "a b c"), (900, ""), (901, "d e"), (17, "!!!"), (400, "x " * 200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ta.pack_sequences(docs, seq_len=64, n_buckets=4).collect()
+    }
+    assert out[3]["start_offset"] == 0 and out[3]["n_tokens"] == 3
+    assert out[17]["n_tokens"] == 0 and out[17]["n_chunks"] == 0
+    assert out[17]["first_chunk"] is None and out[17]["last_chunk"] is None
+    assert out[17]["start_offset"] == 3 and out[17]["end_offset"] == 3
+    assert out[400]["start_offset"] == 3 and out[400]["n_tokens"] == 200
+    assert out[400]["n_chunks"] == 4  # spans [3, 203) over 64-token chunks
+    assert out[900]["start_offset"] == 203 and out[901]["start_offset"] == 203
+
+
+def test_pack_sequences_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out = ta.pack_sequences(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "start_offset", "end_offset",
+        "first_chunk", "last_chunk", "n_chunks",
+    ]
+
+
+# --- decontaminate_bloom ---------------------------------------------------------
+
+def _split(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    train = dd.near_dup_corpus(docs).filter(F.col("doc_id") % 37 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return train, benchmark
+
+
+def test_bloom_decontam_identical_to_exact(spark, sf_dir):
+    train, bm = _split(spark, sf_dir)
+    exact = ta.decontaminate(train, bm).orderBy("doc_id").toPandas()
+    bloom = ta.decontaminate_bloom(train, bm).orderBy("doc_id").toPandas()
+    assert exact.equals(bloom)
+    assert exact["contaminated"].any()  # non-vacuous: planted overlap found
+
+
+def test_bloom_prefilter_prunes_before_confirm(spark, sf_dir):
+    """The point of the filter: the candidate set reaching the exact
+    confirm join must be far smaller than the full training n-gram set
+    (here everything non-contaminated is pruned map-side)."""
+    train, bm = _split(spark, sf_dir)
+    total = ta._token_ngrams(train).count()
+    bm_ngrams = (
+        ta._token_ngrams(bm.select(F.lit(0).alias("doc_id"), "text"))
+        .select("ngram")
+        .distinct()
+    )
+    # survivors of a correct Bloom filter ⊇ true hits; with these m/k
+    # parameters the FP rate is ~0 at this scale, so survivors ≈ hits
+    hits = ta._token_ngrams(train).join(bm_ngrams, "ngram").count()
+    # rebuild the filter exactly as the operator does and count survivors
+    cand = ta._token_ngrams(train)
+    cells = None
+    for i in range(ta.BLOOM_K):
+        w, b = ta._bloom_word_bit(i, ta.BLOOM_M_BITS)
+        part = bm_ngrams.select(w.alias("word"), b.alias("bit"))
+        cells = part if cells is None else cells.unionByName(part)
+    bf = cells.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+    for i in range(ta.BLOOM_K):
+        w, b = ta._bloom_word_bit(i, ta.BLOOM_M_BITS)
+        probe = bf.select(F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}"))
+        cand = (
+            cand.withColumn(f"w{i}", w)
+            .withColumn(f"b{i}", b)
+            .join(F.broadcast(probe), f"w{i}")
+            .filter(F.expr(f"(bits{i} & b{i}) = b{i}"))
+            .drop(f"w{i}", f"b{i}", f"bits{i}")
+        )
+    survivors = cand.count()
+    assert hits <= survivors < total * 0.1  # sound AND actually pruning
