@@ -1,0 +1,204 @@
+"""owl:sameAs resolution — the KG-construction step the reference never
+needed (single-source input) but any multi-source web KG does: entities
+arrive under several URIs (site mirrors, alt namespaces, dbpedia-vs-
+wikidata ids) linked by owl:sameAs assertions, and every downstream pass
+(aggregation, typing, page rendering) must see ONE canonical URI per
+real-world entity.
+
+Semantics: sameAs is symmetric and transitive, so canonicalization is
+connected components over the sameAs edge set; the canonical URI of a
+component is its lexicographically smallest member (deterministic at any
+parallelism). The rewrite then maps subjects and IRI objects of every
+non-sameAs triple through the component map; literals pass through.
+
+Scale shape: the CC runs over |sameAs| edges only — a small fraction of
+the corpus (alias links, not facts) — with the same hash-to-min +
+pointer-doubling loop as operators/dedup.py:dedup_clusters (O(log
+diameter) rounds, localCheckpoint per round), here on string labels.
+The rewrite is two joins against the component map, broadcast when the
+map is small enough (maybe_broadcast, same 5M guard as fuzzy linking),
+shuffle fallback otherwise — never a corpus self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+# Synthesized alias namespaces (mirror hosts for customers). Both sort
+# BEFORE http://example.org/..., so the canonical URI of an aliased
+# customer is its alt.example.org form — the rewrite is non-vacuous.
+ALT_CUST = "http://alt.example.org/customer/"
+ALT2_CUST = "http://mirror.example.org/customer/"
+
+CANON_MAP_BROADCAST_LIMIT = 5_000_000  # rows; same guard class as fuzzy linking
+
+
+def uri_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(uri, canon): connected components over an undirected (a, b) URI
+    edge list; canon = lexicographic MIN reachable URI. Same algorithm
+    as dedup_clusters (hash-to-min + pointer doubling, O(log diameter)
+    iterations, localCheckpoint-truncated lineage) on string node ids —
+    F.least and MIN order strings the same way in Spark and DuckDB
+    (binary collation), so the labels are engine-portable."""
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sym = sym.persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    cur = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                cur.select(F.col("node").alias("dst"), F.col("lbl").alias("dst_lbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_lbl").alias("nbr_lbl"))
+        )
+        stepped = cur.join(nbr, cur["node"] == nbr["src"], "left").select(
+            "node",
+            F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            cur["lbl"].alias("prev_lbl"),
+        )
+        hop = stepped.select(F.col("node").alias("lnode"), F.col("lbl").alias("llbl"))
+        nxt = (
+            stepped.join(hop, stepped["lbl"] == hop["lnode"], "left")
+            .select(
+                "node",
+                F.coalesce("llbl", "lbl").alias("lbl"),
+                (F.coalesce("llbl", "lbl") < F.col("prev_lbl")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.filter("chg").limit(1).count()
+        cur = nxt.select("node", "lbl")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return cur.select(F.col("node").alias("uri"), F.col("lbl").alias("canon"))
+
+
+def sameas_canonicalize(
+    triples: DataFrame, broadcast_limit: int = CANON_MAP_BROADCAST_LIMIT
+) -> DataFrame:
+    """Rewrite a triple stream through its own owl:sameAs assertions:
+    CC over the sameAs edges, then subjects and IRI objects map to their
+    component's canonical (min) URI. The sameAs triples themselves are
+    consumed (they exist to be resolved, not rendered). Pure projection
+    otherwise — the fact multiset is preserved, so two aliased sources
+    asserting the same fact still yield two rows (dedup is a separate,
+    explicit pass; see operators/aggregate.py first-wins)."""
+    from rdf2smw_spark.session import maybe_broadcast, scoped_persist
+
+    sa = triples.filter(
+        (F.col("pred") == OWL_SAMEAS) & F.col("obj_is_iri")
+    ).select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    canon = scoped_persist(
+        uri_components(sa).filter(F.col("uri") != F.col("canon"))
+    )
+    cmap = maybe_broadcast(canon, broadcast_limit)
+
+    rest = triples.filter(F.col("pred") != OWL_SAMEAS)
+    subj_fixed = (
+        rest.join(cmap, rest["subj"] == cmap["uri"], "left")
+        .select(
+            F.coalesce("canon", "subj").alias("subj"),
+            "pred",
+            "obj",
+            "obj_is_iri",
+            "obj_datatype",
+            "src_url",
+        )
+    )
+    cmap2 = maybe_broadcast(canon, broadcast_limit)
+    return (
+        subj_fixed.join(
+            cmap2,
+            F.col("obj_is_iri") & (subj_fixed["obj"] == cmap2["uri"]),
+            "left",
+        )
+        .select(
+            "subj",
+            "pred",
+            F.coalesce("canon", "obj").alias("obj"),
+            "obj_is_iri",
+            "obj_datatype",
+            "src_url",
+        )
+    )
+
+
+def synth_sameas_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic alias assertions over the testdata customers:
+    every 5th customer has an alt-host alias, every 10th additionally a
+    second mirror alias CHAINED off the first (alt sameAs mirror, not
+    cust sameAs mirror) — so closure must follow 2-hop paths and the
+    component {cust, alt, mirror} canonicalizes to the alt URI."""
+    from rdf2smw_spark.sources.testdata import CUST, _t, load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    src = "testdata://sameas"
+    a = cust.filter(key % 5 == 0).select(
+        *_t(F.concat(F.lit(CUST), key), OWL_SAMEAS, F.concat(F.lit(ALT_CUST), key), True, None, src)
+    )
+    b = cust.filter(key % 10 == 0).select(
+        *_t(F.concat(F.lit(ALT_CUST), key), OWL_SAMEAS, F.concat(F.lit(ALT2_CUST), key), True, None, src)
+    )
+    return a.unionByName(b)
+
+
+def synth_sameas_sql() -> str:
+    """DuckDB twin of synth_sameas_triples (parenthesized subquery)."""
+    from rdf2smw_spark.sources.testdata import CUST
+
+    return f"""(
+    SELECT '{CUST}' || c_custkey AS subj,
+           '{OWL_SAMEAS}' AS pred,
+           '{ALT_CUST}' || c_custkey AS obj,
+           true AS obj_is_iri,
+           CAST(NULL AS VARCHAR) AS obj_datatype,
+           'testdata://sameas' AS src_url
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT '{ALT_CUST}' || c_custkey,
+           '{OWL_SAMEAS}',
+           '{ALT2_CUST}' || c_custkey,
+           true, CAST(NULL AS VARCHAR), 'testdata://sameas'
+    FROM customer WHERE c_custkey % 10 = 0
+)"""
+
+
+def sameas_canonicalize_sql(triples_sql: str) -> str:
+    """DuckDB twin of sameas_canonicalize: recursive transitive closure
+    (min reachable URI), then the two rewrite joins. `triples_sql` must
+    be a parenthesized subquery containing the sameAs assertions."""
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT * FROM {triples_sql}),
+    sa AS (SELECT subj AS a, obj AS b FROM t
+           WHERE pred = '{OWL_SAMEAS}' AND obj_is_iri),
+    edges AS (SELECT a AS src, b AS dst FROM sa UNION ALL SELECT b, a FROM sa),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    canon AS (
+        SELECT node AS uri, MIN(lbl) AS canon FROM reach GROUP BY node
+        HAVING MIN(lbl) <> node
+    )
+    SELECT COALESCE(cs.canon, t.subj) AS subj,
+           t.pred,
+           CASE WHEN t.obj_is_iri THEN COALESCE(co.canon, t.obj)
+                ELSE t.obj END AS obj,
+           t.obj_is_iri, t.obj_datatype, t.src_url
+    FROM t
+    LEFT JOIN canon cs ON cs.uri = t.subj
+    LEFT JOIN canon co ON t.obj_is_iri AND co.uri = t.obj
+    WHERE t.pred <> '{OWL_SAMEAS}'
+    """

@@ -26,6 +26,7 @@ from rdf2smw_spark.operators import asof as _asof
 from rdf2smw_spark.operators import dedup as dd
 from rdf2smw_spark.operators import graph as gr
 from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import sameas as _sameas
 from rdf2smw_spark.operators import schema_discovery as _sd
 from rdf2smw_spark.operators import search as _search
 from rdf2smw_spark.operators import similarity as sim
@@ -789,6 +790,22 @@ def q_ta_decontam_bloom(spark, sf_dir):
     return ta.decontaminate_bloom(train, benchmark)
 
 
+def q_kg_sameas_canon(spark, sf_dir):
+    """owl:sameAs resolution: synthesized alias assertions (every 5th
+    customer gets an alt-host URI, every 10th a CHAINED second mirror)
+    are closed into components (string-label CC, pointer doubling over
+    |sameAs| edges only) and the whole triple table is rewritten to each
+    component's lexicographic-min URI — subjects AND IRI objects (order
+    ->customer links follow their customer's canonical form). Oracle:
+    recursive-CTE closure + the same two rewrite joins."""
+    from rdf2smw_spark.operators import sameas as sa
+
+    triples = testdata_triples(spark, sf_dir).unionByName(
+        sa.synth_sameas_triples(spark, sf_dir)
+    )
+    return sa.sameas_canonicalize(triples)
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -914,6 +931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pred_cooccur": q_kg_pred_cooccur,
     "ta_pack_sequences": q_ta_pack_sequences,
     "ta_decontam_bloom": q_ta_decontam_bloom,
+    "kg_sameas_canon": q_kg_sameas_canon,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1185,5 +1203,9 @@ ORACLES: dict[str, str] = {
     "ta_decontam_bloom": ta.decontaminate_sql(
         f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
         "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",
+    ),
+    "kg_sameas_canon": _sameas.sameas_canonicalize_sql(
+        f"(SELECT * FROM (SELECT * FROM {TRIPLES_SQL} "
+        f"UNION ALL SELECT * FROM {_sameas.synth_sameas_sql()}))"
     ),
 }

@@ -1,5 +1,5 @@
-"""Round-4 continuation: sequence packing (distributed prefix sum) and
-Bloom-filter decontamination pre-filter."""
+"""Round-4 continuation: sequence packing (distributed prefix sum),
+Bloom-filter decontamination pre-filter, owl:sameAs canonicalization."""
 
 from pyspark.sql import functions as F
 
@@ -115,3 +115,43 @@ def test_bloom_prefilter_prunes_before_confirm(spark, sf_dir):
         )
     survivors = cand.count()
     assert hits <= survivors < total * 0.1  # sound AND actually pruning
+
+
+# --- owl:sameAs canonicalization -------------------------------------------------
+
+def test_sameas_chain_resolves_to_alt_uri(spark, sf_dir):
+    """cust --sameAs--> alt --sameAs--> mirror must collapse through the
+    2-hop chain: all three forms rewrite to the alt URI (lexicographic
+    min), including order->customer IRI objects."""
+    from rdf2smw_spark.operators import sameas as sa
+    from rdf2smw_spark.sources.testdata import CUST, ONT, testdata_triples
+
+    triples = testdata_triples(spark, sf_dir).unionByName(
+        sa.synth_sameas_triples(spark, sf_dir)
+    )
+    out = sa.sameas_canonicalize(triples)
+    # no sameAs assertion survives; no aliased-subject URI survives
+    assert out.filter(F.col("pred") == sa.OWL_SAMEAS).count() == 0
+    assert out.filter(F.col("subj") == f"{CUST}10").count() == 0
+    assert out.filter(F.col("subj").startswith(sa.ALT2_CUST)).count() == 0
+    # customer 10's facts now live under the alt URI
+    alt10 = out.filter(F.col("subj") == f"{sa.ALT_CUST}10")
+    assert alt10.filter(F.col("pred") == ONT + "name").count() == 1
+    # order->customer object links follow the canonicalization
+    assert (
+        out.filter(
+            (F.col("pred") == ONT + "customer") & (F.col("obj") == f"{CUST}10")
+        ).count()
+        == 0
+    )
+    # a non-aliased customer (key % 5 != 0) is untouched
+    assert out.filter(F.col("subj") == f"{CUST}1").count() > 0
+
+
+def test_sameas_noop_without_assertions(spark, sf_dir):
+    """A triple stream with no sameAs rows passes through unchanged."""
+    from rdf2smw_spark.operators import sameas as sa
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    triples = testdata_triples(spark, sf_dir)
+    assert sa.sameas_canonicalize(triples).count() == triples.count()
