@@ -806,6 +806,67 @@ def q_kg_sameas_canon(spark, sf_dir):
     return sa.sameas_canonicalize(triples)
 
 
+ANOM_W = 8      # trailing window width (events)
+ANOM_MIN = 4    # minimum history before judging
+
+
+def q_ev_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flags per user: an event is anomalous
+    when it sits more than 3 sigma from the mean of its user's previous
+    W events. All arithmetic on integer cents with the variance test
+    cross-multiplied — (v*n - s)^2 > 9*(q*n - s^2) — so the flag is
+    exact (no float mean/std) and hash-matches at any parallelism.
+    Window is user-partitioned (the sessionize key), never global."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", F.expr(_CENTS).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.count("cents").over(w).alias("n_prev"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.expr("cents * cents")).over(w).alias("q"),
+    ).filter(F.col("n_prev") >= ANOM_MIN)
+    return scored.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        "n_prev",
+        F.expr(
+            "(cents * n_prev - s) * (cents * n_prev - s)"
+            " > 9 * (q * n_prev - s * s)"
+        ).alias("is_anomaly"),
+    )
+
+
+def q_web_components(spark, sf_dir):
+    """Weakly-connected components of the crawl link graph (url,
+    component=min reachable url): the page-level mirror-cluster /
+    site-island signal. Reuses the string-label CC from the sameAs
+    resolver — the edge set is the extracted href list, tiny next to
+    page bodies; the recursive-CTE oracle is independent of the
+    pointer-doubling loop."""
+    from rdf2smw_spark.operators import sameas as _sa
+    from rdf2smw_spark.operators import weblinks as _wl
+
+    edges = (
+        _wl.extract_links(synth_pages(spark, sf_dir))
+        .select(F.col("src_url").alias("a"), F.col("href").alias("b"))
+        .distinct()
+    )
+    return _sa.uri_components(edges).select(
+        F.col("uri").alias("url"), F.col("canon").alias("component")
+    )
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -932,6 +993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_pack_sequences": q_ta_pack_sequences,
     "ta_decontam_bloom": q_ta_decontam_bloom,
     "kg_sameas_canon": q_kg_sameas_canon,
+    "ev_anomaly": q_ev_anomaly,
+    "web_components": q_web_components,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1208,4 +1271,32 @@ ORACLES: dict[str, str] = {
         f"(SELECT * FROM (SELECT * FROM {TRIPLES_SQL} "
         f"UNION ALL SELECT * FROM {_sameas.synth_sameas_sql()}))"
     ),
+    "ev_anomaly": f"""
+        SELECT user_id, event_id, ts, cents, n_prev,
+               (cents * n_prev - s) * (cents * n_prev - s)
+                   > 9 * (q * n_prev - s * s) AS is_anomaly
+        FROM (
+            SELECT user_id, event_id, ts, cents,
+                   CAST(COUNT(cents) OVER w AS BIGINT) AS n_prev,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS s,
+                   CAST(SUM(cents * cents) OVER w AS BIGINT) AS q
+            FROM (SELECT user_id, ts, event_id, {_CENTS} AS cents FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)
+        ) WHERE n_prev >= {ANOM_MIN}
+    """,
+    "web_components": f"""
+        WITH RECURSIVE
+        links AS (SELECT DISTINCT src_url AS a, href AS b
+                  FROM {wl.extract_links_sql(PAGES_SQL)}),
+        edges AS (SELECT a AS src, b AS dst FROM links
+                  UNION ALL SELECT b, a FROM links),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+        )
+        SELECT node AS url, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
 }

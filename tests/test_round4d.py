@@ -155,3 +155,25 @@ def test_sameas_noop_without_assertions(spark, sf_dir):
 
     triples = testdata_triples(spark, sf_dir)
     assert sa.sameas_canonicalize(triples).count() == triples.count()
+
+
+# --- rolling anomaly flags + link-graph components --------------------------------
+
+def test_ev_anomaly_nonvacuous_and_warmup(spark, sf_dir):
+    from rdf2smw_spark.queries import ANOM_MIN, q_ev_anomaly
+
+    out = q_ev_anomaly(spark, sf_dir).toPandas()
+    assert (out["n_prev"] >= ANOM_MIN).all()
+    assert 0 < out["is_anomaly"].sum() < len(out)  # flags exist, but rare
+
+
+def test_web_components_cluster_mirrors(spark, sf_dir):
+    from rdf2smw_spark.queries import q_web_components
+
+    out = q_web_components(spark, sf_dir).toPandas()
+    sizes = out.groupby("component").size()
+    assert (sizes > 1).any()  # the planted cross-links form real clusters
+    # canonical member maps to itself
+    canon = set(out["component"])
+    m = dict(zip(out["url"], out["component"]))
+    assert all(m[c] == c for c in canon)
