@@ -374,3 +374,35 @@ def run_stream_near_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each left event with
+    the right-stream events for the same key arriving within
+    (left_ts, left_ts + max_delay] — the fetch→render / impression→click
+    attribution shape. Both sides are watermarked so Spark bounds the
+    join state: a buffered left row can be dropped once the right
+    watermark passes left_ts + max_delay (and vice versa), giving
+    O(keys active within watermark+delay) state instead of unbounded
+    buffering — the property that lets the join run forever at crawl
+    scale. The time-range predicate (not just key equality) is what
+    makes the state eviction possible; an unconstrained stream-stream
+    equi-join cannot evict anything.
+
+    Works identically on batch DataFrames (watermark is a no-op in
+    batch), which is how the test pins result semantics."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} > l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + interval {max_delay_seconds} seconds"
+    )
+    return l.join(r, cond, "inner")

@@ -519,3 +519,61 @@ def test_png_unsupported_variants_raise():
     raw = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         mm.decode_image(raw)
+
+
+def test_stream_stream_time_join(spark, tmp_path):
+    """Fetch→render attribution: renders join their fetch iff within the
+    delay bound; streaming result == batch result on the same data."""
+    import datetime as dt
+
+    from rdf2smw_spark.streaming.stream import stream_time_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    fetches = spark.createDataFrame(
+        [("u1", ts(0)), ("u2", ts(5)), ("u3", ts(10))],
+        "url string, fetch_ts timestamp",
+    )
+    renders = spark.createDataFrame(
+        [
+            ("u1", ts(3)),    # within 10 min -> joins
+            ("u1", ts(25)),   # too late -> excluded
+            ("u2", ts(5)),    # not strictly after -> excluded
+            ("u2", ts(14)),   # within -> joins
+            ("u9", ts(1)),    # unknown key -> excluded
+        ],
+        "url string, render_ts timestamp",
+    )
+    fdir, rdir = str(tmp_path / "f"), str(tmp_path / "r")
+    fetches.write.parquet(fdir)
+    renders.write.parquet(rdir)
+
+    # batch semantics (watermark no-op) pins the expected pairs
+    batch = stream_time_join(fetches, renders, "url", "fetch_ts", "render_ts")
+    expected = sorted(
+        (r["l.url"] if "l.url" in r else r["url"], r["render_ts"])
+        for r in batch.select("l.url", "render_ts").collect()
+    )
+    assert [u for u, _ in expected] == ["u1", "u2"]
+
+    fs = spark.readStream.schema(fetches.schema).parquet(fdir)
+    rs = spark.readStream.schema(renders.schema).parquet(rdir)
+    joined = stream_time_join(fs, rs, "url", "fetch_ts", "render_ts")
+    out = str(tmp_path / "out")
+    q = (
+        joined.select("l.url", "fetch_ts", "render_ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["url"], r["render_ts"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected
