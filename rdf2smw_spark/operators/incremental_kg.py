@@ -1,0 +1,139 @@
+"""Incremental KG page maintenance: given the standing triple table and
+a (much smaller) delta of new/changed fact triples, re-render ONLY the
+wiki pages the delta can affect instead of re-running the whole
+conversion — the continuous-crawl counterpart of the reference's
+one-shot batch run.
+
+What a delta can affect (dependency classes):
+
+1. A plain FACT triple (pred outside rdf:type / rdfs:subClassOf / the
+   title properties) only changes the page(s) rendered for its SUBJECT's
+   title. The incremental fast path handles this class.
+2. A SCHEMA-ish triple — rdf:type, rdfs:subClassOf, or any title
+   property — feeds the global dimensions (subject types, best titles,
+   class depths): a single such triple can retitle an entity referenced
+   from arbitrarily many pages, or shift category depths everywhere.
+   The fast path detects this class with one bounded probe and falls
+   back to the full rebuild — honest invalidation beats a stale wiki.
+
+Pages are keyed by TITLE, not subject: two subjects whose titles
+collide (e.g. an unlabeled customer and an order sharing the numeric
+local name) render interleaved <page> blocks under one title, so
+re-rendering a title must re-aggregate EVERY subject mapping to it.
+The affected set is therefore closed over titles: delta subjects →
+their titles → all subjects bearing those titles.
+
+Scale shape: the title closure is two semi-joins against the slim
+(subj, title) dim; the restricted conversion (convert.triples_to_pages
+`only_subjects`) runs dims over the full stream (cheap pred-filtered
+scans) but stage B — the expensive enrichment + salted groupBy — over
+the delta's subjects only. At a 0.1% daily delta of a 10^12-triple KG,
+that is a 1000x smaller shuffle than the rebuild, and the fallback
+cost is exactly the old full run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.functions.textnorm import sql_local_name, sql_wiki_title_full
+from rdf2smw_spark.operators.dimensions import best_titles, subject_types
+from rdf2smw_spark.schemas import (
+    SUBCLASS_PROPERTY_URI,
+    TITLE_PROPERTIES,
+    TYPE_PROPERTY_URI,
+    URI_TYPE_CLASS,
+    URI_TYPE_PREDICATE,
+    URI_TYPE_UNDEFINED,
+)
+
+SCHEMA_PREDS = list(TITLE_PROPERTIES) + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]
+
+
+def _subject_titles(full: DataFrame) -> DataFrame:
+    """(subj, title) for every subject — the SAME title derivation as
+    triples_to_pages stage B (best-title fallback to local name, then
+    the Property:/Category: prefix by uri_type) so the closure keys
+    match the rendered page titles exactly."""
+    dim_src = full.filter(F.col("pred").isin(SCHEMA_PREDS))
+    st = subject_types(dim_src)
+    bt = best_titles(dim_src).select(
+        F.col("subj").alias("__suri"), F.col("raw_title").alias("__sraw")
+    )
+    subs = full.select("subj").distinct()
+    return (
+        subs.join(F.broadcast(bt), subs["subj"] == bt["__suri"], "left")
+        .join(st, "subj", "left")
+        .withColumn("uri_type", F.coalesce("uri_type", F.lit(URI_TYPE_UNDEFINED)))
+        .withColumn("__traw", F.coalesce("__sraw", F.expr(sql_local_name("subj"))))
+        .withColumn("__ft", F.expr(sql_wiki_title_full("__traw")))
+        .select(
+            "subj",
+            F.when(
+                F.col("uri_type") == URI_TYPE_PREDICATE,
+                F.concat(F.lit("Property:"), F.col("__ft")),
+            )
+            .when(
+                F.col("uri_type") == URI_TYPE_CLASS,
+                F.concat(F.lit("Category:"), F.col("__ft")),
+            )
+            .otherwise(F.col("__ft"))
+            .alias("title"),
+        )
+    )
+
+
+def affected_subjects(full: DataFrame, delta: DataFrame) -> DataFrame:
+    """Title-closed affected set: every subject whose page title is
+    shared with some delta subject. Two semi-joins on the slim
+    (subj, title) dim — never the fact stream."""
+    from rdf2smw_spark.session import scoped_persist
+
+    titles = scoped_persist(_subject_titles(full))
+    seed = titles.join(
+        delta.select("subj").distinct(), "subj", "semi"
+    ).select("title").distinct()
+    return titles.join(seed, "title", "semi").select("subj").distinct()
+
+
+def incremental_pages(
+    spark: SparkSession, base: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """WikiPage rows for every page the delta touches, byte-identical
+    to the same pages of a full rebuild over base ∪ delta (that identity
+    IS the oracle of the registered query). Falls back transparently to
+    the full conversion when the delta contains schema-ish predicates
+    (dependency class 2 above) — detected with one limit(1) probe, the
+    collect-is-the-guard discipline."""
+    from rdf2smw_spark.operators.convert import triples_to_pages
+    from rdf2smw_spark.session import scoped_persist
+
+    # one persist shared by the schema probe, the title closure, the
+    # dims inside triples_to_pages AND stage B — without it the source
+    # plan re-derives for each consumer (measured 2x at small scale)
+    full = scoped_persist(base.unionByName(delta))
+    schema_touch = (
+        delta.filter(F.col("pred").isin(SCHEMA_PREDS)).limit(1).count() > 0
+    )
+    if not schema_touch:
+        # dependency class 3: a delta introducing a NEW (pred, smw-type)
+        # pair changes that predicate's Property page ('Has type' facts)
+        # even though no affected subject renders it — probe and fall
+        # back rather than serve a stale property page
+        from rdf2smw_spark.functions.textnorm import sql_smw_type
+
+        ty = F.expr(sql_smw_type("obj_is_iri", "obj_datatype"))
+        new_pairs = (
+            delta.select("pred", ty.alias("__ty")).distinct()
+            .join(base.select("pred", ty.alias("__ty")).distinct(), ["pred", "__ty"], "anti")
+        )
+        schema_touch = new_pairs.limit(1).count() > 0
+    if schema_touch:
+        return triples_to_pages(spark, full, cache=False)
+    return triples_to_pages(
+        spark,
+        full,
+        cache=False,
+        only_subjects=affected_subjects(full, delta),
+    )

@@ -39,7 +39,7 @@ from rdf2smw_spark.operators.dimensions import (
     pred_smw_types,
     subject_types,
 )
-from rdf2smw_spark.schemas import URI_TYPE_PREDICATE
+from rdf2smw_spark.schemas import TYPE_PROPERTY_URI, URI_TYPE_PREDICATE
 from rdf2smw_spark.sources.testdata import duckdb_triples_sql, testdata_triples
 from rdf2smw_spark.sources.webpages import duckdb_pages_sql, synth_pages
 from rdf2smw_spark.triplify import duckdb_triplify_sql, triplify
@@ -867,6 +867,31 @@ def q_web_components(spark, sf_dir):
     )
 
 
+_DELTA_ORDER = (
+    "subj LIKE 'http://example.org/order/%' "
+    "AND CAST(regexp_extract(subj, '[0-9]+$', 0) AS BIGINT) % 101 = 0"
+)
+
+
+def q_kg_incremental_pages(spark, sf_dir):
+    """Incremental page maintenance: the fact triples of every 101st
+    order play the delta; only the pages whose TITLE a delta subject
+    touches are re-aggregated + re-rendered (dims still read the full
+    stream; title closure catches numeric order/customer title
+    collisions). Oracle = the FULL rebuild's pages filtered to the same
+    affected titles — hash equality proves the incremental plan yields
+    byte-identical pages."""
+    from rdf2smw_spark.operators.incremental_kg import incremental_pages
+    from rdf2smw_spark.operators.render import render_all
+
+    triples = testdata_triples(spark, sf_dir)
+    delta = triples.filter(F.expr(_DELTA_ORDER) & (F.col("pred") != TYPE_PROPERTY_URI))
+    base = triples.filter(~(F.expr(_DELTA_ORDER) & (F.col("pred") != TYPE_PROPERTY_URI)))
+    pages = incremental_pages(spark, base, delta)
+    content, _props, _tpls = render_all(pages, use_templates=True)
+    return content.select("title", "page_type", "xml")
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -995,6 +1020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sameas_canon": q_kg_sameas_canon,
     "ev_anomaly": q_ev_anomaly,
     "web_components": q_web_components,
+    "kg_incremental_pages": q_kg_incremental_pages,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1298,5 +1324,16 @@ ORACLES: dict[str, str] = {
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
         )
         SELECT node AS url, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    "kg_incremental_pages": f"""
+        WITH pages AS ({orc.pages_xml_sql(TRIPLES_SQL)}),
+        titles AS ({orc.wiki_titles_sql(TRIPLES_SQL)}),
+        seed AS (
+            SELECT DISTINCT page_title FROM titles
+            WHERE {_DELTA_ORDER}
+        )
+        SELECT title, page_type, xml FROM pages
+        WHERE page_type NOT IN (2, 4)
+          AND title IN (SELECT page_title FROM seed)
     """,
 }

@@ -177,3 +177,51 @@ def test_web_components_cluster_mirrors(spark, sf_dir):
     canon = set(out["component"])
     m = dict(zip(out["url"], out["component"]))
     assert all(m[c] == c for c in canon)
+
+
+# --- incremental page maintenance ---------------------------------------------
+
+def test_incremental_matches_full_restricted(spark, sf_dir):
+    """The core identity: incremental pages == the full rebuild's pages
+    for every affected title (the registry oracle checks the rendered
+    XML; this pins the pre-render page rows including fact arrays)."""
+    from rdf2smw_spark.operators.convert import triples_to_pages
+    from rdf2smw_spark.operators.incremental_kg import (
+        affected_subjects,
+        incremental_pages,
+    )
+    from rdf2smw_spark.queries import _DELTA_ORDER, TYPE_PROPERTY_URI
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    triples = testdata_triples(spark, sf_dir)
+    cond = F.expr(_DELTA_ORDER) & (F.col("pred") != TYPE_PROPERTY_URI)
+    delta, base = triples.filter(cond), triples.filter(~cond)
+    assert delta.count() > 0
+
+    inc = incremental_pages(spark, base, delta)
+    titles = {r["title"] for r in inc.select("title").collect()}
+    full = triples_to_pages(spark, triples).filter(F.col("title").isin(list(titles)))
+    a = sorted(map(str, inc.collect()))
+    b = sorted(map(str, full.collect()))
+    assert a == b
+    # the affected set is the title closure of the delta's subjects
+    aff = affected_subjects(triples, delta)
+    assert aff.count() >= delta.select("subj").distinct().count()
+
+
+def test_incremental_schema_delta_falls_back_to_full(spark, sf_dir):
+    """A delta touching rdf:type (dependency class 2) must yield the
+    FULL page set — title/type/depth changes invalidate globally."""
+    from rdf2smw_spark.operators.convert import triples_to_pages
+    from rdf2smw_spark.operators.incremental_kg import incremental_pages
+    from rdf2smw_spark.schemas import TYPE_PROPERTY_URI
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    triples = testdata_triples(spark, sf_dir)
+    cond = F.col("pred") == TYPE_PROPERTY_URI
+    delta, base = triples.filter(cond).limit(5), triples.join(
+        triples.filter(cond).limit(5), ["subj", "pred", "obj"], "anti"
+    )
+    inc = incremental_pages(spark, base, delta)
+    full = triples_to_pages(spark, base.unionByName(delta))
+    assert inc.count() == full.count()
