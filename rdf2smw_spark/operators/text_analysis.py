@@ -1299,3 +1299,41 @@ def decontaminate_bloom(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --- deterministic corpus split ------------------------------------------------------
+
+SPLIT_BOUNDS = (("train", 90), ("val", 5), ("test", 5))  # percent, sums to 100
+
+
+def corpus_split(docs: DataFrame, salt: str = "split-v1") -> DataFrame:
+    """(doc_id, split): hash-based train/val/test assignment — the
+    standard leakage-safe split: a document's fate depends only on its
+    id and the salt, never on partitioning, corpus size, or arrival
+    order, so re-runs over a GROWING corpus never move an old document
+    across splits (adding data cannot leak yesterday's test set into
+    today's train set). Map-side projection, zero shuffle; the salt
+    versions the split without touching data."""
+    h = _hex32(f"md5(concat(cast(doc_id AS STRING), '{salt}'))", "spark")
+    bucket = F.expr(f"pmod({h}, 100)").cast("long")
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, width in SPLIT_BOUNDS:
+        expr = F.when((bucket >= lo) & (bucket < lo + width), F.lit(name)).otherwise(expr)
+        lo += width
+    return docs.select("doc_id", expr.alias("split"))
+
+
+def corpus_split_sql(docs_sql: str, salt: str = "split-v1") -> str:
+    md5e = f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
+    bucket = f"{_hex32(md5e, 'duckdb')} % 100"
+    cases = []
+    lo = 0
+    for name, width in SPLIT_BOUNDS:
+        cases.append(f"WHEN b >= {lo} AND b < {lo + width} THEN '{name}'")
+        lo += width
+    case = " ".join(cases)
+    return f"""
+    SELECT doc_id, CASE {case} END AS split
+    FROM (SELECT doc_id, {bucket} AS b FROM {docs_sql})
+    """

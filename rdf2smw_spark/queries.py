@@ -892,6 +892,14 @@ def q_kg_incremental_pages(spark, sf_dir):
     return content.select("title", "page_type", "xml")
 
 
+def q_ta_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment is a pure function
+    of (doc_id, salt) — growing the corpus can never move an old doc
+    across splits. Map-side projection, zero shuffle, portable hex
+    arithmetic so the DuckDB twin is digit-identical."""
+    return ta.corpus_split(_docs(spark, sf_dir))
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -1021,6 +1029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": q_ev_anomaly,
     "web_components": q_web_components,
     "kg_incremental_pages": q_kg_incremental_pages,
+    "ta_split": q_ta_split,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1336,4 +1345,5 @@ ORACLES: dict[str, str] = {
         WHERE page_type NOT IN (2, 4)
           AND title IN (SELECT page_title FROM seed)
     """,
+    "ta_split": ta.corpus_split_sql("documents"),
 }

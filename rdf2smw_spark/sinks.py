@@ -57,3 +57,35 @@ def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table back with its layout metadata intact (a
     plain spark.read.parquet(path) would lose the bucket spec)."""
     return spark.table(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a small-files parquet directory into ~target_bytes files;
+    returns the output file count. Small files are the silent killer of
+    100-TB scans (one scheduler task + one footer read each; a million
+    16 KB files costs more in task overhead than in IO) — streaming
+    sinks and fine-grained partitionBy both produce them, so compaction
+    is a standing maintenance pass. Sizing reads the REAL byte size
+    from the filesystem (works for any Hadoop FS, not just local), and
+    the rewrite uses coalesce — a shuffle-free merge of existing
+    partitions — not repartition, which would pay a full shuffle just
+    to move bytes."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_out = max(1, -(-int(total) // target_bytes))
+    df = spark.read.parquet(src)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    out = jvm.org.apache.hadoop.fs.Path(dst)
+    return sum(
+        1
+        for f in fs.listStatus(out)
+        if f.getPath().getName().endswith(".parquet")
+    )

@@ -225,3 +225,25 @@ def test_incremental_schema_delta_falls_back_to_full(spark, sf_dir):
     inc = incremental_pages(spark, base, delta)
     full = triples_to_pages(spark, base.unionByName(delta))
     assert inc.count() == full.count()
+
+
+# --- deterministic corpus split ---------------------------------------------------
+
+def test_corpus_split_stable_under_growth(spark, sf_dir):
+    """Adding documents must not move existing ones across splits, and
+    all three splits must be populated at the test corpus size."""
+    from rdf2smw_spark.operators import text_analysis as ta
+
+    docs = _docs(spark, sf_dir)
+    half = docs.filter(F.col("doc_id") < 250)
+    full_map = {r["doc_id"]: r["split"] for r in ta.corpus_split(docs).collect()}
+    half_map = {r["doc_id"]: r["split"] for r in ta.corpus_split(half).collect()}
+    assert all(full_map[k] == v for k, v in half_map.items())
+    from collections import Counter
+
+    c = Counter(full_map.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # a different salt reshuffles (the versioning knob is live)
+    other = {r["doc_id"]: r["split"] for r in ta.corpus_split(docs, salt="v2").collect()}
+    assert other != full_map

@@ -71,3 +71,20 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir, tmp_path):
     # partition filter reached the scan, and the scan reports pruning
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
     assert scan.count() == docs.filter(F.col("lang") == one).count()
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "shattered")
+    docs.repartition(64).write.parquet(src)  # simulate a small-files sink
+    import glob
+
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in == 64
+    dst = str(tmp_path / "compacted")
+    n_out = sinks.compact_parquet(spark, src, dst, target_bytes=256 * 1024)
+    assert n_out < n_in
+    # data unchanged (multiset equality via sorted collect)
+    a = sorted(map(str, spark.read.parquet(dst).collect()))
+    b = sorted(map(str, docs.collect()))
+    assert a == b
