@@ -26,6 +26,7 @@ from rdf2smw_spark.operators import asof as _asof
 from rdf2smw_spark.operators import dedup as dd
 from rdf2smw_spark.operators import graph as gr
 from rdf2smw_spark.operators import linking as lk
+from rdf2smw_spark.operators import bpe as _bpe
 from rdf2smw_spark.operators import sameas as _sameas
 from rdf2smw_spark.operators import schema_discovery as _sd
 from rdf2smw_spark.operators import search as _search
@@ -900,6 +901,17 @@ def q_ta_split(spark, sf_dir):
     return ta.corpus_split(_docs(spark, sf_dir))
 
 
+def q_ta_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training over the corpus word-frequency
+    table: per round one slim (l, r) count shuffle + TakeOrdered top-1 +
+    a map-side sentinel-string replace (greedy non-overlapping merge as
+    ONE builtin); unrolled-CTE DuckDB twin cross-validates the loop
+    against the textbook definition (operators/bpe.py)."""
+    from rdf2smw_spark.operators import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir))
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -1030,6 +1042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_components": q_web_components,
     "kg_incremental_pages": q_kg_incremental_pages,
     "ta_split": q_ta_split,
+    "ta_bpe_merges": q_ta_bpe_merges,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1346,4 +1359,5 @@ ORACLES: dict[str, str] = {
           AND title IN (SELECT page_title FROM seed)
     """,
     "ta_split": ta.corpus_split_sql("documents"),
+    "ta_bpe_merges": _bpe.bpe_train_sql("documents"),
 }

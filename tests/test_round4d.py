@@ -247,3 +247,31 @@ def test_corpus_split_stable_under_growth(spark, sf_dir):
     # a different salt reshuffles (the versioning knob is live)
     other = {r["doc_id"]: r["split"] for r in ta.corpus_split(docs, salt="v2").collect()}
     assert other != full_map
+
+
+# --- BPE merge training ------------------------------------------------------------
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    """'aaa' under pair (a,a) must become (aa, a) — greedy left-to-right,
+    never (aa, aa); and a later round can merge MERGED symbols."""
+    from rdf2smw_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa ab")], "doc_id long, text string"
+    )
+    out = {r["step"]: (r["left"], r["right"], r["pair_count"]) for r in bpe.bpe_train(docs, k=3).collect()}
+    # round 1: (a,a) appears 2x per 'aaa' (3 words) + 0 in 'ab' = 6
+    assert out[1] == ("a", "a", 6)
+    # round 2: sequences are ' aa a 'x3 and ' a b ': (aa,a) count 3 wins
+    assert out[2] == ("aa", "a", 3)
+    # round 3: ' aaa 'x3 has no pairs; only ' a b ' remains
+    assert out[3] == ("a", "b", 1)
+
+
+def test_bpe_tiebreak_deterministic(spark):
+    """Equal counts break by (left, right) ascending."""
+    from rdf2smw_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "xy zw")], "doc_id long, text string")
+    first = bpe.bpe_train(docs, k=1).collect()[0]
+    assert (first["left"], first["right"]) == ("x", "y")
