@@ -912,6 +912,49 @@ def q_ta_bpe_merges(spark, sf_dir):
     return bpe.bpe_train(_docs(spark, sf_dir))
 
 
+def q_ev_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) per user: earliest
+    view, earliest click strictly after it, earliest purchase strictly
+    after that. Three chained slim aggregations (each stage joins only
+    the per-user frontier from the previous stage, with the event-type
+    filter pushed to the scan) — no per-user event buffering, no
+    self-join on the raw stream. ts stays integer, so the chain is
+    exact at any parallelism."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+
+    def stage(etype, prev, prev_col, out_col):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_col))
+        return (
+            e.join(prev.select("user_id", prev_col), "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    v = stage("view", None, None, "view_ts")
+    c = stage("click", v, "view_ts", "click_ts")
+    p = stage("purchase", c, "click_ts", "purchase_ts")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).cast("long").alias("steps"),
+        )
+    )
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -1043,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_incremental_pages": q_kg_incremental_pages,
     "ta_split": q_ta_split,
     "ta_bpe_merges": q_ta_bpe_merges,
+    "ev_funnel": q_ev_funnel,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1360,4 +1404,20 @@ ORACLES: dict[str, str] = {
     """,
     "ta_split": ta.corpus_split_sql("documents"),
     "ta_bpe_merges": _bpe.bpe_train_sql("documents"),
+    "ev_funnel": """
+        WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.view_ts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+              GROUP BY e.user_id)
+        SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               CAST(1 + (c.click_ts IS NOT NULL)::INT
+                      + (p.purchase_ts IS NOT NULL)::INT AS BIGINT) AS steps
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
 }
