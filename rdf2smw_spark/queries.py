@@ -28,6 +28,7 @@ from rdf2smw_spark.operators import graph as gr
 from rdf2smw_spark.operators import linking as lk
 from rdf2smw_spark.operators import bpe as _bpe
 from rdf2smw_spark.operators import sameas as _sameas
+from rdf2smw_spark.operators import validate as _vd
 from rdf2smw_spark.operators import schema_discovery as _sd
 from rdf2smw_spark.operators import search as _search
 from rdf2smw_spark.operators import similarity as sim
@@ -47,6 +48,10 @@ from rdf2smw_spark.triplify import duckdb_triplify_sql, triplify
 from rdf2smw_spark.functions.textnorm import sql_smw_type
 
 TRIPLES_SQL = duckdb_triples_sql()
+URI_TYPE_PREDICATE_DECL = TYPE_PROPERTY_URI
+from rdf2smw_spark.sources.testdata import NATION as _NATION_NS, ONT as _ONT_NS  # noqa: E402
+_ONT_CUSTOMER = _ONT_NS + "customer"
+_NATION0 = _NATION_NS + "0"
 PAGES_SQL = duckdb_pages_sql()
 
 from rdf2smw_spark.extract import canonical_url_sql as _canon_sql  # noqa: E402
@@ -955,6 +960,23 @@ def q_ev_funnel(spark, sf_dir):
     )
 
 
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-style validation report over planted constraints:
+    rdf:type declared functional (customers carry nation AND segment
+    types, so cardinality violations are real) and ont:customer ranged
+    to nation 0 (only that nation's customers pass). Constraint-filtered
+    groupBy + broadcast type-dim join (operators/validate.py)."""
+    from rdf2smw_spark.operators import validate as vd
+    from rdf2smw_spark.sources.testdata import NATION, ONT
+
+    triples = testdata_triples(spark, sf_dir)
+    fp = spark.createDataFrame([(TYPE_PROPERTY_URI,)], "pred string")
+    rng = spark.createDataFrame(
+        [(ONT + "customer", NATION + "0")], "pred string, expected string"
+    )
+    return vd.shacl_report(triples, fp, rng)
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -1087,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_split": q_ta_split,
     "ta_bpe_merges": q_ta_bpe_merges,
     "ev_funnel": q_ev_funnel,
+    "kg_shacl_report": q_kg_shacl_report,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1420,4 +1443,9 @@ ORACLES: dict[str, str] = {
                       + (p.purchase_ts IS NOT NULL)::INT AS BIGINT) AS steps
         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     """,
+    "kg_shacl_report": _vd.shacl_report_sql(
+        TRIPLES_SQL,
+        [URI_TYPE_PREDICATE_DECL],
+        [(_ONT_CUSTOMER, _NATION0)],
+    ),
 }

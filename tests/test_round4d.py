@@ -275,3 +275,28 @@ def test_bpe_tiebreak_deterministic(spark):
     docs = spark.createDataFrame([(1, "xy zw")], "doc_id long, text string")
     first = bpe.bpe_train(docs, k=1).collect()[0]
     assert (first["left"], first["right"]) == ("x", "y")
+
+
+# --- SHACL-style validation --------------------------------------------------------
+
+def test_shacl_report_kinds_nonvacuous(spark, sf_dir):
+    """Both constraint families must fire on the planted declarations:
+    customers violate functional rdf:type (nation AND segment types);
+    customers outside nation 0 violate the ont:customer range."""
+    from rdf2smw_spark.queries import q_kg_shacl_report
+
+    out = q_kg_shacl_report(spark, sf_dir).toPandas()
+    kinds = set(out["kind"])
+    assert kinds == {"functional", "range"}
+    f = out[out["kind"] == "functional"]
+    assert (f["detail"].astype(int) >= 2).all()
+    # range violations are per FACT: every order whose customer is not
+    # typed nation 0 contributes its ont:customer triple
+    from rdf2smw_spark.sources.testdata import load_table
+
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    merged = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    expected = (merged["c_nationkey"] != 0).sum()
+    r = out[out["kind"] == "range"]
+    assert 0 < len(r) == expected < len(orders)
