@@ -406,3 +406,28 @@ def stream_time_join(
         f"AND r.{right_ts} <= l.{left_ts} + interval {max_delay_seconds} seconds"
     )
     return l.join(r, cond, "inner")
+
+
+def session_capture_counts(
+    pages: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-host crawl sessions via event-time SESSION windows: captures
+    of one host closer than `gap` apart coalesce into one session row
+    (session_start, session_end, host, n_captures). Unlike tumbling
+    windows, session windows have data-driven extents, so state for a
+    session closes only when the watermark passes its end + gap — the
+    natural unit for 'one crawl visit to one site'. Works identically
+    on a batch frame (watermark no-op), which is how the test pins the
+    gap semantics."""
+    host = F.expr("parse_url(url, 'HOST')")
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), host.alias("host"))
+        .agg(F.count("*").alias("n_captures"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "n_captures",
+        )
+    )

@@ -577,3 +577,57 @@ def test_stream_stream_time_join(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == expected
+
+
+def test_session_window_counts(spark, tmp_path):
+    """Gap semantics: captures 10 min apart coalesce under a 30-min gap;
+    a 2-hour silence opens a new session. Streaming drain == batch."""
+    import datetime as dt
+
+    from rdf2smw_spark.streaming.stream import session_capture_counts
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        ("http://a.example.org/1", ts(0)),
+        ("http://a.example.org/2", ts(10)),
+        ("http://a.example.org/3", ts(20)),   # one session of 3
+        ("http://a.example.org/4", ts(180)),  # silence -> new session
+        ("http://b.example.org/1", ts(5)),    # other host, own session
+        # watermark flush: append mode emits a session only once the
+        # watermark (max event time - 2h) passes its end + gap; this far
+        # -future capture closes every real session and stays open itself
+        ("http://flush.example.org/x", ts(400)),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    batch = session_capture_counts(pages).collect()
+    got = sorted(
+        (r["host"], r["n_captures"]) for r in batch
+        if r["host"] != "flush.example.org"
+    )
+    assert got == [("a.example.org", 1), ("a.example.org", 3), ("b.example.org", 1)]
+
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        session_capture_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = sorted(
+        (r["host"], r["n_captures"]) for r in spark.read.parquet(out).collect()
+    )
+    # append mode emits only watermark-closed sessions: every real
+    # session closed by the flush row; the flush session itself stays
+    # buffered (never emitted), exactly the bounded-state contract
+    assert drained == got
