@@ -595,57 +595,61 @@ def ivf_train(
     return cent.select("list_id", F.posexplode("cvec").alias("pos", "component"))
 
 
-def _ivf_train_sql_cte(emb_sql: str, n_lists: int, iters: int) -> str:
+def _ivf_train_sql_cte(
+    emb_sql: str, n_lists: int, iters: int, prefix: str = ""
+) -> str:
     """Chained-CTE DuckDB twin of ivf_train: cent_0 = seed set, then for
     each iteration an assignment argmax + exact-decimal mean. Returns
-    the WITH body whose final CTE is `cent_{iters}` (list_id, pos, m)."""
+    the WITH body whose final CTE is `{prefix}cent_{iters}`
+    (list_id, pos, m). `prefix` namespaces every CTE so several trains
+    (one per PQ subspace) compose in one WITH."""
     dot = (
         "list_aggregate(list_transform(generate_series(1, len({a})),"
         " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
     )
     parts = [
-        f"""e AS (
+        f"""{prefix}e AS (
         SELECT vec_id, embedding,
                sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
         FROM {emb_sql}
     ),
-    cent_0 AS (
+    {prefix}cent_0 AS (
         SELECT vec_id AS list_id, pos, CAST(embedding[pos] AS DOUBLE) AS m
-        FROM e, UNNEST(generate_series(1, len(embedding))) AS t(pos)
+        FROM {prefix}e, UNNEST(generate_series(1, len(embedding))) AS t(pos)
         WHERE vec_id < {n_lists}
     )"""
     ]
     for it in range(1, iters + 1):
         prev = f"cent_{it - 1}"
-        parts.append(f"""cvec_{it} AS (
+        parts.append(f"""{prefix}cvec_{it} AS (
         SELECT list_id, list(m ORDER BY pos) AS cvec,
                sqrt(list_aggregate(list_transform(list(m ORDER BY pos), x -> x * x), 'sum')) AS cnorm
-        FROM {prev} GROUP BY list_id
+        FROM {prefix}{prev} GROUP BY list_id
     ),
-    scored_{it} AS (
+    {prefix}scored_{it} AS (
         SELECT e.vec_id, e.embedding, c.list_id,
                ROUND({dot.format(a='e.embedding', b='c.cvec')} / (e.nrm * c.cnorm), 6) AS score
-        FROM e CROSS JOIN cvec_{it} c
+        FROM {prefix}e e CROSS JOIN {prefix}cvec_{it} c
     ),
-    assign_{it} AS (
+    {prefix}assign_{it} AS (
         SELECT vec_id, embedding, list_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY score DESC, list_id) AS rn
-            FROM scored_{it}
+            FROM {prefix}scored_{it}
         ) WHERE rn = 1
     ),
-    mean_{it} AS (
+    {prefix}mean_{it} AS (
         SELECT list_id, pos,
                (CAST(SUM(CAST(CASE WHEN embedding[pos] >= 0
                     THEN floor(CAST(embedding[pos] AS DOUBLE) * 10000000.0 + 0.5)
                     ELSE ceil(CAST(embedding[pos] AS DOUBLE) * 10000000.0 - 0.5) END AS BIGINT)) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE)) / 10000000.0 AS m
-        FROM assign_{it}, UNNEST(generate_series(1, len(embedding))) AS t(pos)
+        FROM {prefix}assign_{it}, UNNEST(generate_series(1, len(embedding))) AS t(pos)
         GROUP BY 1, 2
     ),
-    cent_{it} AS (
+    {prefix}cent_{it} AS (
         SELECT p.list_id, p.pos, COALESCE(n.m, p.m) AS m
-        FROM {prev} p LEFT JOIN mean_{it} n USING (list_id, pos)
+        FROM {prefix}{prev} p LEFT JOIN {prefix}mean_{it} n USING (list_id, pos)
     )""")
     return ",\n    ".join(parts)
 
@@ -811,3 +815,169 @@ def semantic_dedup_sql(
     SELECT doc_id AS vec_id, cluster_id, doc_id = cluster_id AS keep
     FROM ({cc})
     """
+
+
+# --- product quantization (IVF-PQ's PQ half) -----------------------------------------
+# Jegou et al. 2011: split the vector into m subspaces, k-means each
+# subspace into ks codewords, store per-vector CODES (m small ints)
+# instead of floats, and answer queries by Asymmetric Distance
+# Computation — the query stays exact, every corpus vector's score is a
+# table lookup per subspace. At 100 TB this is the memory story LSH and
+# IVF lists don't cover: 64 floats (256 B) compress to m=4 bytes, and
+# the ADC join ships (vec_id, subspace, code) triples, never vectors.
+
+PQ_M = 4         # subspaces
+PQ_SUBDIM = 16   # dims per subspace (m * subdim = embedding dim)
+PQ_KS = 4        # codewords per subspace
+PQ_ITERS = 1     # Lloyd iterations per sub-quantizer
+
+
+def _pq_sub(emb: DataFrame, j: int) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.expr(f"slice(embedding, {j * PQ_SUBDIM + 1}, {PQ_SUBDIM})").alias("embedding"),
+    )
+
+
+def _pq_codebook(emb: DataFrame, j: int) -> DataFrame:
+    """(list_id, cvec) for subspace j — ivf_train reused per subspace,
+    so the sub-quantizer inherits the engine-portable exact-mean
+    discipline wholesale."""
+    flat = ivf_train(_pq_sub(emb, j), n_lists=PQ_KS, iters=PQ_ITERS)
+    return flat.groupBy("list_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, component))), s -> s.component)"
+        ).alias("cvec")
+    )
+
+
+# half-away-from-zero e6 quantization of a double (same portability
+# argument as ivf_train's e7 component quantizer)
+_Q6 = (
+    "CAST(CASE WHEN {x} >= 0 THEN floor(({x}) * 1000000.0 + 0.5)"
+    " ELSE ceil(({x}) * 1000000.0 - 0.5) END AS BIGINT)"
+)
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code): the PQ encoding — per subspace, the
+    cosine-argmax codeword (round-6 score, min-code tiebreak; the
+    ivf_assign contract). Broadcast codebooks, map-side argmax, no
+    vector shuffle."""
+    from pyspark.sql import Window
+
+    out = None
+    for j in range(PQ_M):
+        cb = _with_norm(_pq_codebook(emb, j), "cvec").withColumnRenamed("norm", "cnorm")
+        e = _with_norm(_pq_sub(emb, j))
+        score = F.round(
+            F.expr(DOT.format(a="embedding", b="cvec")) / (F.col("norm") * F.col("cnorm")), 6
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("list_id"))
+        part = (
+            e.join(F.broadcast(cb))
+            .select("vec_id", "list_id", score.alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.lit(j).alias("subspace"), F.col("list_id").alias("code"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """(query_id, neighbor_id, score_e6, rank): ADC top-k by approximate
+    inner product — score(q, x) = sum_j dot(q_j, codebook_j[code_j(x)]),
+    each subspace term e6-quantized BEFORE the sum so the total is an
+    exact BIGINT at any parallelism. The inner product decomposes
+    across subspaces exactly (cosine would not — norms are global),
+    which is why ADC uses it. Corpus side ships only (vec_id, subspace,
+    code); the per-query lookup table (n_queries * m * ks rows) is
+    broadcast."""
+    from pyspark.sql import Window
+
+    codes = pq_codes(emb)
+    lut = None
+    for j in range(PQ_M):
+        cb = _pq_codebook(emb, j)
+        q = _pq_sub(emb.filter(F.col("vec_id") < n_queries), j).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        dotx = DOT.format(a="qvec", b="cvec")
+        part = q.join(F.broadcast(cb)).select(
+            "query_id",
+            F.lit(j).alias("subspace"),
+            F.col("list_id").alias("code"),
+            F.expr(_Q6.format(x=dotx)).alias("term_e6"),
+        )
+        lut = part if lut is None else lut.unionByName(part)
+
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("term_e6").alias("score_e6"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_e6", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def pq_topk_sql(emb_sql: str, n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin: one prefixed ivf_train CTE chain per subspace, then
+    the same encode + e6-quantized ADC."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len({a})),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    ctes, code_parts, lut_parts = [], [], []
+    for j in range(PQ_M):
+        p = f"s{j}_"
+        lo, hi = j * PQ_SUBDIM + 1, (j + 1) * PQ_SUBDIM
+        sub = f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM {emb_sql})"
+        ctes.append(_ivf_train_sql_cte(sub, PQ_KS, PQ_ITERS, prefix=p))
+        ctes.append(f"""{p}cb AS (
+        SELECT list_id, list(m ORDER BY pos) AS cvec,
+               sqrt(list_aggregate(list_transform(list(m ORDER BY pos), x -> x * x), 'sum')) AS cnorm
+        FROM {p}cent_{PQ_ITERS} GROUP BY list_id
+    )""")
+        ctes.append(f"""{p}codes AS (
+        SELECT vec_id, {j} AS subspace, list_id AS code FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       ROUND({dot.format(a='e.embedding', b='c.cvec')} / (e.nrm * c.cnorm), 6) DESC,
+                       c.list_id) AS rn
+            FROM {p}e e CROSS JOIN {p}cb c
+        ) WHERE rn = 1
+    )""")
+        q6 = _Q6.format(x=dot.format(a="q.embedding", b="c.cvec"))
+        ctes.append(f"""{p}lut AS (
+        SELECT q.vec_id AS query_id, {j} AS subspace, c.list_id AS code,
+               {q6} AS term_e6
+        FROM {p}e q CROSS JOIN {p}cb c WHERE q.vec_id < {n_queries}
+    )""")
+        code_parts.append(f"SELECT * FROM {p}codes")
+        lut_parts.append(f"SELECT * FROM {p}lut")
+    ctes.append("codes AS (" + " UNION ALL ".join(code_parts) + ")")
+    ctes.append("lut AS (" + " UNION ALL ".join(lut_parts) + ")")
+    ctes.append(f"""adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.term_e6) AS BIGINT) AS score_e6
+        FROM codes c JOIN lut l USING (subspace, code)
+        WHERE l.query_id <> c.vec_id
+        GROUP BY 1, 2
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, score_e6, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_e6 DESC, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {k}
+    """
+    )

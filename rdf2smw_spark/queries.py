@@ -977,6 +977,16 @@ def q_kg_shacl_report(spark, sf_dir):
     return vd.shacl_report(triples, fp, rng)
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (Jegou et al. 2011): per-subspace
+    k-means codebooks (ivf_train reused per 16-dim slice), corpus
+    vectors reduced to m=4 codes, queries answered by e6-quantized
+    inner-product table lookup — the memory-compression ANN path
+    (256 B/vector -> 4 B). Oracle composes four prefixed ivf_train CTE
+    chains + the same encode/ADC (operators/similarity.py)."""
+    return sim.pq_topk(_emb(spark, sf_dir))
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -1110,6 +1120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_bpe_merges": q_ta_bpe_merges,
     "ev_funnel": q_ev_funnel,
     "kg_shacl_report": q_kg_shacl_report,
+    "ann_topk_pq": q_ann_topk_pq,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1448,4 +1459,5 @@ ORACLES: dict[str, str] = {
         [URI_TYPE_PREDICATE_DECL],
         [(_ONT_CUSTOMER, _NATION0)],
     ),
+    "ann_topk_pq": sim.pq_topk_sql(_EMB_SQL),
 }

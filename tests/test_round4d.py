@@ -300,3 +300,28 @@ def test_shacl_report_kinds_nonvacuous(spark, sf_dir):
     expected = (merged["c_nationkey"] != 0).sum()
     r = out[out["kind"] == "range"]
     assert 0 < len(r) == expected < len(orders)
+
+
+# --- product quantization ----------------------------------------------------------
+
+def test_pq_duplicate_gets_identical_codes_and_max_score(spark, sf_dir):
+    """An exact duplicate vector must encode to the same m codes, hence
+    the same ADC score — and that score must be the query's maximum."""
+    from rdf2smw_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(dup)
+    codes = sim.pq_codes(aug).toPandas()
+    c0 = codes[codes.vec_id == 0].sort_values("subspace")["code"].tolist()
+    c9 = codes[codes.vec_id == 9999].sort_values("subspace")["code"].tolist()
+    assert c0 == c9 and len(c0) == sim.PQ_M
+    top = sim.pq_topk(aug).toPandas()
+    q0 = top[top.query_id == 0]
+    dup_score = q0[q0.neighbor_id == 9999]
+    assert len(dup_score) == 1  # ties broken by id still keep it in top-k?
+    assert dup_score["score_e6"].iloc[0] == q0["score_e6"].max()
