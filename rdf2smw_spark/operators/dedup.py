@@ -848,3 +848,91 @@ def incremental_novelty_sql(
                 OR b.doc_id IN (SELECT doc_id FROM crossing)) AS novel
     FROM batch b
     """
+
+
+def lsh_recall(shingles: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """One-row LSH quality report: (n_true, n_candidates, n_hit,
+    recall_e6, precision_e6) — how many of the exact above-threshold
+    Jaccard pairs the banded MinHash candidate generation recovers, and
+    how much of the candidate set is noise. This is the measurement a
+    production dedup pass publishes next to its output (banding
+    parameters are a recall/cost dial; an unmeasured dial is a guess —
+    BASELINE.md discipline). Ratios are e6-scaled integer divisions so
+    the row hash-matches at any parallelism.
+
+    Scale note: n_true comes from the exact all-pairs Jaccard — the
+    ORACLE-role quadratic path (jaccard_pairs' contract), so this
+    report runs on samples at web scale, never the full corpus; the
+    candidate side is the production-shaped banded join."""
+    true_pairs = jaccard_pairs(shingles, threshold).select("doc_a", "doc_b")
+    cands = minhash_candidates(shingles).select("doc_a", "doc_b")
+    hit = true_pairs.join(cands, ["doc_a", "doc_b"], "semi")
+    stats = (
+        true_pairs.agg(F.count("*").alias("n_true"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return stats.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.expr("CASE WHEN n_true > 0 THEN (n_hit * 1000000) DIV n_true ELSE NULL END").alias("recall_e6"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 THEN (n_hit * 1000000) DIV n_candidates ELSE NULL END"
+        ).alias("precision_e6"),
+    )
+
+
+def lsh_recall_sql(
+    shingles_sql: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> str:
+    r = k // bands
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS sig_{i}" for i in range(k)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || '|' || ".join(f"sig_{bnd * r + j}" for j in range(r))
+        + ") AS band_hash FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT * FROM {shingles_sql}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tp AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= {threshold}
+    ),
+    hit AS (SELECT t.doc_a, t.doc_b FROM tp t JOIN cands c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+    n AS (SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+                 (SELECT COUNT(*) FROM cands) AS n_candidates,
+                 (SELECT COUNT(*) FROM hit) AS n_hit)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true > 0
+                THEN CAST((n_hit * 1000000) // n_true AS BIGINT) END AS recall_e6,
+           CASE WHEN n_candidates > 0
+                THEN CAST((n_hit * 1000000) // n_candidates AS BIGINT) END AS precision_e6
+    FROM n
+    """

@@ -137,3 +137,30 @@ def pred_cooccurrence_sql(triples_sql: str) -> str:
         FROM d a JOIN d b ON a.subj = b.subj AND a.pred < b.pred
         GROUP BY 1, 2
     )"""
+
+
+def void_property_partitions(triples: DataFrame) -> DataFrame:
+    """VoID property partitions (W3C VoID vocabulary: void:propertyPartition
+    with void:triples / void:distinctSubjects / void:distinctObjects) —
+    the standard dataset descriptor published alongside an RDF dump so
+    consumers can plan queries without scanning it. One groupBy(pred)
+    with two distinct-counts; pred cardinality is tiny (vocabularies are
+    small even when data is not), so the shuffle is slim at any scale."""
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.count_distinct("subj").alias("n_distinct_subjects"),
+            F.count_distinct("obj").alias("n_distinct_objects"),
+        )
+    )
+
+
+def void_property_partitions_sql(triples_sql: str) -> str:
+    return f"""
+    SELECT pred,
+           COUNT(*) AS n_triples,
+           COUNT(DISTINCT subj) AS n_distinct_subjects,
+           COUNT(DISTINCT obj) AS n_distinct_objects
+    FROM {triples_sql} GROUP BY pred
+    """

@@ -987,6 +987,23 @@ def q_ann_topk_pq(spark, sf_dir):
     return sim.pq_topk(_emb(spark, sf_dir))
 
 
+def q_kg_void_stats(spark, sf_dir):
+    """VoID property partitions — the W3C dataset descriptor (triples /
+    distinct subjects / distinct objects per predicate) published with
+    an RDF dump; one slim groupBy(pred) (operators/schema_discovery.py)."""
+    from rdf2smw_spark.operators import schema_discovery as sd
+
+    return sd.void_property_partitions(testdata_triples(spark, sf_dir))
+
+
+def q_dd_lsh_quality(spark, sf_dir):
+    """LSH quality report over the planted near-dup corpus: recall and
+    precision of banded MinHash candidates vs the exact above-threshold
+    Jaccard pairs, as e6-integer ratios — the measurement a production
+    dedup publishes next to its output (banding is a recall/cost dial)."""
+    return dd.lsh_recall(_shingles(spark, sf_dir), threshold=0.5)
+
+
 def q_web_url_canon(spark, sf_dir):
     """URL canonicalization (crawl-frontier dedup key) over the synth
     crawl with planted messy variants (case/port/fragment/param-order)
@@ -1121,6 +1138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_funnel": q_ev_funnel,
     "kg_shacl_report": q_kg_shacl_report,
     "ann_topk_pq": q_ann_topk_pq,
+    "kg_void_stats": q_kg_void_stats,
+    "dd_lsh_quality": q_dd_lsh_quality,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1460,4 +1479,8 @@ ORACLES: dict[str, str] = {
         [(_ONT_CUSTOMER, _NATION0)],
     ),
     "ann_topk_pq": sim.pq_topk_sql(_EMB_SQL),
+    "kg_void_stats": _sd.void_property_partitions_sql(
+        f"(SELECT * FROM {TRIPLES_SQL})"
+    ),
+    "dd_lsh_quality": dd.lsh_recall_sql(SHINGLES_SQL, threshold=0.5),
 }

@@ -325,3 +325,17 @@ def test_pq_duplicate_gets_identical_codes_and_max_score(spark, sf_dir):
     dup_score = q0[q0.neighbor_id == 9999]
     assert len(dup_score) == 1  # ties broken by id still keep it in top-k?
     assert dup_score["score_e6"].iloc[0] == q0["score_e6"].max()
+
+
+# --- LSH quality report ------------------------------------------------------------
+
+def test_lsh_recall_nonvacuous(spark, sf_dir):
+    """The planted near-dup corpus must yield true pairs, and banded
+    MinHash must recover most of them (banding tuned for thr=0.5)."""
+    from rdf2smw_spark.operators import dedup as dd
+
+    sh = dd.char_shingles(dd.near_dup_corpus(_docs(spark, sf_dir)), max_df=100)
+    row = dd.lsh_recall(sh, threshold=0.5).collect()[0]
+    assert row["n_true"] > 0 and row["n_candidates"] > 0
+    assert row["n_hit"] <= row["n_true"]
+    assert row["recall_e6"] >= 800_000  # >= 80% recall at these band params
