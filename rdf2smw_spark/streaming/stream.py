@@ -431,3 +431,97 @@ def session_capture_counts(
             "n_captures",
         )
     )
+
+
+def run_stream_incremental_pages(
+    spark: SparkSession,
+    src_dir: str,
+    work_dir: str,
+    use_templates: bool = True,
+) -> dict:
+    """Continuous KG construction: drain newly-arrived .nt dumps and
+    maintain the rendered wiki-page table INCREMENTALLY — each
+    micro-batch appends its triples to the standing triples table, then
+    re-renders ONLY the pages the batch can affect
+    (operators/incremental_kg.py: title-closed affected set, schema-pred
+    fallback) and upserts them into the pages table by title.
+
+    This is the end-to-end composition of the streaming ingest
+    (exactly-once per file), the delta-maintenance operator, and the
+    batch renderer — the shape a standing web-KG service runs forever:
+    O(delta) render work per drain instead of O(corpus), with the
+    schema-delta probe forcing a full rebuild exactly when global dims
+    actually changed.
+
+    Layout under work_dir: triples/ (append-only parquet),
+    pages/ (upserted parquet keyed by title), ckpt/ (stream checkpoint).
+    Returns {batches, pages_total} for the caller's logbook.
+
+    Scale shape: the upsert is anti-join + union + full rewrite of
+    pages/ — at 100 TB the pages table would be title-bucketed
+    (sinks.write_bucketed) and the rewrite a partition-overwrite of the
+    touched buckets only; the sandbox keeps the simple rewrite, same
+    join plan."""
+    import os
+
+    from rdf2smw_spark.operators.incremental_kg import incremental_pages
+    from rdf2smw_spark.operators.render import render_all
+    from rdf2smw_spark.session import release_scoped_caches
+    from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
+
+    triples_dir = os.path.join(work_dir, "triples")
+    pages_dir = os.path.join(work_dir, "pages")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    state = {"batches": 0}
+
+    def _process(batch, batch_id):
+        parsed = parse_ntriples_lines(batch).filter(F.col("error").isNull())
+        delta = parsed.select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+        ).localCheckpoint()
+        if delta.limit(1).count() == 0:
+            return
+        have_base = os.path.isdir(triples_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(triples_dir)
+        )
+        if have_base:
+            base = spark.read.parquet(triples_dir)
+            pages = incremental_pages(spark, base, delta)
+        else:
+            from rdf2smw_spark.operators.convert import triples_to_pages
+
+            pages = triples_to_pages(spark, delta)
+        content, props, tpls = render_all(pages, use_templates=use_templates)
+        new_pages = (
+            content.unionByName(props).unionByName(tpls)
+            .select("title", "page_type", "xml")
+            .localCheckpoint()  # materialize BEFORE pages/ is rewritten
+        )
+        delta.write.mode("append").parquet(triples_dir)
+        if os.path.isdir(pages_dir):
+            prior = spark.read.parquet(pages_dir).localCheckpoint()
+            merged = prior.join(
+                new_pages.select("title"), "title", "anti"
+            ).unionByName(new_pages)
+        else:
+            merged = new_pages
+        merged.write.mode("overwrite").parquet(pages_dir)
+        release_scoped_caches()
+        state["batches"] += 1
+
+    lines = (
+        spark.readStream.format("text")
+        .load(src_dir)
+        .withColumn("src_url", F.input_file_name())
+    )
+    q = (
+        lines.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_pages = (
+        spark.read.parquet(pages_dir).count() if os.path.isdir(pages_dir) else 0
+    )
+    return {"batches": state["batches"], "pages_total": n_pages}

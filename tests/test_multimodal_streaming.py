@@ -631,3 +631,66 @@ def test_session_window_counts(spark, tmp_path):
     # session closed by the flush row; the flush session itself stays
     # buffered (never emitted), exactly the bounded-state contract
     assert drained == got
+
+
+def test_stream_incremental_pages_maintains_wiki(spark, tmp_path):
+    """Continuous KG construction: three drains (bootstrap, fact delta
+    on the fast path, new-predicate delta forcing the full-rebuild
+    fallback); after each drain the maintained pages table must equal a
+    one-shot batch build over everything ingested so far."""
+    import os
+
+    from rdf2smw_spark.operators.convert import triples_to_pages
+    from rdf2smw_spark.operators.render import render_all
+    from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
+    from rdf2smw_spark.streaming.stream import run_stream_incremental_pages
+
+    src = tmp_path / "nt_in"
+    os.makedirs(src)
+    work = str(tmp_path / "work")
+
+    def batch_pages():
+        lines = spark.read.text(str(src)).withColumn(
+            "src_url", F.input_file_name()
+        )
+        t = parse_ntriples_lines(lines).filter(F.col("error").isNull()).select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+        )
+        c, p, tp = render_all(triples_to_pages(spark, t), use_templates=True)
+        return c.unionByName(p).unionByName(tp).select("title", "page_type", "xml")
+
+    def streamed_pages():
+        return spark.read.parquet(os.path.join(work, "pages"))
+
+    def assert_equal():
+        a = sorted(map(str, streamed_pages().collect()))
+        b = sorted(map(str, batch_pages().collect()))
+        assert a == b
+
+    # drain 1: bootstrap
+    (src / "a.nt").write_text(
+        '<http://e/s1> <http://e/p1> "v1" .\n'
+        '<http://e/s2> <http://e/p1> "v2" .\n'
+    )
+    r1 = run_stream_incremental_pages(spark, str(src), work)
+    assert r1["batches"] == 1
+    assert_equal()
+
+    # drain 2: fact delta, existing predicate -> incremental fast path
+    (src / "b.nt").write_text(
+        '<http://e/s1> <http://e/p1> "v3" .\n'
+        '<http://e/s3> <http://e/p1> "v4" .\n'
+    )
+    r2 = run_stream_incremental_pages(spark, str(src), work)
+    assert r2["batches"] == 1  # exactly-once: only the new file drained
+    assert_equal()
+    # s1's page accumulated both facts
+    s1 = [r for r in streamed_pages().collect() if r["title"] == "S1"]
+    assert len(s1) == 1 and "v1" in s1[0]["xml"] and "v3" in s1[0]["xml"]
+
+    # drain 3: NEW predicate -> full-rebuild fallback; property page appears
+    (src / "c.nt").write_text('<http://e/s4> <http://e/p2> "x" .\n')
+    run_stream_incremental_pages(spark, str(src), work)
+    assert_equal()
+    titles = {r["title"] for r in streamed_pages().collect()}
+    assert "S4" in titles
