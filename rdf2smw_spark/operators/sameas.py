@@ -202,3 +202,126 @@ def sameas_canonicalize_sql(triples_sql: str) -> str:
     LEFT JOIN canon co ON t.obj_is_iri AND co.uri = t.obj
     WHERE t.pred <> '{OWL_SAMEAS}'
     """
+
+
+# --- subClassOf transitive closure -------------------------------------------------
+
+ZONE = "http://example.org/zone/"
+WORLD = "http://example.org/class/World"
+
+
+def synth_class_chain(spark, sf_dir):
+    """Deterministic extra hierarchy levels over the testdata regions
+    (region -> zone(r % 2) -> World), so the ancestor closure has 3-hop
+    chains to traverse instead of the flat nation->region layer."""
+    from rdf2smw_spark.schemas import SUBCLASS_PROPERTY_URI
+    from rdf2smw_spark.sources.testdata import REGION, _t, load_table
+
+    region = load_table(spark, sf_dir, "region")
+    key = F.col("r_regionkey")
+    src = "testdata://zones"
+    a = region.select(
+        *_t(F.concat(F.lit(REGION), key), SUBCLASS_PROPERTY_URI,
+            F.concat(F.lit(ZONE), key % 2), True, None, src)
+    )
+    zones = region.select((key % 2).alias("z")).distinct()
+    b = zones.select(
+        *_t(F.concat(F.lit(ZONE), F.col("z")), SUBCLASS_PROPERTY_URI,
+            F.lit(WORLD), True, None, src)
+    )
+    return a.unionByName(b)
+
+
+def class_ancestors(triples, max_iter: int = 10):
+    """(uri, ancestor, depth): the rdfs:subClassOf transitive closure
+    with MINIMUM hop depth — the materialized path table SPARQL property
+    paths (subClassOf+) and reasoners query against. Iterative frontier
+    extension over the CLASS layer only (a sliver of the corpus);
+    per round one join + a min-depth dedup + localCheckpoint, stopping
+    when a round adds nothing — O(hierarchy height) rounds, and real
+    ontologies are shallow (<20)."""
+    from rdf2smw_spark.schemas import SUBCLASS_PROPERTY_URI
+
+    edges = (
+        triples.filter(
+            (F.col("pred") == SUBCLASS_PROPERTY_URI) & F.col("obj_is_iri")
+        )
+        .select(F.col("subj").alias("uri"), F.col("obj").alias("ancestor"))
+        .distinct()
+        .persist()
+    )
+    closure = edges.withColumn("depth", F.lit(1).cast("long")).localCheckpoint()
+    frontier = closure
+    for _ in range(max_iter):
+        stepped = (
+            frontier.join(
+                edges.select(
+                    F.col("uri").alias("ancestor"), F.col("ancestor").alias("__up")
+                ),
+                "ancestor",
+            )
+            .select("uri", F.col("__up").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
+        )
+        fresh = stepped.join(
+            closure.select("uri", "ancestor"), ["uri", "ancestor"], "anti"
+        ).localCheckpoint()
+        if fresh.limit(1).count() == 0:
+            break
+        closure = (
+            closure.unionByName(fresh)
+            .groupBy("uri", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint()
+        )
+        frontier = fresh
+    edges.unpersist()
+    return closure
+
+
+def class_ancestors_sql(triples_sql: str) -> str:
+    from rdf2smw_spark.schemas import SUBCLASS_PROPERTY_URI
+
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT * FROM {triples_sql}),
+    edges AS (
+        SELECT DISTINCT subj AS uri, obj AS ancestor FROM t
+        WHERE pred = '{SUBCLASS_PROPERTY_URI}' AND obj_is_iri
+    ),
+    reach(uri, ancestor, depth) AS (
+        SELECT uri, ancestor, 1 FROM edges
+        UNION
+        SELECT r.uri, e.ancestor, r.depth + 1
+        FROM reach r JOIN edges e ON e.uri = r.ancestor
+    )
+    SELECT uri, ancestor, CAST(MIN(depth) AS BIGINT) AS depth
+    FROM reach GROUP BY uri, ancestor
+    """
+
+
+# --- graph-version diff ------------------------------------------------------------
+
+def graph_diff(old, new):
+    """(op, subj, pred, obj, obj_is_iri): triple-level CDC between two
+    graph versions — 'add' for triples only in new, 'remove' for
+    triples only in old. Two anti-joins on the full triple key; at
+    100 TB both sides are bucketed snapshots of the same table so the
+    anti-joins are bucket-local (sinks.py contract). Multiset semantics
+    via distinct projection (the triple table is a set per the KG
+    model)."""
+    key = ["subj", "pred", "obj", "obj_is_iri"]
+    o = old.select(*key).distinct()
+    n = new.select(*key).distinct()
+    added = n.join(o, key, "anti").select(F.lit("add").alias("op"), *key)
+    removed = o.join(n, key, "anti").select(F.lit("remove").alias("op"), *key)
+    return added.unionByName(removed)
+
+
+def graph_diff_sql(old_sql: str, new_sql: str) -> str:
+    return f"""
+    WITH o AS (SELECT DISTINCT subj, pred, obj, obj_is_iri FROM {old_sql}),
+    n AS (SELECT DISTINCT subj, pred, obj, obj_is_iri FROM {new_sql})
+    SELECT 'add' AS op, * FROM (SELECT * FROM n EXCEPT SELECT * FROM o)
+    UNION ALL
+    SELECT 'remove' AS op, * FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
+    """

@@ -873,9 +873,12 @@ def q_web_components(spark, sf_dir):
     )
 
 
+# NULLIF guard: DuckDB does not short-circuit AND, so the cast must
+# survive digit-less subjects (regexp_extract -> '') in both dialects
 _DELTA_ORDER = (
     "subj LIKE 'http://example.org/order/%' "
-    "AND CAST(regexp_extract(subj, '[0-9]+$', 0) AS BIGINT) % 101 = 0"
+    "AND CAST(COALESCE(NULLIF(regexp_extract(subj, '[0-9]+$', 0), ''), '-1')"
+    " AS BIGINT) % 101 = 0"
 )
 
 
@@ -1002,6 +1005,29 @@ def q_dd_lsh_quality(spark, sf_dir):
     Jaccard pairs, as e6-integer ratios — the measurement a production
     dedup publishes next to its output (banding is a recall/cost dial)."""
     return dd.lsh_recall(_shingles(spark, sf_dir), threshold=0.5)
+
+
+def q_kg_ancestors(spark, sf_dir):
+    """rdfs:subClassOf transitive closure with min hop depth — the
+    materialized path table behind SPARQL subClassOf+ property paths.
+    Synthesized region->zone->World levels give real 3-hop chains;
+    iterative frontier extension over the class layer only, recursive
+    CTE oracle (operators/sameas.py class_ancestors)."""
+    triples = testdata_triples(spark, sf_dir).unionByName(
+        _sameas.synth_class_chain(spark, sf_dir)
+    )
+    return _sameas.class_ancestors(triples)
+
+
+def q_kg_graph_diff(spark, sf_dir):
+    """Triple-level CDC between two KG versions (the %101-order delta
+    removed vs the full graph): add/remove rows from two anti-joins on
+    the triple key — bucket-local when both versions are bucketed
+    snapshots (operators/sameas.py graph_diff)."""
+    triples = testdata_triples(spark, sf_dir)
+    cond = F.expr(_DELTA_ORDER) & (F.col("pred") != TYPE_PROPERTY_URI)
+    old = triples.filter(~cond)
+    return _sameas.graph_diff(old, triples)
 
 
 def q_web_url_canon(spark, sf_dir):
@@ -1140,6 +1166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pq": q_ann_topk_pq,
     "kg_void_stats": q_kg_void_stats,
     "dd_lsh_quality": q_dd_lsh_quality,
+    "kg_ancestors": q_kg_ancestors,
+    "kg_graph_diff": q_kg_graph_diff,
 }
 
 _EMB_SQL = "(SELECT vec_id, embedding FROM embeddings)"
@@ -1483,4 +1511,22 @@ ORACLES: dict[str, str] = {
         f"(SELECT * FROM {TRIPLES_SQL})"
     ),
     "dd_lsh_quality": dd.lsh_recall_sql(SHINGLES_SQL, threshold=0.5),
+    "kg_ancestors": _sameas.class_ancestors_sql(
+        f"(SELECT * FROM (SELECT * FROM {TRIPLES_SQL} "
+        "UNION ALL "
+        "SELECT 'http://example.org/region/' || r_regionkey, "
+        "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+        "'http://example.org/zone/' || (r_regionkey % 2), "
+        "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region "
+        "UNION ALL "
+        "SELECT DISTINCT 'http://example.org/zone/' || (r_regionkey % 2), "
+        "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+        "'http://example.org/class/World', "
+        "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region))"
+    ),
+    "kg_graph_diff": _sameas.graph_diff_sql(
+        f"(SELECT * FROM {TRIPLES_SQL} WHERE NOT ({_DELTA_ORDER}"
+        f" AND pred <> '{TYPE_PROPERTY_URI}'))",
+        f"(SELECT * FROM {TRIPLES_SQL})",
+    ),
 }
