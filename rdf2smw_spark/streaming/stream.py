@@ -525,3 +525,79 @@ def run_stream_incremental_pages(
         spark.read.parquet(pages_dir).count() if os.path.isdir(pages_dir) else 0
     )
     return {"batches": state["batches"], "pages_total": n_pages}
+
+
+def funnel_stream(events: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
+    """Cross-batch stateful funnel (streaming twin of ev_funnel): per
+    user, a 3-stage view -> click -> purchase machine advanced by each
+    micro-batch; a row (user_id, steps, view_ts, click_ts, purchase_ts)
+    is emitted whenever the user's progress ADVANCES, so downstream
+    sees one row per conversion milestone, not per event.
+
+    Semantics note (the standard streaming trade-off): events are
+    applied in (ts, event_id) order WITHIN the state's view of arrival —
+    a late-arriving earlier view cannot retroactively lower view_ts once
+    set (the batch ev_funnel is the exact-reprocessing oracle for
+    audits). State is 3 BIGINTs per active user, TTL-bounded when
+    ttl_seconds is set — the same bounded-state contract as the dedup
+    states. Unset stages are stored as -1 (state columns are
+    null-hostile across Arrow round-trips) and surfaced as NULLs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, steps integer, view_ts long, click_ts long, purchase_ts long"
+    )
+    state_schema = "view_ts long, click_ts long, purchase_ts long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def _steps(v, c, p):
+        return 1 if v >= 0 else 0, (1 if c >= 0 else 0), (1 if p >= 0 else 0)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if ttl_seconds and state.hasTimedOut:
+            state.remove()
+            return
+        v, c, p = state.get if state.exists else (-1, -1, -1)
+        before = sum(_steps(v, c, p))
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ev in rows.itertuples():
+                if ev.event_type == "view" and v < 0:
+                    v = int(ev.ts)
+                elif ev.event_type == "click" and v >= 0 and c < 0 and ev.ts > v:
+                    c = int(ev.ts)
+                elif ev.event_type == "purchase" and c >= 0 and p < 0 and ev.ts > c:
+                    p = int(ev.ts)
+        after = sum(_steps(v, c, p))
+        if after > before or (not state.exists and after > 0):
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "steps": [after],
+                    "view_ts": [v if v >= 0 else None],
+                    "click_ts": [c if c >= 0 else None],
+                    "purchase_ts": [p if p >= 0 else None],
+                }
+            )
+        state.update((int(v), int(c), int(p)))
+        if ttl_seconds:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

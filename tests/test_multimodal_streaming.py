@@ -694,3 +694,60 @@ def test_stream_incremental_pages_maintains_wiki(spark, tmp_path):
     assert_equal()
     titles = {r["title"] for r in streamed_pages().collect()}
     assert "S4" in titles
+
+
+def test_funnel_stream_advances_across_batches(spark, tmp_path):
+    """The funnel state machine survives micro-batch boundaries: u1
+    completes view->click in drain 1 and purchase in drain 2; u2's
+    click PRECEDES its view, so it never advances past step 1."""
+    import os
+
+    from rdf2smw_spark.streaming.stream import funnel_stream
+
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    schema = "user_id long, ts long, event_id long, event_type string"
+
+    def drain(tag):
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            funnel_stream(spark.readStream.schema(schema).parquet(str(src)))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / "sink")).collect()
+
+    import glob
+    import shutil
+
+    def land(df, tag):
+        tmp = str(tmp_path / f"stage_{tag}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{tag}.parquet"))
+
+    batch1 = spark.createDataFrame(
+        [(1, 100, 1, "view"), (1, 200, 2, "click"), (2, 500, 3, "click"), (2, 600, 4, "view")],
+        schema,
+    )
+    land(batch1, "b1")
+    rows = {(r["user_id"], r["steps"]) for r in drain(1)}
+    # u1 advanced to 2; u2 only to 1 (its click at 500 precedes view at 600)
+    assert (1, 2) in rows and (2, 1) in rows and (2, 2) not in rows
+
+    batch2 = spark.createDataFrame(
+        [(1, 300, 5, "purchase"), (2, 550, 6, "purchase")], schema
+    )
+    land(batch2, "b2")
+    rows = sorted((r["user_id"], r["steps"]) for r in drain(2))
+    # u1 completed (3 steps emitted in drain 2); u2 unchanged (purchase
+    # requires a prior click AFTER the view — no new emission)
+    assert (1, 3) in rows
+    assert (2, 2) not in rows and (2, 3) not in rows
+    full = [r for r in drain(3) if r["user_id"] == 1 and r["steps"] == 3]
+    assert full and full[0]["purchase_ts"] == 300 and full[0]["view_ts"] == 100
