@@ -84,21 +84,68 @@ def _subject_titles(full: DataFrame) -> DataFrame:
     )
 
 
-def affected_subjects(full: DataFrame, delta: DataFrame) -> DataFrame:
+def affected_subjects(
+    full: DataFrame, delta: DataFrame, titles: DataFrame | None = None
+) -> DataFrame:
     """Title-closed affected set: every subject whose page title is
     shared with some delta subject. Two semi-joins on the slim
-    (subj, title) dim — never the fact stream."""
+    (subj, title) dim — never the fact stream.
+
+    titles: a MAINTAINED (subj, title) dim from the previous run. On
+    the fast path (no schema predicates in the delta) titles cannot
+    change, so a standing service passes the stored dim and skips the
+    full-stream title pass entirely — see maintained_subject_titles and
+    run_stream_incremental_pages."""
     from rdf2smw_spark.session import scoped_persist
 
-    titles = scoped_persist(_subject_titles(full))
+    if titles is None:
+        titles = scoped_persist(_subject_titles(full))
     seed = titles.join(
         delta.select("subj").distinct(), "subj", "semi"
     ).select("title").distinct()
     return titles.join(seed, "title", "semi").select("subj").distinct()
 
 
+def maintained_subject_titles(titles: DataFrame, delta: DataFrame) -> DataFrame:
+    """Advance the maintained (subj, title) dim by a FAST-PATH delta:
+    existing subjects keep their titles (the fast path bars every
+    title-feeding predicate), and delta-new subjects — having no title
+    properties or type declarations by the same guard — title as the
+    plain local-name chain. O(|delta|) work, no full-stream pass."""
+    new_subjs = (
+        delta.select("subj").distinct().join(titles.select("subj"), "subj", "anti")
+    )
+    new_titles = new_subjs.select(
+        "subj",
+        F.expr(sql_wiki_title_full(sql_local_name("subj"))).alias("title"),
+    )
+    return titles.unionByName(new_titles)
+
+
+def delta_forces_rebuild(base: DataFrame, delta: DataFrame) -> bool:
+    """True when the delta invalidates globally (dependency classes 2-3):
+    it carries a schema-ish predicate, or a NEW (pred, SMW-type) pair
+    whose Property page no affected subject would re-render. Two bounded
+    limit(1) probes — collect-is-the-guard discipline. Public so a
+    standing service (run_stream_incremental_pages) can branch on the
+    same decision and keep its maintained dims consistent."""
+    if delta.filter(F.col("pred").isin(SCHEMA_PREDS)).limit(1).count() > 0:
+        return True
+    from rdf2smw_spark.functions.textnorm import sql_smw_type
+
+    ty = F.expr(sql_smw_type("obj_is_iri", "obj_datatype"))
+    new_pairs = (
+        delta.select("pred", ty.alias("__ty")).distinct()
+        .join(base.select("pred", ty.alias("__ty")).distinct(), ["pred", "__ty"], "anti")
+    )
+    return new_pairs.limit(1).count() > 0
+
+
 def incremental_pages(
-    spark: SparkSession, base: DataFrame, delta: DataFrame
+    spark: SparkSession,
+    base: DataFrame,
+    delta: DataFrame,
+    subject_titles: DataFrame | None = None,
 ) -> DataFrame:
     """WikiPage rows for every page the delta touches, byte-identical
     to the same pages of a full rebuild over base ∪ delta (that identity
@@ -113,27 +160,11 @@ def incremental_pages(
     # dims inside triples_to_pages AND stage B — without it the source
     # plan re-derives for each consumer (measured 2x at small scale)
     full = scoped_persist(base.unionByName(delta))
-    schema_touch = (
-        delta.filter(F.col("pred").isin(SCHEMA_PREDS)).limit(1).count() > 0
-    )
-    if not schema_touch:
-        # dependency class 3: a delta introducing a NEW (pred, smw-type)
-        # pair changes that predicate's Property page ('Has type' facts)
-        # even though no affected subject renders it — probe and fall
-        # back rather than serve a stale property page
-        from rdf2smw_spark.functions.textnorm import sql_smw_type
-
-        ty = F.expr(sql_smw_type("obj_is_iri", "obj_datatype"))
-        new_pairs = (
-            delta.select("pred", ty.alias("__ty")).distinct()
-            .join(base.select("pred", ty.alias("__ty")).distinct(), ["pred", "__ty"], "anti")
-        )
-        schema_touch = new_pairs.limit(1).count() > 0
-    if schema_touch:
+    if delta_forces_rebuild(base, delta):
         return triples_to_pages(spark, full, cache=False)
     return triples_to_pages(
         spark,
         full,
         cache=False,
-        only_subjects=affected_subjects(full, delta),
+        only_subjects=affected_subjects(full, delta, titles=subject_titles),
     )

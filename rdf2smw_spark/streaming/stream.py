@@ -464,13 +464,19 @@ def run_stream_incremental_pages(
     join plan."""
     import os
 
-    from rdf2smw_spark.operators.incremental_kg import incremental_pages
+    from rdf2smw_spark.operators.incremental_kg import (
+        _subject_titles,
+        delta_forces_rebuild,
+        incremental_pages,
+        maintained_subject_titles,
+    )
     from rdf2smw_spark.operators.render import render_all
     from rdf2smw_spark.session import release_scoped_caches
     from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
 
     triples_dir = os.path.join(work_dir, "triples")
     pages_dir = os.path.join(work_dir, "pages")
+    titles_dir = os.path.join(work_dir, "titles")
     ckpt_dir = os.path.join(work_dir, "ckpt")
     state = {"batches": 0}
 
@@ -484,9 +490,21 @@ def run_stream_incremental_pages(
         have_base = os.path.isdir(triples_dir) and any(
             f.endswith(".parquet") for f in os.listdir(triples_dir)
         )
+        new_titles = None
         if have_base:
             base = spark.read.parquet(triples_dir)
-            pages = incremental_pages(spark, base, delta)
+            if not delta_forces_rebuild(base, delta) and os.path.isdir(titles_dir):
+                # fast path with the MAINTAINED (subj, title) dim: the
+                # delta cannot retitle anything, so the stored dim plus
+                # local-name titles for delta-new subjects replaces the
+                # full-stream title pass (O(delta), not O(corpus))
+                titles = spark.read.parquet(titles_dir)
+                new_titles = maintained_subject_titles(titles, delta).localCheckpoint()
+                pages = incremental_pages(
+                    spark, base, delta, subject_titles=new_titles
+                )
+            else:
+                pages = incremental_pages(spark, base, delta)
         else:
             from rdf2smw_spark.operators.convert import triples_to_pages
 
@@ -506,6 +524,14 @@ def run_stream_incremental_pages(
         else:
             merged = new_pages
         merged.write.mode("overwrite").parquet(pages_dir)
+        # advance the maintained title dim: fast path wrote the O(delta)
+        # update; bootstrap/rebuild paths recompute it from the full table
+        if new_titles is not None:
+            new_titles.write.mode("overwrite").parquet(titles_dir)
+        else:
+            _subject_titles(
+                spark.read.parquet(triples_dir)
+            ).write.mode("overwrite").parquet(titles_dir)
         release_scoped_caches()
         state["batches"] += 1
 
