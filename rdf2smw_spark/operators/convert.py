@@ -70,6 +70,39 @@ def pred_titles(triples: DataFrame, bt: DataFrame) -> DataFrame:
     )
 
 
+def conversion_dims(
+    spark: SparkSession, triples: DataFrame, cache: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The five conversion dimensions (subject_types, best_titles,
+    class_depth, pred_titles, pred_smw_types), derived from the full
+    stream. Exposed so incremental maintenance can MAINTAIN them: every
+    one is a pure function of the schema-ish predicate slice plus the
+    predicate/SMW-type inventory, both of which incremental_kg's
+    delta_forces_rebuild probes — a fast-path delta cannot change any
+    of them, so a standing service reuses stored copies instead of
+    re-deriving five full-stream passes per drain.
+
+    subject_types / best_titles / class_depth only read rdf:type,
+    rdfs:subClassOf and the 6 title predicates — pre-filtered once so
+    the three derivations scan a small cached frame instead of the full
+    stream (at web scale: ~1 type edge + <1 title triple per entity vs
+    dozens of fact triples)."""
+    from rdf2smw_spark.schemas import TITLE_PROPERTIES
+
+    dim_src = triples.filter(
+        F.col("pred").isin(TITLE_PROPERTIES + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
+    )
+    if cache:
+        dim_src = scoped_persist(dim_src)
+
+    st = subject_types(dim_src)
+    bt = best_titles(dim_src)
+    cd = class_depth(spark, dim_src)
+    pt = pred_titles(triples, bt)
+    pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
+    return st, bt, cd, pt, pst
+
+
 def triples_to_pages(
     spark: SparkSession,
     triples: DataFrame,
@@ -77,6 +110,7 @@ def triples_to_pages(
     broadcast_dims: bool = True,
     cache: bool = True,
     only_subjects: DataFrame | None = None,
+    dims: tuple | None = None,
 ) -> DataFrame:
     """Full conversion pass. Returns the WikiPage DataFrame
     (title, page_type, facts, categories, specific_category).
@@ -105,24 +139,9 @@ def triples_to_pages(
     if cache:
         triples = scoped_persist(triples)
 
-    # subject_types / best_titles / class_depth only read rdf:type,
-    # rdfs:subClassOf and the 6 title predicates — pre-filter once so the
-    # three dimension derivations scan a small cached frame instead of
-    # the full stream (at web scale: ~1 type edge + <1 title triple per
-    # entity vs dozens of fact triples).
-    from rdf2smw_spark.schemas import TITLE_PROPERTIES
-
-    dim_src = triples.filter(
-        F.col("pred").isin(TITLE_PROPERTIES + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
-    )
-    if cache:
-        dim_src = scoped_persist(dim_src)
-
-    st = subject_types(dim_src)
-    bt = best_titles(dim_src)
-    cd = class_depth(spark, dim_src)
-    pt = pred_titles(triples, bt)
-    pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
+    if dims is None:
+        dims = conversion_dims(spark, triples, cache=cache)
+    st, bt, cd, pt, pst = dims
 
     # --- stage B: enrich + one salted groupBy(subj) -------------------------
     # Incremental restriction: stage B (and the obj-title dim, which only

@@ -122,21 +122,44 @@ def maintained_subject_titles(titles: DataFrame, delta: DataFrame) -> DataFrame:
     return titles.unionByName(new_titles)
 
 
-def delta_forces_rebuild(base: DataFrame, delta: DataFrame) -> bool:
+def delta_forces_rebuild(
+    base: DataFrame, delta: DataFrame, dims: tuple | None = None
+) -> bool:
     """True when the delta invalidates globally (dependency classes 2-3):
-    it carries a schema-ish predicate, or a NEW (pred, SMW-type) pair
-    whose Property page no affected subject would re-render. Two bounded
-    limit(1) probes — collect-is-the-guard discipline. Public so a
-    standing service (run_stream_incremental_pages) can branch on the
-    same decision and keep its maintained dims consistent."""
+    it carries a schema-ish predicate, a predicate the dims have never
+    seen (its pred_title would be missing), or a NEW (pred, SMW-type)
+    pair whose Property page no affected subject would re-render.
+    Bounded limit(1) probes — collect-is-the-guard discipline. Public so
+    a standing service (run_stream_incremental_pages) can branch on the
+    same decision and keep its maintained dims consistent.
+
+    dims: when the maintained conversion dims are available, the probe
+    checks the delta against the stored pred-title inventory (pt) and
+    SMW-type inventory (pst) — NO base scan at all; otherwise it derives
+    the (pred, type) inventory from base (one distinct-projection
+    scan). New (pred, NULL-type) combinations on a known pred do not
+    rebuild: NULL types never contribute 'Has type' facts."""
     if delta.filter(F.col("pred").isin(SCHEMA_PREDS)).limit(1).count() > 0:
         return True
     from rdf2smw_spark.functions.textnorm import sql_smw_type
 
     ty = F.expr(sql_smw_type("obj_is_iri", "obj_datatype"))
-    new_pairs = (
-        delta.select("pred", ty.alias("__ty")).distinct()
-        .join(base.select("pred", ty.alias("__ty")).distinct(), ["pred", "__ty"], "anti")
+    d_pairs = delta.select("pred", ty.alias("__ty")).distinct()
+    if dims is not None:
+        _st, _bt, _cd, pt, pst = dims
+        if (
+            d_pairs.select("pred").distinct()
+            .join(pt.select("pred"), "pred", "anti")
+            .limit(1).count() > 0
+        ):
+            return True
+        known = pst.select("pred", F.explode("has_types").alias("__ty"))
+        new_pairs = d_pairs.filter(F.col("__ty").isNotNull()).join(
+            known, ["pred", "__ty"], "anti"
+        )
+        return new_pairs.limit(1).count() > 0
+    new_pairs = d_pairs.join(
+        base.select("pred", ty.alias("__ty")).distinct(), ["pred", "__ty"], "anti"
     )
     return new_pairs.limit(1).count() > 0
 
@@ -146,25 +169,35 @@ def incremental_pages(
     base: DataFrame,
     delta: DataFrame,
     subject_titles: DataFrame | None = None,
+    dims: tuple | None = None,
 ) -> DataFrame:
     """WikiPage rows for every page the delta touches, byte-identical
     to the same pages of a full rebuild over base ∪ delta (that identity
     IS the oracle of the registered query). Falls back transparently to
     the full conversion when the delta contains schema-ish predicates
     (dependency class 2 above) — detected with one limit(1) probe, the
-    collect-is-the-guard discipline."""
+    collect-is-the-guard discipline.
+
+    subject_titles / dims: MAINTAINED copies of the (subj, title) dim
+    and the five conversion dims from the previous run. Both are pure
+    functions of exactly the inputs delta_forces_rebuild probes, so on
+    the fast path a standing service passes the stored frames and the
+    drain does NO full-stream dimension pass at all — the remaining
+    O(corpus) work is the one columnar scan feeding the subject
+    semi-join."""
     from rdf2smw_spark.operators.convert import triples_to_pages
     from rdf2smw_spark.session import scoped_persist
 
-    # one persist shared by the schema probe, the title closure, the
-    # dims inside triples_to_pages AND stage B — without it the source
-    # plan re-derives for each consumer (measured 2x at small scale)
+    # one persist shared by every full-stream consumer (stage B reads
+    # the union twice — obj-title dim + enrichment; measured: skipping
+    # the persist on the fast path RAISES wall time 14s -> 25s at sf0.1)
     full = scoped_persist(base.unionByName(delta))
-    if delta_forces_rebuild(base, delta):
+    if delta_forces_rebuild(base, delta, dims=dims):
         return triples_to_pages(spark, full, cache=False)
     return triples_to_pages(
         spark,
         full,
         cache=False,
         only_subjects=affected_subjects(full, delta, titles=subject_titles),
+        dims=dims,
     )

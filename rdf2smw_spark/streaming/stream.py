@@ -477,8 +477,19 @@ def run_stream_incremental_pages(
     triples_dir = os.path.join(work_dir, "triples")
     pages_dir = os.path.join(work_dir, "pages")
     titles_dir = os.path.join(work_dir, "titles")
+    dims_dir = os.path.join(work_dir, "dims")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    _DIMS = ("st", "bt", "cd", "pt", "pst")
     state = {"batches": 0}
+
+    def _write_dims(dims):
+        for name, df in zip(_DIMS, dims):
+            df.write.mode("overwrite").parquet(os.path.join(dims_dir, name))
+
+    def _read_dims():
+        return tuple(
+            spark.read.parquet(os.path.join(dims_dir, n)) for n in _DIMS
+        )
 
     def _process(batch, batch_id):
         parsed = parse_ntriples_lines(batch).filter(F.col("error").isNull())
@@ -493,15 +504,26 @@ def run_stream_incremental_pages(
         new_titles = None
         if have_base:
             base = spark.read.parquet(triples_dir)
-            if not delta_forces_rebuild(base, delta) and os.path.isdir(titles_dir):
-                # fast path with the MAINTAINED (subj, title) dim: the
-                # delta cannot retitle anything, so the stored dim plus
-                # local-name titles for delta-new subjects replaces the
-                # full-stream title pass (O(delta), not O(corpus))
+            stored_dims = (
+                _read_dims() if os.path.isdir(dims_dir) else None
+            )
+            if (
+                stored_dims is not None
+                and os.path.isdir(titles_dir)
+                and not delta_forces_rebuild(base, delta, dims=stored_dims)
+            ):
+                # fast path with EVERY maintained dim: a fast-path delta
+                # cannot retitle, retype, or re-depth anything (that is
+                # what delta_forces_rebuild probes), so the stored
+                # (subj, title) dim — advanced O(delta) for new subjects
+                # — and the five stored conversion dims replace all the
+                # full-stream dimension passes this drain would pay
                 titles = spark.read.parquet(titles_dir)
                 new_titles = maintained_subject_titles(titles, delta).localCheckpoint()
                 pages = incremental_pages(
-                    spark, base, delta, subject_titles=new_titles
+                    spark, base, delta,
+                    subject_titles=new_titles,
+                    dims=stored_dims,
                 )
             else:
                 pages = incremental_pages(spark, base, delta)
@@ -528,10 +550,13 @@ def run_stream_incremental_pages(
         # update; bootstrap/rebuild paths recompute it from the full table
         if new_titles is not None:
             new_titles.write.mode("overwrite").parquet(titles_dir)
+            # conversion dims unchanged on the fast path — no rewrite
         else:
-            _subject_titles(
-                spark.read.parquet(triples_dir)
-            ).write.mode("overwrite").parquet(titles_dir)
+            allt = spark.read.parquet(triples_dir)
+            _subject_titles(allt).write.mode("overwrite").parquet(titles_dir)
+            from rdf2smw_spark.operators.convert import conversion_dims
+
+            _write_dims(conversion_dims(spark, allt, cache=False))
         release_scoped_caches()
         state["batches"] += 1
 
