@@ -212,3 +212,52 @@ def messy_urls_sql(pages_sql: str) -> str:
                '^([a-zA-Z]+://[^/]*)/', '\\1:443/')
     FROM pages WHERE length(url) % 3 = 0
 )"""
+
+
+# --- as-of (time-travel) snapshot -----------------------------------------------
+
+ASOF_CUTOFF = "2024-01-01 01:30:00"
+
+
+def asof_snapshot(pages: DataFrame, cutoff: str = ASOF_CUTOFF) -> DataFrame:
+    """Crawl state as-of a timestamp: for each url, the newest capture
+    with warc_ts <= cutoff — the time-travel read a temporal KG serves
+    ("what did the graph say last Tuesday"). Urls first crawled after
+    the cutoff are absent; urls re-crawled after it resolve to the
+    pre-cutoff capture. Returns (url, warc_ts, html_len).
+
+    Scale shape: deliberately NOT the row_number window latest_capture
+    uses — the arg-max folds into ONE groupBy(url) with a max(struct)
+    aggregate, so it gets map-side partial aggregation (each input
+    partition pre-reduces to one candidate per url before the exchange)
+    instead of shipping every capture of every url to its reducer and
+    sorting there. Same answer, strictly less shuffled data — the shape
+    that matters when hot urls have thousands of captures. warc_ts
+    leads the struct, so struct ordering IS recency (ts is unique per
+    url; html_len only rides along)."""
+    cap = pages.filter(F.col("warc_ts") <= F.lit(cutoff).cast("timestamp")).select(
+        "url",
+        F.struct(
+            "warc_ts", F.length(F.decode(F.col("html"), "UTF-8")).cast("long").alias("html_len")
+        ).alias("__cap"),
+    )
+    return (
+        cap.groupBy("url")
+        .agg(F.max("__cap").alias("__cap"))
+        .select("url", "__cap.warc_ts", "__cap.html_len")
+    )
+
+
+def asof_snapshot_sql(pages_sql: str, cutoff: str = ASOF_CUTOFF) -> str:
+    """DuckDB twin (the oracle may use the window form; the Spark plan
+    must not be single-reducer — this one is partitioned by url)."""
+    return f"""
+    WITH pages AS {pages_sql},
+    ranked AS (
+        SELECT url, warc_ts, CAST(length(html_str) AS BIGINT) AS html_len,
+               ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+        FROM pages
+        WHERE warc_ts <= TIMESTAMP '{cutoff}'
+    )
+    SELECT url, warc_ts, html_len FROM ranked WHERE rn = 1
+    """

@@ -499,3 +499,72 @@ def entity_cooccurrence_pmi_sql(link_sql: str) -> str:
     JOIN marg cb ON cb.uri = uri_b
     CROSS JOIN tot
     """
+
+
+# --- entity salience ------------------------------------------------------------
+
+def entity_salience(docs: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Per-(document, entity) salience: how prominent each dictionary
+    entity is inside each document that mentions it — the ranking signal
+    a KG-construction pipeline attaches to extracted mentions so
+    downstream consumers can keep only the entities a page is *about*,
+    not every passing reference.
+
+    (doc_id, surface, uri, n_mentions, first_pos, salience_e6) where
+    first_pos is the 1-based token position of the earliest mention and
+    salience_e6 = n_mentions·1e6 DIV n_tokens  +  1e6 DIV (9 + first_pos)
+    — a density term plus an early-position bonus, all widened-integer
+    arithmetic so the oracle hash is exact at any parallelism.
+
+    Scale shape: tokenize + posexplode is map-side; the dictionary join
+    is a broadcast hash join (the dict is bounded — top-K vocabulary or
+    a curated table), so non-entity tokens are dropped before any
+    exchange; the only shuffle is one (doc_id, surface)-keyed
+    aggregation with map-side partials. No window, no self-join."""
+    toks = docs.select(
+        "doc_id",
+        F.size(F.expr(_tokens("text"))).alias("__n_toks"),
+        F.posexplode(F.expr(_tokens("text"))).alias("pos", "surface"),
+    )
+    ment = toks.join(F.broadcast(entity_dict.select("surface", "uri")), "surface")
+    agg = ment.groupBy("doc_id", "surface", "uri").agg(
+        F.count("*").alias("n_mentions"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+        F.min("__n_toks").alias("__n_toks"),
+    )
+    return agg.select(
+        "doc_id",
+        "surface",
+        "uri",
+        "n_mentions",
+        "first_pos",
+        F.expr(
+            "CAST(n_mentions * 1000000 DIV __n_toks"
+            " + 1000000 DIV (9 + first_pos) AS BIGINT)"
+        ).alias("salience_e6"),
+    )
+
+
+def entity_salience_sql(docs_sql: str, dict_sql: str) -> str:
+    """DuckDB twin: generate_subscripts/unnest positional stream, same
+    integer salience grid."""
+    toks = _tokens("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, len(t) AS n_toks,
+               generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS surface
+        FROM (SELECT doc_id, {toks} AS t FROM {docs_sql})
+    ),
+    agg AS (
+        SELECT m.doc_id, m.surface, d.uri,
+               COUNT(*) AS n_mentions,
+               CAST(MIN(m.pos) + 1 AS BIGINT) AS first_pos,
+               MIN(m.n_toks) AS n_toks
+        FROM toks m JOIN {dict_sql} d USING (surface)
+        GROUP BY m.doc_id, m.surface, d.uri
+    )
+    SELECT doc_id, surface, uri, n_mentions, first_pos,
+           CAST(n_mentions * 1000000 // n_toks
+                + 1000000 // (9 + first_pos) AS BIGINT) AS salience_e6
+    FROM agg
+    """

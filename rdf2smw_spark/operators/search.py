@@ -278,3 +278,78 @@ def tfidf_top_terms_sql(docs_sql: str, per_doc_k: int = TFIDF_PER_DOC_K) -> str:
     )
     WHERE rank <= {per_doc_k}
     """
+
+
+# --- positional phrase search ---------------------------------------------------
+
+PHRASE_DEFAULT = ["table", "part"]
+
+
+def phrase_search(docs: DataFrame, phrase: list[str] | None = None) -> DataFrame:
+    """Exact-phrase match over a positional term index:
+    (doc_id, n_matches, first_pos) for every document containing the
+    `phrase` tokens at consecutive positions (0-based `first_pos` is
+    the earliest anchor). Handles overlapping matches exactly — "a a a"
+    contains the phrase "a a" twice — which is why the implementation
+    is positional set-intersection, not substring counting.
+
+    Scale shape: this is the distributed inverted-index plan. Tokenize
+    + posexplode is map-side; each surviving token emits its candidate
+    anchor positions IN-ROW (a bounded `filter(sequence(0,k-1))` over
+    the k-term phrase — one pass over the corpus, not one scan per
+    phrase term); a phrase of k terms matches at an anchor iff all k
+    distinct term indices land on it, one (doc_id, anchor)-keyed
+    aggregation. Both aggregations key on doc_id first, so the second
+    groupBy reuses the first exchange's co-location under AQE. Nothing
+    un-indexed ever shuffles: tokens not in the phrase vocabulary are
+    dropped map-side before the exchange."""
+    phrase = phrase or PHRASE_DEFAULT
+    k = len(phrase)
+    lits = ", ".join("'" + w + "'" for w in phrase)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(_tokens("text"))).alias("pos", "tok")
+    )
+    hits = toks.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.expr(f"filter(sequence(0, {k - 1}), i -> array({lits})[i] = tok)")
+        ).alias("i"),
+    ).select("doc_id", (F.col("pos") - F.col("i")).alias("anchor"), "i")
+    anchors = (
+        hits.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("__nterms"))
+        .filter((F.col("__nterms") == k) & (F.col("anchor") >= 0))
+    )
+    return anchors.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_sql(docs_sql: str, phrase: list[str] | None = None) -> str:
+    """DuckDB twin: generate_subscripts/unnest zip into the same
+    positional token stream; the anchor-intersection logic is identical."""
+    phrase = phrase or PHRASE_DEFAULT
+    k = len(phrase)
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(phrase))
+    toks = _tokens("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+        FROM (SELECT doc_id, {toks} AS t FROM {docs_sql})
+    ),
+    ph(i, w) AS (VALUES {vals}),
+    hits AS (
+        SELECT toks.doc_id, toks.pos - ph.i AS anchor, ph.i
+        FROM toks JOIN ph ON toks.tok = ph.w
+    ),
+    anchors AS (
+        SELECT doc_id, anchor
+        FROM hits GROUP BY doc_id, anchor
+        HAVING COUNT(DISTINCT i) = {k} AND anchor >= 0
+    )
+    SELECT doc_id, COUNT(*) AS n_matches,
+           CAST(MIN(anchor) AS BIGINT) AS first_pos
+    FROM anchors GROUP BY doc_id
+    """

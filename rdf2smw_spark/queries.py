@@ -1530,3 +1530,60 @@ ORACLES: dict[str, str] = {
         f"(SELECT * FROM {TRIPLES_SQL})",
     ),
 }
+
+
+# --- round-4 additions: skew profile, phrase search, salience, as-of ------------
+
+def q_kg_skew_profile(spark, sf_dir):
+    """Heavy-hitter profiler over the KG's IRI objects — the in-degree
+    hot keys (every customer points at its nation URI) that would skew
+    an object-keyed join; output is the salt-factor evidence
+    (operators/profile.py). One groupBy + TakeOrderedAndProject."""
+    from rdf2smw_spark.operators.profile import key_skew_profile
+
+    t = testdata_triples(spark, sf_dir).filter(F.col("obj_is_iri"))
+    return key_skew_profile(t, "obj")
+
+
+def q_search_phrase(spark, sf_dir):
+    """Positional inverted-index phrase search over documents: exact
+    consecutive-token match with overlap-correct counts
+    (operators/search.py phrase_search)."""
+    return _search.phrase_search(_docs(spark, sf_dir))
+
+
+def q_link_salience(spark, sf_dir):
+    """Entity salience per (doc, entity): mention density + earliest-
+    position bonus on the corpus-derived dictionary — the keep-what-the-
+    page-is-about signal attached to extracted mentions
+    (operators/linking.py entity_salience)."""
+    docs = _docs(spark, sf_dir)
+    return lk.entity_salience(docs, lk.corpus_entity_dict(docs))
+
+
+def q_web_asof_snapshot(spark, sf_dir):
+    """Time-travel crawl read: newest capture per url as-of a cutoff
+    between the two synthetic crawl waves, via a map-side-combinable
+    max(struct) arg-max instead of latest_capture's window
+    (extract.py asof_snapshot)."""
+    from rdf2smw_spark.extract import asof_snapshot
+
+    return asof_snapshot(synth_pages(spark, sf_dir))
+
+
+QUERIES["kg_skew_profile"] = q_kg_skew_profile
+QUERIES["search_phrase"] = q_search_phrase
+QUERIES["link_salience"] = q_link_salience
+QUERIES["web_asof_snapshot"] = q_web_asof_snapshot
+
+from rdf2smw_spark.operators.profile import key_skew_profile_sql as _skew_sql  # noqa: E402
+from rdf2smw_spark.extract import asof_snapshot_sql as _asof_snap_sql  # noqa: E402
+
+ORACLES["kg_skew_profile"] = _skew_sql(
+    f"(SELECT * FROM {TRIPLES_SQL} WHERE obj_is_iri)", "obj"
+)
+ORACLES["search_phrase"] = _search.phrase_search_sql("documents")
+ORACLES["link_salience"] = lk.entity_salience_sql(
+    "documents", lk.corpus_entity_dict_sql("documents")
+)
+ORACLES["web_asof_snapshot"] = _asof_snap_sql(PAGES_SQL)
