@@ -67,3 +67,98 @@ def key_skew_profile_sql(src_sql: str, key_expr: str, k: int = PROFILE_TOP_K) ->
     FROM ranked, tot
     WHERE rank <= {k}
     """
+
+
+# --- Z-order layout ---------------------------------------------------------------
+
+Z_BITS = 16          # bits taken from each key's hash
+Z_FILES = 64         # target file/bucket count for the layout
+
+
+def _bits16(expr: str) -> str:
+    """Portable uint16 from an md5: the low 16 bits of the _hex32 word
+    (same dual-dialect arithmetic discipline as text_analysis._hex32)."""
+    from rdf2smw_spark.operators.text_analysis import _hex32
+
+    return f"({_hex32(expr, 'spark')} % 65536)"
+
+
+def _bits16_sql(expr: str) -> str:
+    from rdf2smw_spark.operators.text_analysis import _hex32
+
+    return f"({_hex32(expr, 'duckdb')} % 65536)"
+
+
+def _interleave(h1: str, h2: str) -> str:
+    """z = bits of h1 and h2 interleaved (h1 gets the odd/high lanes) —
+    pure widened-integer arithmetic, identical text in both dialects:
+    bit_i(h) = (h DIV 2^i) % 2, placed at 2i+1 / 2i."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({h1} DIV {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({h2} DIV {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(triples: DataFrame, n_files: int = Z_FILES) -> DataFrame:
+    """Z-order (Morton) data layout for the triples table: interleave
+    16 hash bits of subj and pred into a 32-bit z-value, then cut the
+    z-space into `n_files` equal ranges. Files end up clustered on BOTH
+    keys at once, so a point/range predicate on either column prunes
+    ~sqrt-proportionally many files from the scan — the multi-dimension
+    clustering Delta/Iceberg OPTIMIZE ZORDER performs, expressed as
+    plain deterministic column math (no engine extension needed).
+
+    Returns the layout audit: per file (file_id, n_triples, n_subj,
+    n_pred, z_min, z_max) — n_subj·n_pred per file is the pruning
+    selectivity a reader gets. Scale shape: the z-value is map-side
+    whole-stage-codegen arithmetic; the audit is ONE groupBy on
+    file_id (n_files groups). The layout write itself would be
+    repartitionByRange(n_files, zval) — range, not hash, so file_id
+    boundaries match this audit exactly."""
+    # hash each key ONCE into a column, then interleave column refs —
+    # inlining the md5-parse arithmetic into all 32 lane terms would
+    # repeat it 32x in the generated code
+    zf = (
+        triples.select(
+            "subj",
+            "pred",
+            F.expr(_bits16("md5(subj)")).alias("__h1"),
+            F.expr(_bits16("md5(pred)")).alias("__h2"),
+        )
+        .withColumn("zval", F.expr(_interleave("__h1", "__h2")))
+        .withColumn(
+            "file_id",
+            F.expr(f"CAST(zval DIV {(1 << (2 * Z_BITS)) // n_files} AS BIGINT)"),
+        )
+    )
+    return zf.groupBy("file_id").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("pred").alias("n_pred"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )
+
+
+def zorder_layout_sql(triples_sql: str, n_files: int = Z_FILES) -> str:
+    z = _interleave("h1", "h2").replace(" DIV ", " // ")
+    return f"""
+    WITH hs AS (
+        SELECT subj, pred,
+               {_bits16_sql("md5(subj)")} AS h1,
+               {_bits16_sql("md5(pred)")} AS h2
+        FROM {triples_sql}
+    ),
+    zf AS (
+        SELECT subj, pred, {z} AS zval FROM hs
+    )
+    SELECT CAST(zval // {(1 << (2 * Z_BITS)) // n_files} AS BIGINT) AS file_id,
+           COUNT(*) AS n_triples,
+           COUNT(DISTINCT subj) AS n_subj,
+           COUNT(DISTINCT pred) AS n_pred,
+           MIN(zval) AS z_min,
+           MAX(zval) AS z_max
+    FROM zf
+    GROUP BY 1
+    """

@@ -29,7 +29,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # href in group 1, anchor text in group 2. No backreferences/lookaround —
@@ -141,4 +141,63 @@ def crawl_diff_sql(pages_text_sql: str) -> str:
            COUNT(DISTINCT md5(text)) > 1 AS changed
     FROM {pages_text_sql}
     GROUP BY url
+    """
+
+
+def capture_history(pages_with_text: DataFrame) -> DataFrame:
+    """SCD2 content-version history per url: (url, version, fp,
+    valid_from, valid_to). Consecutive captures whose extracted text
+    fingerprints match collapse into one validity interval; valid_to is
+    NULL for the currently-live version — the slowly-changing-dimension
+    table a temporal KG reads to answer "what did this page say at T"
+    (web_asof_snapshot is the point read; this is the full history).
+
+    Scale shape: the comparison key is md5(text) computed map-side, so
+    the exchange carries 32-byte fingerprints; all three windows
+    (lag-boundary, version row_number, lead valid_to) partition by url
+    over the SAME ordering, so Catalyst collapses them into one Window
+    operator after a single url-keyed exchange+sort — millions of small
+    per-url partitions, never a global sort."""
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    fp = pages_with_text.select(
+        "url", "warc_ts", F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
+    )
+    marked = fp.withColumn("__prev", F.lag("fp").over(w))
+    # a capture starts a new version iff its fp differs from its predecessor;
+    # the version's valid_to is the start of the NEXT boundary capture
+    bounds = marked.filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("fp"))
+    )
+    wv = Window.partitionBy("url").orderBy("warc_ts")
+    return bounds.select(
+        "url",
+        F.row_number().over(wv).cast("long").alias("version"),
+        "fp",
+        F.col("warc_ts").alias("valid_from"),
+        F.lead("warc_ts").over(wv).alias("valid_to"),
+    )
+
+
+def capture_history_sql(pages_text_sql: str) -> str:
+    """DuckDB twin over a (url, warc_ts, text) relation."""
+    return f"""
+    WITH fp AS (
+        SELECT url, warc_ts, md5(text) AS fp FROM {pages_text_sql}
+    ),
+    marked AS (
+        SELECT url, warc_ts, fp,
+               LAG(fp) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+        FROM fp
+    ),
+    bounds AS (
+        SELECT url, warc_ts, fp FROM marked
+        WHERE prev IS NULL OR prev <> fp
+    )
+    SELECT url,
+           CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts) AS BIGINT)
+               AS version,
+           fp,
+           warc_ts AS valid_from,
+           LEAD(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts) AS valid_to
+    FROM bounds
     """

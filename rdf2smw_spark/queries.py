@@ -1587,3 +1587,33 @@ ORACLES["link_salience"] = lk.entity_salience_sql(
     "documents", lk.corpus_entity_dict_sql("documents")
 )
 ORACLES["web_asof_snapshot"] = _asof_snap_sql(PAGES_SQL)
+
+
+def q_web_capture_history(spark, sf_dir):
+    """SCD2 content-version intervals per url from the two synthetic
+    crawl waves — the temporal-KG history table behind the as-of point
+    read (operators/weblinks.py capture_history)."""
+    return wl.capture_history(extract_text(synth_pages(spark, sf_dir)))
+
+
+def q_kg_zorder_layout(spark, sf_dir):
+    """Z-order (subj, pred) layout audit: Morton-interleaved hash bits
+    cut into 64 file ranges; per-file key-cardinality is the scan-prune
+    selectivity the layout buys (operators/profile.py zorder_layout)."""
+    from rdf2smw_spark.operators.profile import zorder_layout
+
+    return zorder_layout(testdata_triples(spark, sf_dir))
+
+
+QUERIES["web_capture_history"] = q_web_capture_history
+QUERIES["kg_zorder_layout"] = q_kg_zorder_layout
+
+from rdf2smw_spark.operators.profile import zorder_layout_sql as _zorder_sql  # noqa: E402
+
+ORACLES["web_capture_history"] = wl.capture_history_sql(
+    f"(SELECT url, warc_ts, {duckdb_extract_sql('html_str')} AS text "
+    f"FROM (SELECT * FROM pages) p)".replace(
+        "FROM (SELECT * FROM pages) p", f"FROM {PAGES_SQL} p"
+    )
+)
+ORACLES["kg_zorder_layout"] = _zorder_sql(f"(SELECT * FROM {TRIPLES_SQL})")

@@ -106,3 +106,50 @@ def test_asof_snapshot_picks_newest_at_or_before_cutoff(spark):
     assert set(out) == {"u1", "u2"}
     assert out["u1"]["html_len"] == 9 and str(out["u1"]["warc_ts"]).startswith("2024-01-01 01:00")
     assert out["u2"]["html_len"] == 2
+
+
+# --- capture_history -------------------------------------------------------------
+
+def test_capture_history_scd2_intervals(spark):
+    rows = [
+        ("u1", "2024-01-01 00:00:00", "v1"),
+        ("u1", "2024-01-01 01:00:00", "v1"),   # same content: collapses
+        ("u1", "2024-01-01 02:00:00", "v2"),   # drift: new version
+        ("u2", "2024-01-01 00:30:00", "w"),
+    ]
+    from rdf2smw_spark.operators.weblinks import capture_history
+
+    pages = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    pages = pages.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = capture_history(pages).orderBy("url", "version").collect()
+    assert [(r["url"], r["version"]) for r in out] == [("u1", 1), ("u1", 2), ("u2", 1)]
+    v1, v2, w = out
+    assert str(v1["valid_from"]).startswith("2024-01-01 00:00")
+    assert str(v1["valid_to"]).startswith("2024-01-01 02:00")  # next VERSION, not next capture
+    assert v2["valid_to"] is None and w["valid_to"] is None    # live versions
+    assert v1["fp"] != v2["fp"]
+
+
+# --- zorder_layout ---------------------------------------------------------------
+
+def test_zorder_interleave_arithmetic(spark):
+    """The Morton interleave must place h1 bits on odd lanes and h2 on
+    even lanes: z(h1=0b11, h2=0b01) = 0b1011 = 11."""
+    from rdf2smw_spark.operators.profile import _interleave
+
+    df = spark.range(1).selectExpr("3 AS h1", "1 AS h2")
+    z = df.selectExpr(f"{_interleave('h1', 'h2')} AS z").collect()[0]["z"]
+    assert z == 11
+
+
+def test_zorder_layout_covers_all_rows(spark, sf_dir):
+    from rdf2smw_spark.operators.profile import zorder_layout
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    t = testdata_triples(spark, sf_dir)
+    out = zorder_layout(t).toPandas()
+    assert out["n_triples"].sum() == t.count()
+    # file ranges are disjoint z-slices: every file's span stays in its slice
+    width = (1 << 32) // 64
+    assert ((out["z_min"] // width) == out["file_id"]).all()
+    assert ((out["z_max"] // width) == out["file_id"]).all()
