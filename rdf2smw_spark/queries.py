@@ -1617,3 +1617,20 @@ ORACLES["web_capture_history"] = wl.capture_history_sql(
     )
 )
 ORACLES["kg_zorder_layout"] = _zorder_sql(f"(SELECT * FROM {TRIPLES_SQL})")
+
+def q_kg_neg_samples(spark, sf_dir):
+    """Deterministic negative sampling for KG-embedding training pairs:
+    each IRI-object triple draws n_neg corrupted objects from the
+    distinct entity pool, ranked distributively (hash-bucketed prefix
+    sums, no global window) and drawn by md5 of the triple — identical
+    output at any parallelism (operators/negsample.py)."""
+    from rdf2smw_spark.operators.negsample import negative_samples
+
+    return negative_samples(testdata_triples(spark, sf_dir))
+
+
+QUERIES["kg_neg_samples"] = q_kg_neg_samples
+
+from rdf2smw_spark.operators.negsample import negative_samples_sql as _negs_sql  # noqa: E402
+
+ORACLES["kg_neg_samples"] = _negs_sql(f"(SELECT * FROM {TRIPLES_SQL})")
