@@ -981,3 +981,130 @@ def pq_topk_sql(emb_sql: str, n_queries: int = 10, k: int = 5) -> str:
     ) WHERE rank <= {k}
     """
     )
+
+
+# --- ANN quality + hard-negative mining (round 4) --------------------------------
+
+
+def ivf_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Per-query recall@k of the IVF index vs the exact top-k:
+    (query_id, n_exact, n_hit, recall_e6). The measurement that turns
+    the n_probe/n_lists dial from a guess into a decision — same
+    BASELINE.md discipline as dedup's lsh_recall.
+
+    Scale note: the exact side is the oracle-role quadratic scan
+    (ann_topk_bruteforce's contract) — at web scale this report runs on
+    a query SAMPLE, never the full corpus; the IVF side is the
+    production-shaped plan (broadcast centroids, one list_id shuffle).
+    Ratios are e6-scaled integer divisions so the rows hash-match at
+    any parallelism."""
+    exact = ann_topk_bruteforce(emb, n_queries, k).select("query_id", "neighbor_id")
+    approx = (
+        ann_topk_ivf(emb, n_queries, k, n_lists, n_probe)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr("(n_hit * 1000000) DIV n_exact").alias("recall_e6"),
+        )
+    )
+
+
+def ivf_recall_sql(
+    emb_sql: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 4,
+) -> str:
+    exact = ann_topk_sql(emb_sql, n_queries, k)
+    approx = ann_topk_ivf_sql(emb_sql, n_queries, k, n_lists, n_probe)
+    return f"""
+    WITH exact AS ({exact}),
+    approx AS ({approx})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST((SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS recall_e6
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+HARD_NEG_LO = 0.30   # below this: trivially easy negative, no gradient signal
+HARD_NEG_HI = 0.85   # above this: likely a positive / near-dup, poisonous label
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    lo: float = HARD_NEG_LO,
+    hi: float = HARD_NEG_HI,
+    pool_k: int = 50,
+    n_lists: int = 8,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query, the top-k neighbors whose cosine falls in [lo, hi) — similar
+    enough to carry gradient signal, dissimilar enough not to be an
+    unlabeled positive (the classic false-negative poison). Candidates
+    come from the production-shaped IVF probe (pool_k deep), so the
+    plan is the ann_topk_ivf plan plus a band filter and a per-query
+    re-rank — broadcast centroids, one list_id shuffle, partitioned
+    window. Thresholds compare 4-dp-rounded cosines, identical in both
+    engines."""
+    from pyspark.sql import Window
+
+    pool = ann_topk_ivf(emb, n_queries, pool_k, n_lists, n_probe)
+    band = pool.filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        band.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_sql(
+    emb_sql: str,
+    n_queries: int = 10,
+    k: int = 3,
+    lo: float = HARD_NEG_LO,
+    hi: float = HARD_NEG_HI,
+    pool_k: int = 50,
+    n_lists: int = 8,
+    n_probe: int = 4,
+) -> str:
+    pool = ann_topk_ivf_sql(emb_sql, n_queries, pool_k, n_lists, n_probe)
+    return f"""
+    WITH pool AS ({pool})
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pool WHERE cosine >= {lo} AND cosine < {hi}
+    ) WHERE rank <= {k}
+    """

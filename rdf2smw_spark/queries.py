@@ -1634,3 +1634,27 @@ QUERIES["kg_neg_samples"] = q_kg_neg_samples
 from rdf2smw_spark.operators.negsample import negative_samples_sql as _negs_sql  # noqa: E402
 
 ORACLES["kg_neg_samples"] = _negs_sql(f"(SELECT * FROM {TRIPLES_SQL})")
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Per-query recall@5 of the IVF index vs exact top-5 — the
+    measurement that turns the n_probe/n_lists dial into a decision
+    (operators/similarity.py ivf_recall). The exact side is the
+    documented oracle-role quadratic; production runs it on a query
+    sample."""
+    return sim.ivf_recall(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retrieval training: per
+    query, top-3 IVF-probed neighbors with cosine in [0.30, 0.85) —
+    gradient-bearing but not unlabeled positives
+    (operators/similarity.py hard_negatives)."""
+    df = sim.hard_negatives(_emb(spark, sf_dir), n_queries=10, k=3)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+QUERIES["ann_ivf_recall"] = q_ann_ivf_recall
+QUERIES["ann_hard_negatives"] = q_ann_hard_negatives
+
+ORACLES["ann_ivf_recall"] = sim.ivf_recall_sql(_EMB_SQL, n_queries=10, k=5)
+ORACLES["ann_hard_negatives"] = sim.hard_negatives_sql(_EMB_SQL, n_queries=10, k=3)
