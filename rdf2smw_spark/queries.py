@@ -1658,3 +1658,27 @@ QUERIES["ann_hard_negatives"] = q_ann_hard_negatives
 
 ORACLES["ann_ivf_recall"] = sim.ivf_recall_sql(_EMB_SQL, n_queries=10, k=5)
 ORACLES["ann_hard_negatives"] = sim.hard_negatives_sql(_EMB_SQL, n_queries=10, k=3)
+
+def q_ta_curation(spark, sf_dir):
+    """End-to-end curation audit: quality + exact dedup + transitive
+    near-dup + decontamination composed into one per-doc keep/drop
+    report with a precedence-ordered reason (operators/curate.py).
+    Corpus is the near-dup-planted table; every 37th base doc plays the
+    benchmark, so all four drop reasons are non-vacuous at any SF."""
+    from rdf2smw_spark.operators.curate import curate_report
+
+    docs = _docs(spark, sf_dir)
+    return curate_report(
+        dd.near_dup_corpus(docs), docs.filter(F.col("doc_id") % 37 == 0)
+    )
+
+
+QUERIES["ta_curation"] = q_ta_curation
+
+from rdf2smw_spark.operators.curate import curate_report_sql as _curate_sql  # noqa: E402
+
+ORACLES["ta_curation"] = _curate_sql(
+    DOCS_ND_SQL,
+    SHINGLES_SQL,
+    "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",
+)
