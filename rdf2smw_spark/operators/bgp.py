@@ -65,3 +65,12 @@ def bgp_path(edges: list[tuple[DataFrame, str, str]]) -> DataFrame:
     for df, col, _nxt in edges[1:]:
         out = out.join(df, col)
     return out
+
+
+def bgp_not_exists(positive: DataFrame, negated: DataFrame, key: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS / MINUS (SPARQL 1.1 §8.1): keep the
+    positive pattern's solutions whose key never appears in the negated
+    pattern — a left-anti hash join. On the subject-bucketed triple
+    layout both sides arrive co-partitioned, so negation costs no more
+    than one additional pattern in a star."""
+    return positive.join(negated.select(key).distinct(), key, "left_anti")

@@ -1682,3 +1682,36 @@ ORACLES["ta_curation"] = _curate_sql(
     SHINGLES_SQL,
     "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",
 )
+
+def q_kg_bgp_not_exists(spark, sf_dir):
+    """{ ?c a ?seg . FILTER NOT EXISTS { ?c rdfs:label ?l } } —
+    segment-typed customers that never received an rdfs:label (only
+    every 3rd customer does): SPARQL negation as a left-anti join on
+    the co-partitioned subject key (operators/bgp.py bgp_not_exists).
+    Non-vacuous at every SF — 2/3 of customers match."""
+    from rdf2smw_spark.operators import bgp
+
+    t = testdata_triples(spark, sf_dir)
+    custseg = (
+        t.filter((F.col("pred") == _BGP_TYPE) & F.col("obj").startswith(_SEG_NS))
+        .select(F.col("subj").alias("cust_uri"), F.col("obj").alias("segment"))
+    )
+    labeled = t.filter(F.col("pred") == _BGP_LABEL).select(
+        F.col("subj").alias("cust_uri")
+    )
+    return bgp.bgp_not_exists(custseg, labeled, "cust_uri")
+
+
+from rdf2smw_spark.sources.testdata import SEGMENT as _SEG_NS  # noqa: E402
+
+QUERIES["kg_bgp_not_exists"] = q_kg_bgp_not_exists
+
+ORACLES["kg_bgp_not_exists"] = f"""
+    WITH triples AS {TRIPLES_SQL},
+    cs AS (SELECT subj AS cust_uri, obj AS segment FROM triples
+           WHERE pred = '{_BGP_TYPE}' AND obj LIKE '{_SEG_NS}%'),
+    lb AS (SELECT DISTINCT subj AS cust_uri FROM triples
+           WHERE pred = '{_BGP_LABEL}')
+    SELECT cust_uri, segment FROM cs
+    WHERE NOT EXISTS (SELECT 1 FROM lb WHERE lb.cust_uri = cs.cust_uri)
+"""
