@@ -153,3 +153,108 @@ def bpe_train_sql(docs_sql: str, k: int = BPE_MERGES) -> str:
         )
     body = " UNION ALL ".join(unions)
     return "WITH " + ",\n    ".join(ctes) + f"\n    {body}"
+
+
+VOCAB_BROADCAST_LIMIT = 10_000_000  # distinct-word rows; ~100s of MB of strings
+
+
+def bpe_encode_subset(
+    train_docs: DataFrame, encode_docs: DataFrame, k: int = BPE_MERGES
+) -> DataFrame:
+    """(doc_id, widx, sidx, token): `encode_docs` encoded with the
+    first k merges trained on `train_docs` — the APPLY half of the
+    tokenizer next to bpe_train's learn half. widx is the word position
+    in the doc, sidx the subword position within the word.
+
+    Design: encoding is a DICTIONARY problem, not a per-document one —
+    the corpus has 10^12 word occurrences but only 10^7-10^8 distinct
+    words, so the merges are applied once per DISTINCT word (the k-deep
+    nested replace over the sentinel string, pure JVM codegen,
+    map-side) and documents join the encoded vocabulary on the word
+    key: one guarded-broadcast (else shuffle) join, zero quadratic
+    anything. The merge list itself is driver-side by construction —
+    it IS the tokenizer, k rows."""
+    from rdf2smw_spark.session import maybe_broadcast
+
+    merges = bpe_train(train_docs, k).orderBy("step").collect()
+    seq = _init_seq_spark()
+    for m in merges:
+        l, r = m["left"], m["right"]
+        seq = f"replace({seq}, ' {l} {r} ', ' {l}{r} ')"
+    toks = f"filter({_tokens('text')}, t -> t <> '')"
+    words = encode_docs.select(
+        "doc_id", F.posexplode(F.expr(toks)).alias("widx", "word")
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .withColumn("toks", F.expr(f"filter(split({seq}, ' '), s -> s <> '')"))
+    )
+    enc = words.join(maybe_broadcast(vocab, VOCAB_BROADCAST_LIMIT), "word")
+    return enc.select(
+        "doc_id",
+        F.col("widx").cast("long").alias("widx"),
+        F.posexplode("toks").alias("sidx", "token"),
+    ).select(
+        "doc_id", "widx", F.col("sidx").cast("long").alias("sidx"), "token"
+    )
+
+
+def bpe_encode(docs: DataFrame, k: int = BPE_MERGES) -> DataFrame:
+    """Train on and encode the same corpus (the common case)."""
+    return bpe_encode_subset(docs, docs, k)
+
+
+def bpe_encode_sql(docs_sql: str, encode_docs_sql: str | None = None, k: int = BPE_MERGES) -> str:
+    """DuckDB twin: reuses bpe_train_sql's training CTEs (wf, b1..bk)
+    verbatim, then carries the WORD through k word-level replace rounds
+    (w0..wk) and joins the exploded documents against the encoded
+    vocabulary — the same dictionary-join shape as the Spark plan.
+    `encode_docs_sql` lets the caller train on the full corpus but
+    encode a subset (mirrors the registered query's gate-speed trim)."""
+    train = bpe_train_sql(docs_sql, k)
+    # reuse the training CTE list verbatim; drop its trailing merge-list
+    # body, which starts at the first per-step SELECT of the UNION
+    idx = train.index("SELECT 1 AS step")
+    ctes = train[:idx].rstrip().rstrip(",")
+    if encode_docs_sql is None:
+        encode_docs_sql = docs_sql
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    init_seq = (
+        "' ' || array_to_string(list_transform(generate_series(1, length(word)),"
+        " i -> substring(word, i, 1)), ' ') || ' '"
+    )
+    w_ctes = [f"w0 AS (SELECT word, {init_seq} AS seq FROM wf)"]
+    for s in range(1, k + 1):
+        w_ctes.append(
+            f"""w{s} AS (
+        SELECT w.word,
+               replace(w.seq, ' ' || b.l || ' ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ') AS seq
+        FROM w{s - 1} w CROSS JOIN b{s} b
+    )"""
+        )
+    w_ctes.append(
+        f"wt AS (SELECT word, list_filter(string_split(seq, ' '), x -> x <> '')"
+        f" AS toks FROM w{k})"
+    )
+    w_ctes.append(
+        f"""dw AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS widx, toks[i] AS word FROM (
+            SELECT doc_id, toks, UNNEST(generate_series(1, len(toks))) AS i
+            FROM (SELECT doc_id, {toks} AS toks FROM {encode_docs_sql})
+        )
+    )"""
+    )
+    return (
+        ctes
+        + ",\n    "
+        + ",\n    ".join(w_ctes)
+        + """
+    SELECT doc_id, widx, CAST(j - 1 AS BIGINT) AS sidx, toks[j] AS token FROM (
+        SELECT d.doc_id, d.widx, w.toks,
+               UNNEST(generate_series(1, len(w.toks))) AS j
+        FROM dw d JOIN wt w USING (word)
+    )
+    """
+    )

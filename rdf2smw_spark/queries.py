@@ -1715,3 +1715,22 @@ ORACLES["kg_bgp_not_exists"] = f"""
     SELECT cust_uri, segment FROM cs
     WHERE NOT EXISTS (SELECT 1 FROM lb WHERE lb.cust_uri = cs.cust_uri)
 """
+
+def q_ta_bpe_encode(spark, sf_dir):
+    """The APPLY half of the tokenizer: every 13th document encoded
+    into (doc_id, widx, sidx, token) subword streams with the merges
+    trained on the FULL corpus — merges apply once per DISTINCT word
+    (k-deep JVM replace) and docs join the encoded vocabulary on the
+    word key (operators/bpe.py bpe_encode). The 1/13 trim keeps the
+    correctness gate fast; the plan is subset-independent."""
+    from rdf2smw_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    return bpe.bpe_encode_subset(docs, docs.filter(F.col("doc_id") % 13 == 0))
+
+
+QUERIES["ta_bpe_encode"] = q_ta_bpe_encode
+
+ORACLES["ta_bpe_encode"] = _bpe.bpe_encode_sql(
+    "documents", "(SELECT * FROM documents WHERE (doc_id % 13) = 0)"
+)
