@@ -625,3 +625,95 @@ def kcore_sql(triples_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) ->
     WITH {joined}
     SELECT a AS uri, COUNT(*) AS degree FROM e{rounds} GROUP BY a
     """
+
+
+# --- deterministic random-walk corpus (DeepWalk/node2vec input) -------------------
+
+WALK_LEN = 4  # steps after the start node
+
+
+def _ranked_adjacency(triples: DataFrame) -> DataFrame:
+    """(node, rank, nxt, degree): IRI-object edges with a dense 0-based
+    per-node rank in obj order. The window PARTITIONS by node (never
+    global); degree rides along so the draw can be taken mod degree."""
+    from pyspark.sql import Window
+
+    edges = (
+        triples.filter(F.col("obj_is_iri"))
+        .select(F.col("subj").alias("node"), F.col("obj").alias("nxt"))
+        .distinct()
+    )
+    w = Window.partitionBy("node").orderBy("nxt")
+    return (
+        edges.withColumn("rank", F.row_number().over(w) - 1)
+        .withColumn("degree", F.count("*").over(Window.partitionBy("node")))
+    )
+
+
+def random_walks(triples: DataFrame, walk_len: int = WALK_LEN) -> DataFrame:
+    """(walk_id, step, node): one deterministic walk per start node —
+    the sentence corpus a DeepWalk/node2vec embedding trains on. At
+    step i from node n, the next hop is the neighbor whose per-node
+    rank equals hex32(md5(walk_id|i|n)) mod degree(n) — a pure function
+    of (walk, step, node), so the corpus is identical at any
+    parallelism and any engine (the negsample.py discipline). Walks
+    stop early at sink nodes (no IRI out-edges).
+
+    Scale shape: walk_len unrolled joins, all keyed on the node column;
+    on the subject-bucketed layout every hop is co-partitioned with the
+    adjacency, so the cost is walk_len co-partitioned hash joins over
+    frontiers that never exceed |start nodes| rows. Nothing iterates on
+    the driver; the whole corpus is ONE declarative plan."""
+    from rdf2smw_spark.operators.text_analysis import _hex32
+
+    adj = _ranked_adjacency(triples)
+    start = adj.select(F.col("node").alias("walk_id")).distinct()
+    cur = start.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), F.col("walk_id").alias("node")
+    )
+    out = [cur]
+    for i in range(1, walk_len + 1):
+        draw = _hex32(f"md5(concat(walk_id, '|', {i}, '|', node))", "spark")
+        cur = (
+            cur.join(adj, "node")
+            .filter(F.col("rank") == F.expr(f"({draw}) % degree"))
+            .select(
+                "walk_id",
+                F.lit(i).cast("long").alias("step"),
+                F.col("nxt").alias("node"),
+            )
+        )
+        out.append(cur)
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionByName(nxt)
+    return res
+
+
+def random_walks_sql(triples_sql: str, walk_len: int = WALK_LEN) -> str:
+    """DuckDB twin: same ranked adjacency, same per-step hash draw,
+    unrolled CTE per hop."""
+    from rdf2smw_spark.operators.text_analysis import _hex32
+
+    ctes = [
+        f"""adj AS (
+        SELECT node, nxt,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY nxt) - 1 AS rank,
+               COUNT(*) OVER (PARTITION BY node) AS degree
+        FROM (SELECT DISTINCT subj AS node, obj AS nxt FROM {triples_sql}
+              WHERE obj_is_iri)
+    )""",
+        """w0 AS (SELECT DISTINCT node AS walk_id, CAST(0 AS BIGINT) AS step,
+                      node FROM adj)""",
+    ]
+    for i in range(1, walk_len + 1):
+        draw = _hex32(f"md5(w.walk_id || '|' || {i} || '|' || w.node)", "duckdb")
+        ctes.append(f"""w{i} AS (
+        SELECT w.walk_id, CAST({i} AS BIGINT) AS step, a.nxt AS node
+        FROM w{i - 1} w JOIN adj a ON a.node = w.node
+        WHERE a.rank = ({draw}) % a.degree
+    )""")
+    body = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM w{i}" for i in range(walk_len + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {body}"

@@ -1734,3 +1734,19 @@ QUERIES["ta_bpe_encode"] = q_ta_bpe_encode
 ORACLES["ta_bpe_encode"] = _bpe.bpe_encode_sql(
     "documents", "(SELECT * FROM documents WHERE (doc_id % 13) = 0)"
 )
+
+def q_kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the KG: one walk per start
+    node, next hop = hash(walk|step|node) mod out-degree — identical at
+    any parallelism; walk_len co-partitioned joins, no driver loop
+    (operators/graph.py random_walks)."""
+    from rdf2smw_spark.operators.graph import random_walks
+
+    return random_walks(testdata_triples(spark, sf_dir))
+
+
+QUERIES["kg_random_walks"] = q_kg_random_walks
+
+from rdf2smw_spark.operators.graph import random_walks_sql as _walks_sql  # noqa: E402
+
+ORACLES["kg_random_walks"] = _walks_sql(f"(SELECT * FROM {TRIPLES_SQL})")
