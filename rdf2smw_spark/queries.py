@@ -1750,3 +1750,51 @@ QUERIES["kg_random_walks"] = q_kg_random_walks
 from rdf2smw_spark.operators.graph import random_walks_sql as _walks_sql  # noqa: E402
 
 ORACLES["kg_random_walks"] = _walks_sql(f"(SELECT * FROM {TRIPLES_SQL})")
+
+def q_ev_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-activity day;
+    for each (cohort_day, offset_days) the distinct users still active,
+    with an e6-integer retention ratio. Classic product-analytics OLAP:
+    two slim shuffles (per-user min, per-(cohort, offset) distinct
+    count) + one broadcast-size cohort join — no windows, no quadratic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    act = ev.distinct().join(first, "user_id")
+    ret = act.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    return ret.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        "cohort_size",
+        F.expr("(n_active * 1000000) DIV cohort_size").alias("retention_e6"),
+    )
+
+
+QUERIES["ev_retention"] = q_ev_retention
+
+ORACLES["ev_retention"] = """
+    WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort_day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS cohort_size
+              FROM first GROUP BY cohort_day),
+    act AS (SELECT DISTINCT e.user_id, e.day, f.cohort_day
+            FROM ev e JOIN first f USING (user_id)),
+    ret AS (SELECT cohort_day,
+                   CAST(date_diff('day', cohort_day, day) AS BIGINT)
+                       AS offset_days,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM act GROUP BY 1, 2)
+    SELECT r.cohort_day, r.offset_days, r.n_active, s.cohort_size,
+           CAST((r.n_active * 1000000) // s.cohort_size AS BIGINT)
+               AS retention_e6
+    FROM ret r JOIN sizes s USING (cohort_day)
+"""

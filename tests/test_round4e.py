@@ -153,3 +153,36 @@ def test_zorder_layout_covers_all_rows(spark, sf_dir):
     width = (1 << 32) // 64
     assert ((out["z_min"] // width) == out["file_id"]).all()
     assert ((out["z_max"] // width) == out["file_id"]).all()
+
+
+# --- ev_retention -----------------------------------------------------------------
+
+def test_retention_cohorts_and_ratios(spark):
+    import datetime as dt
+
+    rows = []
+    d0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # users 1,2 start day 0; user 2 returns day 1; user 3 starts day 1
+    rows += [(1, d0), (2, d0), (2, d0 + dt.timedelta(days=1)),
+             (3, d0 + dt.timedelta(days=1)), (3, d0 + dt.timedelta(days=3))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    import rdf2smw_spark.queries as q
+    from pyspark.sql import functions as F
+
+    path = "/tmp/ev_retention_test"
+    ev.withColumn("event_id", F.monotonically_increasing_id()).write.mode(
+        "overwrite"
+    ).parquet(path + "/events.parquet")
+    out = {
+        (str(r["cohort_day"]), r["offset_days"]): r
+        for r in q.q_ev_retention(spark, path).collect()
+    }
+    day0 = "2024-01-01 00:00:00"
+    day1 = "2024-01-02 00:00:00"
+    assert out[(day0, 0)]["n_active"] == 2
+    assert out[(day0, 0)]["cohort_size"] == 2
+    assert out[(day0, 1)]["n_active"] == 1
+    assert out[(day0, 1)]["retention_e6"] == 500000
+    assert out[(day1, 0)]["cohort_size"] == 1
+    assert out[(day1, 2)]["n_active"] == 1
+    assert out[(day1, 2)]["retention_e6"] == 1000000
