@@ -1798,3 +1798,37 @@ ORACLES["ev_retention"] = """
                AS retention_e6
     FROM ret r JOIN sizes s USING (cohort_day)
 """
+
+def q_kg_nquads_triples(spark, sf_dir):
+    """S1 surface, N-Quads form: render the testdata graph as .nq lines
+    (graph term = src_url) in-partition, parse them back with the
+    distributed N-Quads source (sources/nquads.py) — zero shuffle, and
+    the oracle is the plain kg_triples derivation, so a green row
+    proves serialize∘parse is the identity including the graph column's
+    src_url round trip."""
+    import pandas as pd
+
+    from rdf2smw_spark.sources.nquads import parse_nquads_lines, quads_to_nquads
+
+    t = testdata_triples(spark, sf_dir)
+
+    def ser(it):
+        for pdf in it:
+            rows = [
+                (s, p, o, bool(i), None if pd.isna(d) else d, g)
+                for s, p, o, i, d, g in zip(
+                    pdf["subj"], pdf["pred"], pdf["obj"],
+                    pdf["obj_is_iri"], pdf["obj_datatype"], pdf["src_url"],
+                )
+            ]
+            lines = quads_to_nquads(rows).rstrip("\n").split("\n") if rows else []
+            yield pd.DataFrame({"value": pd.Series(lines, dtype="object")})
+
+    parsed = parse_nquads_lines(t.mapInPandas(ser, "value string"))
+    return parsed.filter(parsed.error.isNull()).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+    )
+
+
+QUERIES["kg_nquads_triples"] = q_kg_nquads_triples
+ORACLES["kg_nquads_triples"] = f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples"
