@@ -1,19 +1,29 @@
-"""Two-parallelism scaling probe for round-4 operators (north-rule
-evidence beyond the conversion pipeline). Same discipline as bench.py:
-interleaved FIXED draws set a priori, separate process per draw, floors
-reported, a noop sink materializing every column.
+"""Two-cluster-size scaling probe for round-4 operators (north-rule
+evidence beyond the conversion pipeline), under the SAME separate-JVM
+protocol as bench.py's north pair: local-cluster 1 -> 4 executors x 4
+cores (each executor its own JVM/heap — the sandbox rendering of
+"N and 4N executors"; shared-JVM local[8]->local[32] measures this
+box's DRAM ceiling, not executor scaling — BASELINE.md).
 
-The registry queries run on sf-dir tables that are TINY at sf0.1 (the
-documents table is ~570 rows — the correctness gate's size, not a
-throughput input), so this probe materializes scale-appropriate inputs
-once (untimed): the bench's x32 replicated triple table (30.9M rows)
-and a x64 replicated documents table (~36k docs, texts perturbed per
-replica so dedup stays non-degenerate), then times the OPERATORS
-directly.
+Protocol (set a priori, no outcome-conditioned choices):
+  - inputs materialized once, untimed: x16-replicated triples (15.4M
+    rows) and x16-replicated documents (~9k docs, texts perturbed per
+    replica so dedup/BPE stay non-degenerate) — sized so the 1-executor
+    draws run 45-120s (outlasting the host's short interference windows)
+    while the full probe fits in ~1h;
+  - per draw: fresh process, one FULL untimed warm-up pass (fresh
+    executor JVMs are half-JITed; bench.py measured first-run ~2x),
+    then ONE timed pass;
+  - 2 pair rounds, levels interleaved (1,4,4,1) -> 4 draws/level;
+    floors AND medians reported, every raw draw recorded.
+
+Earlier shared-JVM results are kept in /tmp/op_scaling2.json for
+transparency; they read 0.24-0.56 for the same operators because all
+32 threads share one heap/allocator.
 
 Usage:
     python scripts/probe_op_scaling.py            # full report
-    python scripts/probe_op_scaling.py --one <cores> <op>
+    python scripts/probe_op_scaling.py --one <executors> <op>
 """
 
 from __future__ import annotations
@@ -29,37 +39,45 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = "/tmp/spark_graft_probe"
-DOCS_X = 64
-TRIPLES_PATH = os.path.join(PROBE_DIR, "triples_x32")
+TRIPLES_X = 16
+DOCS_X = 16
+TRIPLES_PATH = os.path.join(PROBE_DIR, f"triples_x{TRIPLES_X}")
 DOCS_PATH = os.path.join(PROBE_DIR, f"docs_x{DOCS_X}")
 OPS = ["ta_curation", "kg_random_walks", "ta_bpe_encode", "kg_neg_samples"]
-PAIR = (8, 32)
+PAIR = (1, 4)  # executors; 4 cores each (SPARK_GRAFT_EXEC_CORES rationale in bench.py)
+EXEC_CORES = 4
 ROUNDS = 2  # a priori; no outcome-conditioned stopping
 
 
 def _ensure_inputs() -> None:
-    from rdf2smw_spark.session import get_spark
-
-    if not os.path.exists(os.path.join(TRIPLES_PATH, "_SUCCESS")):
-        env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_SCALE_FACTOR="32")
-        subprocess.run(
-            [sys.executable, "-c",
-             "import bench; bench._ensure_probe_input()"],
-            cwd=REPO, env=env, check=True,
-        )
-    if os.path.exists(os.path.join(DOCS_PATH, "_SUCCESS")):
-        return
-    spark = get_spark(app_name="probe-docs-setup", cores=32)
-    spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-    reps = spark.range(DOCS_X).select(F.col("id").alias("rep"))
-    big = docs.crossJoin(reps).select(
-        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-        F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
-    )
-    big.repartition(64).write.mode("overwrite").parquet(DOCS_PATH)
+    from rdf2smw_spark.session import get_spark
+
+    need_triples = not os.path.exists(os.path.join(TRIPLES_PATH, "_SUCCESS"))
+    need_docs = not os.path.exists(os.path.join(DOCS_PATH, "_SUCCESS"))
+    if not (need_triples or need_docs):
+        return
+    spark = get_spark(app_name="probe-op-setup", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    if need_triples:
+        from rdf2smw_spark.queries import testdata_triples
+
+        t = testdata_triples(spark, SF_DIR)
+        reps = spark.range(TRIPLES_X).select(F.col("id").alias("rep"))
+        big = t.crossJoin(reps).select(
+            F.concat("subj", F.lit("/r"), F.col("rep")).alias("subj"),
+            "pred", "obj", "obj_is_iri", "obj_datatype", "src_url",
+        )
+        big.repartition(64).write.mode("overwrite").parquet(TRIPLES_PATH)
+    if need_docs:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(DOCS_X).select(F.col("id").alias("rep"))
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("rep")).alias("text"),
+        )
+        big.repartition(64).write.mode("overwrite").parquet(DOCS_PATH)
     spark.stop()
 
 
@@ -85,17 +103,30 @@ def _load_op(spark, op: str):
     return negative_samples(triples)
 
 
-def _run_one(cores: int, op: str) -> None:
+def _run_one(executors: int, op: str) -> None:
     from rdf2smw_spark.session import get_spark, release_scoped_caches
 
-    spark = get_spark(app_name=f"probe-{op}", cores=cores)
+    spark = get_spark(
+        app_name=f"probe-{op}-e{executors}",
+        executors=executors,
+        cores_per_executor=EXEC_CORES,
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(100000).selectExpr("sum(id)").collect()  # JVM warmup only
+    # full untimed warm-up pass: JIT + codegen + executor registration
+    _load_op(spark, op).write.format("noop").mode("overwrite").save()
+    release_scoped_caches()
     t0 = time.monotonic()
     _load_op(spark, op).write.format("noop").mode("overwrite").save()
     elapsed = time.monotonic() - t0
     release_scoped_caches()
-    print(json.dumps({"op": op, "cores": cores, "elapsed_sec": round(elapsed, 3)}))
+    print(json.dumps({"op": op, "executors": executors,
+                      "elapsed_sec": round(elapsed, 3)}))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:
@@ -106,33 +137,38 @@ def main() -> None:
     names = sys.argv[1:] or OPS
     draws: dict[tuple[str, int], list[float]] = {}
     for _ in range(ROUNDS):
-        for cores in PAIR + PAIR[::-1]:  # interleave 8,32,32,8
+        for execs in PAIR + PAIR[::-1]:  # interleave 1,4,4,1
             for name in names:
                 cmd = [sys.executable, os.path.abspath(__file__), "--one",
-                       str(cores), name]
+                       str(execs), name]
                 out = subprocess.run(
                     cmd, capture_output=True, text=True, cwd=REPO,
                     env=dict(os.environ, PYTHONPATH=REPO),
                 ).stdout.strip().splitlines()
-                rec = json.loads(out[-1])
-                draws.setdefault((name, cores), []).append(rec["elapsed_sec"])
+                rec = json.loads([l for l in out if l.startswith("{")][-1])
+                draws.setdefault((name, execs), []).append(rec["elapsed_sec"])
     report = []
     lo, hi = PAIR
+    ratio = hi / lo
     for name in names:
         tl, th = draws[(name, lo)], draws[(name, hi)]
         t_lo, t_hi = min(tl), min(th)
+        m_lo, m_hi = _median(tl), _median(th)
         report.append({
             "op": name,
-            "cores": f"local[{lo}]->local[{hi}]",
+            "cluster": f"{lo}->{hi} executors x {EXEC_CORES} cores (separate JVMs)",
             "t_lo_sec": t_lo,
             "t_hi_sec": t_hi,
-            "efficiency": round(t_lo / ((hi / lo) * t_hi), 3),
+            "efficiency": round(t_lo / (ratio * t_hi), 3),
+            "efficiency_median": round(m_lo / (ratio * m_hi), 3),
             "draws_lo_sec": tl,
             "draws_hi_sec": th,
         })
     print(json.dumps({
-        "inputs": {"triples": "x32 (30.9M rows)", "docs": f"x{DOCS_X}"},
+        "inputs": {"triples": f"x{TRIPLES_X}", "docs": f"x{DOCS_X}"},
         "rounds": ROUNDS,
+        "protocol": "separate-JVM local-cluster pair, full warm-up pass + "
+                    "1 timed pass per fresh-process draw, fixed draws a priori",
         "pairs": report,
     }, indent=1))
 
