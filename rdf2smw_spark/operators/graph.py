@@ -717,3 +717,79 @@ def random_walks_sql(triples_sql: str, walk_len: int = WALK_LEN) -> str:
         f"SELECT walk_id, step, node FROM w{i}" for i in range(walk_len + 1)
     )
     return "WITH " + ",\n    ".join(ctes) + f"\n    {body}"
+
+
+# --- quotient-graph summarization ---------------------------------------------
+
+def quotient_summary(triples: DataFrame) -> DataFrame:
+    """SNAP-style quotient summarization (Tian et al. SIGMOD'08 family):
+    collapse every subject into a supernode keyed by its *predicate
+    signature* (the sorted set of predicates it carries) and emit the
+    superedges — (src_sig, pred, dst_sig, n_edges, n_src_nodes,
+    n_dst_nodes) for IRI-object triples whose object is itself a
+    subject. The summary is what a 10^12-triple KG ships to planners
+    and UIs: schema-shaped, thousands of rows, while the full graph
+    stays in the lake (the reference's per-type template inference,
+    convert.go:117-142, is the 1-hop special case of this signature
+    grouping).
+
+    Determinism: signature = '|'-joined sorted distinct predicate list
+    (sort_array over collect_set — set order never leaks); all outputs
+    are counts.
+
+    Scale shape: one groupBy(subj) builds signatures (map-side partial
+    collect_set of a BOUNDED set — distinct predicates per subject is
+    schema-sized); edges join signatures on src then dst (two shuffle
+    hash joins on uri — the signature frame has one slim row per
+    subject; co-partitioned with the edge keys by AQE); the final
+    groupBy is summary-sized. Node counts per signature ride the same
+    signature frame — no extra pass over the triples."""
+    sigs = (
+        triples.groupBy("subj")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_set("pred"))).alias("sig"))
+    )
+    sizes = sigs.groupBy("sig").agg(F.count("*").alias("n_nodes"))
+    edges = triples.filter(F.col("obj_is_iri")).select("subj", "pred", "obj")
+    e = (
+        edges.join(sigs.select(F.col("subj").alias("__s"), F.col("sig").alias("src_sig")),
+                   F.col("subj") == F.col("__s"))
+        .join(sigs.select(F.col("subj").alias("__o"), F.col("sig").alias("dst_sig")),
+              F.col("obj") == F.col("__o"))
+        .groupBy("src_sig", "pred", "dst_sig")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        e.join(sizes.select(F.col("sig").alias("src_sig"),
+                            F.col("n_nodes").alias("n_src_nodes")), "src_sig")
+        .join(sizes.select(F.col("sig").alias("dst_sig"),
+                           F.col("n_nodes").alias("n_dst_nodes")), "dst_sig")
+        .select("src_sig", "pred", "dst_sig", "n_edges",
+                "n_src_nodes", "n_dst_nodes")
+    )
+
+
+def quotient_summary_sql(triples_sql: str) -> str:
+    """DuckDB twin: string_agg(DISTINCT pred ORDER BY pred) mirrors
+    sort_array(collect_set(pred)) exactly for '|'-joined signatures."""
+    return f"""
+    WITH t AS (SELECT * FROM {triples_sql}),
+    sigs AS (
+        SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS sig
+        FROM t GROUP BY subj
+    ),
+    sizes AS (SELECT sig, COUNT(*) AS n_nodes FROM sigs GROUP BY sig),
+    e AS (
+        SELECT ss.sig AS src_sig, t.pred, so.sig AS dst_sig,
+               COUNT(*) AS n_edges
+        FROM t
+        JOIN sigs ss ON ss.subj = t.subj
+        JOIN sigs so ON so.subj = t.obj
+        WHERE t.obj_is_iri
+        GROUP BY 1, 2, 3
+    )
+    SELECT e.src_sig, e.pred, e.dst_sig, e.n_edges,
+           zs.n_nodes AS n_src_nodes, zd.n_nodes AS n_dst_nodes
+    FROM e
+    JOIN sizes zs ON zs.sig = e.src_sig
+    JOIN sizes zd ON zd.sig = e.dst_sig
+    """

@@ -49,7 +49,7 @@ from rdf2smw_spark.functions.textnorm import sql_smw_type
 
 TRIPLES_SQL = duckdb_triples_sql()
 URI_TYPE_PREDICATE_DECL = TYPE_PROPERTY_URI
-from rdf2smw_spark.sources.testdata import NATION as _NATION_NS, ONT as _ONT_NS  # noqa: E402
+from rdf2smw_spark.sources.testdata import NATION as _NATION_NS, ONT as _ONT_NS, ORDER as _ORDER_NS  # noqa: E402
 _ONT_CUSTOMER = _ONT_NS + "customer"
 _NATION0 = _NATION_NS + "0"
 PAGES_SQL = duckdb_pages_sql()
@@ -1832,3 +1832,82 @@ def q_kg_nquads_triples(spark, sf_dir):
 
 QUERIES["kg_nquads_triples"] = q_kg_nquads_triples
 ORACLES["kg_nquads_triples"] = f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples"
+
+
+# --- truth-discovery fact fusion (operators/fusion.py) -------------------------------
+
+_SUPPLIER_NS = "http://example.org/supplier/"
+_SHIPS_PRED = _ONT_NS + "shipsFromNation"
+
+
+def _fusion_claims(spark, sf_dir):
+    """Deterministic conflicting-claims table from testdata: every
+    supplier on an order asserts the order ships from ITS nation —
+    ~92% of sf0.01 orders carry conflicting assertions, so the fusion
+    dynamics (not just the happy path) are exercised."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .select(
+            F.concat(F.lit(_ORDER_NS), F.col("l_orderkey")).alias("subj"),
+            F.lit(_SHIPS_PRED).alias("pred"),
+            F.concat(F.lit(_NATION_NS), F.col("s_nationkey")).alias("obj"),
+            F.concat(F.lit(_SUPPLIER_NS), F.col("l_suppkey")).alias("source"),
+        )
+        .distinct()
+    )
+
+
+_FUSION_CLAIMS_SQL = f"""(
+    SELECT DISTINCT
+        '{{ORDER}}' || l_orderkey AS subj,
+        '{{PRED}}' AS pred,
+        '{{NATION}}' || s_nationkey AS obj,
+        '{{SUPPLIER}}' || l_suppkey AS source
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+)"""
+
+
+def q_kg_fact_fusion(spark, sf_dir):
+    """Multi-source conflict resolution over extracted claims: 2
+    trust/confidence iterations (TruthFinder family), winner per
+    (subj, pred) — the post-linking canonicalization step of a web KG
+    build. All-integer e6 arithmetic, hash-exact vs the unrolled-CTE
+    DuckDB twin."""
+    from rdf2smw_spark.operators.fusion import fact_fusion
+
+    return fact_fusion(_fusion_claims(spark, sf_dir))
+
+
+QUERIES["kg_fact_fusion"] = q_kg_fact_fusion
+from rdf2smw_spark.operators.fusion import fact_fusion_sql as _fusion_sql  # noqa: E402
+
+ORACLES["kg_fact_fusion"] = _fusion_sql(
+    _FUSION_CLAIMS_SQL.replace("{ORDER}", _ORDER_NS)
+    .replace("{PRED}", _SHIPS_PRED)
+    .replace("{NATION}", _NATION_NS)
+    .replace("{SUPPLIER}", _SUPPLIER_NS)
+)
+
+
+# --- quotient-graph summarization (operators/graph.py) -------------------------------
+
+def q_kg_quotient_summary(spark, sf_dir):
+    """SNAP-style summary graph: supernode = predicate-signature class,
+    superedge = (src_sig, pred, dst_sig) with edge + node counts — the
+    schema-shaped digest planners read instead of the 10^12-triple
+    graph."""
+    from rdf2smw_spark.operators.graph import quotient_summary
+
+    return quotient_summary(testdata_triples(spark, sf_dir))
+
+
+QUERIES["kg_quotient_summary"] = q_kg_quotient_summary
+from rdf2smw_spark.operators.graph import quotient_summary_sql as _qsum_sql  # noqa: E402
+
+ORACLES["kg_quotient_summary"] = _qsum_sql(f"(WITH triples AS {TRIPLES_SQL} SELECT * FROM triples)")
