@@ -793,3 +793,51 @@ def quotient_summary_sql(triples_sql: str) -> str:
     JOIN sizes zs ON zs.sig = e.src_sig
     JOIN sizes zd ON zd.sig = e.dst_sig
     """
+
+
+# --- skip-gram co-occurrence over walks ----------------------------------------
+
+COOCCUR_WINDOW = 2
+
+
+def walk_cooccurrence(walks: DataFrame, window: int = COOCCUR_WINDOW) -> DataFrame:
+    """(node_a, node_b, n_cooccur): unordered node pairs appearing within
+    `window` steps of each other on the same walk — the skip-gram pair
+    counts DeepWalk (Perozzi et al. KDD'14) feeds to its embedding; the
+    counts matrix IS the distributed data-prep half of the algorithm
+    (the SGD half is a trainer concern, like ivf_train's Lloyd loop).
+
+    Scale shape: each walk row expands into `window` (walk_id, step+off)
+    keys and equi-joins back to the walks — a hash shuffle on a slim
+    composite key, the sorted-neighborhood pairing shape (linking.py),
+    never a range scan or per-walk collect. Pair canonicalization
+    (least/greatest) happens in-row before the final count groupBy, so
+    symmetric duplicates never ship twice."""
+    right = walks.select(
+        "walk_id", F.col("step").alias("step_b"), F.col("node").alias("node_b")
+    )
+    left = walks.select(
+        "walk_id", "step", "node",
+        F.explode(F.expr(f"sequence(1, {window})")).alias("off"),
+    ).withColumn("step_b", F.col("step") + F.col("off"))
+    pairs = left.join(right, ["walk_id", "step_b"]).select(
+        F.least("node", "node_b").alias("node_a"),
+        F.greatest("node", "node_b").alias("node_b"),
+    )
+    return pairs.groupBy("node_a", "node_b").agg(F.count("*").alias("n_cooccur"))
+
+
+def walk_cooccurrence_sql(walks_sql: str, window: int = COOCCUR_WINDOW) -> str:
+    """DuckDB twin over a (walk_id, step, node) relation (compose with
+    random_walks_sql): same step-range pairing, same least/greatest
+    canonicalization."""
+    return f"""
+    WITH w AS (SELECT * FROM {walks_sql})
+    SELECT LEAST(a.node, b.node) AS node_a,
+           GREATEST(a.node, b.node) AS node_b,
+           COUNT(*) AS n_cooccur
+    FROM w a JOIN w b
+      ON a.walk_id = b.walk_id
+     AND b.step BETWEEN a.step + 1 AND a.step + {window}
+    GROUP BY 1, 2
+    """

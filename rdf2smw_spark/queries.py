@@ -1911,3 +1911,66 @@ QUERIES["kg_quotient_summary"] = q_kg_quotient_summary
 from rdf2smw_spark.operators.graph import quotient_summary_sql as _qsum_sql  # noqa: E402
 
 ORACLES["kg_quotient_summary"] = _qsum_sql(f"(WITH triples AS {TRIPLES_SQL} SELECT * FROM triples)")
+
+
+# --- temporal fact intervals (operators/temporal.py) ---------------------------------
+
+_STATUS_PRED = _ONT_NS + "status"
+_USER_NS = "http://example.org/user/"
+
+
+def _temporal_claims(spark, sf_dir):
+    """Time-stamped claims from the event stream: each event asserts
+    the user's current status (its event_type) at ts — consecutive
+    equal statuses collapse into validity intervals."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.concat(F.lit(_USER_NS), F.col("user_id")).alias("subj"),
+        F.lit(_STATUS_PRED).alias("pred"),
+        F.col("event_type").alias("obj"),
+        "ts",
+    )
+
+
+def q_kg_fact_intervals(spark, sf_dir):
+    """Temporal KG versioning: gaps-and-islands collapse of observed
+    (subj, pred, obj, ts) claims into (valid_from, valid_to) intervals
+    — point-in-time KG queries become one range predicate. One bounded
+    (subj, pred) window + one same-key groupBy (operators/temporal.py)."""
+    from rdf2smw_spark.operators.temporal import fact_intervals
+
+    return fact_intervals(_temporal_claims(spark, sf_dir))
+
+
+QUERIES["kg_fact_intervals"] = q_kg_fact_intervals
+from rdf2smw_spark.operators.temporal import fact_intervals_sql as _fiv_sql  # noqa: E402
+
+ORACLES["kg_fact_intervals"] = _fiv_sql(
+    f"""(
+    SELECT '{_USER_NS}' || user_id AS subj,
+           '{_STATUS_PRED}' AS pred,
+           event_type AS obj,
+           ts
+    FROM events
+)"""
+)
+
+
+# --- DeepWalk skip-gram pair counts (operators/graph.py) -----------------------------
+
+def q_kg_walk_cooccur(spark, sf_dir):
+    """Skip-gram co-occurrence counts over the deterministic walk
+    corpus — the distributed data-prep half of DeepWalk. Composes
+    random_walks (hash-driven, parallelism-invariant) with the
+    rank-adjacency pairing join; counts are exact vs the SQL twin."""
+    from rdf2smw_spark.operators.graph import random_walks, walk_cooccurrence
+
+    return walk_cooccurrence(random_walks(testdata_triples(spark, sf_dir)))
+
+
+QUERIES["kg_walk_cooccur"] = q_kg_walk_cooccur
+from rdf2smw_spark.operators.graph import walk_cooccurrence_sql as _wcc_sql  # noqa: E402
+
+ORACLES["kg_walk_cooccur"] = _wcc_sql(
+    f"({_walks_sql(f'(SELECT * FROM {TRIPLES_SQL})')})"
+)
