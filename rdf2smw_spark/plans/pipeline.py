@@ -306,6 +306,15 @@ def run_nt_pipeline(
         from rdf2smw_spark.sources.turtle import read_turtle
 
         triples, bad = read_turtle(spark, nt_path)
+    elif nt_path.endswith(".nq"):
+        # N-Quads (sources/nquads.py): the graph term lands in src_url,
+        # so conversion is unchanged and lineage stays per-graph
+        from rdf2smw_spark.sources.nquads import read_nquads
+
+        triples, bad = read_nquads(spark, nt_path)
+        triples = triples.select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+        )
     else:
         triples, bad = read_ntriples(spark, nt_path)
     pages = triples_to_pages(spark, triples, n_salt=n_salt)

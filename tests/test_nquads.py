@@ -89,3 +89,21 @@ def test_serialize_parse_identity(spark):
         ("_:b0", "http://p", "_:b1", False, None, "http://g2"),
     ]
     assert sorted(got, key=repr) == sorted(want, key=repr)
+
+
+def test_nq_cli_pipeline(spark, tmp_path):
+    # .nq extension dispatches to the N-Quads reader in run_nt_pipeline;
+    # graph term becomes src_url lineage, conversion output unchanged
+    from rdf2smw_spark.plans.pipeline import run_nt_pipeline
+
+    nq = tmp_path / "in.nq"
+    nq.write_text(
+        '<http://e/s> <http://e/p> "v" <http://g/one> .\n'
+        'garbage\n'
+        '<http://e/s2> <http://e/p> "w" .\n'
+    )
+    res = run_nt_pipeline(spark, str(nq), str(tmp_path / "out"))
+    assert res["bad_lines"] == 1
+    assert res["n_pages"] == 3  # s, s2, property page for p
+    xml = (tmp_path / "out" / "pages.xml").read_text()
+    assert "<title>S</title>" in xml and "<title>S2</title>" in xml
