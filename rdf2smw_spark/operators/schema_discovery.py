@@ -164,3 +164,47 @@ def void_property_partitions_sql(triples_sql: str) -> str:
            COUNT(DISTINCT obj) AS n_distinct_objects
     FROM {triples_sql} GROUP BY pred
     """
+
+
+# --- 2-hop meta-path counts ----------------------------------------------------
+
+def metapath_counts(triples: DataFrame) -> DataFrame:
+    """(pred_a, pred_b, n_paths): how many length-2 paths s -p_a-> m
+    -p_b-> t the graph contains per predicate pair — the meta-path
+    statistics heterogeneous-graph systems (PathSim, metapath2vec) use
+    to pick composite relations, and the KG's join-selectivity table.
+
+    Scale shape — the identity that makes this tractable at 10^12
+    edges: the path count through middle m is in_{p_a}(m)·out_{p_b}(m),
+    so we aggregate per-(node, pred) in/out degrees (two slim shuffles),
+    join the two degree frames on the middle node (hash join on uri;
+    hub middles are single fat-but-bounded rows, not row explosions),
+    and SUM the products — the quadratic path set itself is NEVER
+    materialized. The DuckDB twin deliberately computes the naive
+    edge-edge self-join instead, so the two engines cross-check the
+    identity, not just each other's arithmetic."""
+    e = triples.filter(F.col("obj_is_iri")).select("subj", "pred", "obj")
+    mid_in = e.groupBy(F.col("obj").alias("m"), F.col("pred").alias("pred_a")).agg(
+        F.count("*").alias("c_in")
+    )
+    mid_out = e.groupBy(F.col("subj").alias("m"), F.col("pred").alias("pred_b")).agg(
+        F.count("*").alias("c_out")
+    )
+    return (
+        mid_in.join(mid_out, "m")
+        .groupBy("pred_a", "pred_b")
+        .agg(F.sum(F.col("c_in") * F.col("c_out")).alias("n_paths"))
+    )
+
+
+def metapath_counts_sql(triples_sql: str) -> str:
+    """Oracle via the NAIVE formulation (edge-edge self-join on the
+    middle node) — an independent derivation of the same counts."""
+    return f"""
+    WITH e AS (
+        SELECT subj, pred, obj FROM {triples_sql} WHERE obj_is_iri
+    )
+    SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS n_paths
+    FROM e a JOIN e b ON a.obj = b.subj
+    GROUP BY 1, 2
+    """

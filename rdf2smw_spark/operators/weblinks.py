@@ -201,3 +201,68 @@ def capture_history_sql(pages_text_sql: str) -> str:
            LEAD(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts) AS valid_to
     FROM bounds
     """
+
+
+# --- crawl frontier prioritization ---------------------------------------------
+
+FRONTIER_PER_HOST = 10
+
+
+def crawl_frontier(
+    pages: DataFrame, edges: DataFrame, per_host: int = FRONTIER_PER_HOST
+) -> DataFrame:
+    """(host, url, n_refs, rank): the next URLs a crawler should fetch —
+    link targets never captured yet, scored by referrer count, at most
+    `per_host` per host (politeness: a host's fetch budget is the
+    scheduling unit, so ranking is per-host BY CONSTRUCTION — the window
+    partitions on host and can never degenerate to a global sort; hot
+    hosts cost one fat-but-bounded partition, and AQE skew handling
+    splits the count shuffle under them).
+
+    Scale shape: referrer counts are one groupBy(href) with map-side
+    partials; the uncrawled filter is a left-anti hash join against the
+    (slim, distinct-url) capture list; the per-host top-k is a
+    partitioned row_number. Ties break on url so the frontier is
+    deterministic at any parallelism."""
+    crawled = pages.select("url").distinct()
+    refs = edges.groupBy("href").agg(F.countDistinct("src_url").alias("n_refs"))
+    fresh = refs.join(crawled, refs.href == crawled.url, "left_anti")
+    scored = fresh.select(
+        F.regexp_extract("href", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1).alias("host"),
+        F.col("href").alias("url"),
+        "n_refs",
+    ).filter(F.col("host") != "")
+    w = Window.partitionBy("host").orderBy(F.col("n_refs").desc(), "url")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_host)
+    )
+
+
+def crawl_frontier_sql(
+    pages_sql: str, edges_sql: str, per_host: int = FRONTIER_PER_HOST
+) -> str:
+    """DuckDB twin: same anti join, same per-host ranked window."""
+    return f"""
+    WITH crawled AS (SELECT DISTINCT url FROM {pages_sql}),
+    refs AS (
+        SELECT href, COUNT(DISTINCT src_url) AS n_refs
+        FROM {edges_sql} GROUP BY href
+    ),
+    fresh AS (
+        SELECT r.href, r.n_refs FROM refs r
+        WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = r.href)
+    ),
+    scored AS (
+        SELECT regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+               href AS url, n_refs
+        FROM fresh
+    ),
+    ranked AS (
+        SELECT host, url, n_refs,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY n_refs DESC, url) AS rank
+        FROM scored WHERE host <> ''
+    )
+    SELECT * FROM ranked WHERE rank <= {per_host}
+    """

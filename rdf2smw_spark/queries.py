@@ -1974,3 +1974,36 @@ from rdf2smw_spark.operators.graph import walk_cooccurrence_sql as _wcc_sql  # n
 ORACLES["kg_walk_cooccur"] = _wcc_sql(
     f"({_walks_sql(f'(SELECT * FROM {TRIPLES_SQL})')})"
 )
+
+
+# --- crawl frontier (operators/weblinks.py) -------------------------------------------
+
+def q_web_crawl_frontier(spark, sf_dir):
+    """Next-fetch scheduling: uncrawled link targets scored by referrer
+    count, top-10 per host (politeness partition = window partition, so
+    ranking never globalizes). Anti-join against the capture list +
+    one href groupBy."""
+    pages = synth_pages(spark, sf_dir)
+    return wl.crawl_frontier(pages, wl.extract_links(pages))
+
+
+QUERIES["web_crawl_frontier"] = q_web_crawl_frontier
+ORACLES["web_crawl_frontier"] = wl.crawl_frontier_sql(
+    f"({PAGES_SQL})", f"({wl.extract_links_sql(f'({PAGES_SQL})')})"
+)
+
+
+# --- 2-hop meta-path counts (operators/schema_discovery.py) --------------------------
+
+def q_kg_metapaths(spark, sf_dir):
+    """Predicate-pair path counts via the degree-product identity
+    (sum over middles of in_a x out_b) — two slim per-(node, pred)
+    aggregates + one middle-node join; the quadratic path set is never
+    materialized. Oracle computes the naive self-join independently."""
+    return _sd.metapath_counts(testdata_triples(spark, sf_dir))
+
+
+QUERIES["kg_metapaths"] = q_kg_metapaths
+ORACLES["kg_metapaths"] = _sd.metapath_counts_sql(
+    f"(WITH triples AS {TRIPLES_SQL} SELECT * FROM triples)"
+)
