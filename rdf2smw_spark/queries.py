@@ -2007,3 +2007,44 @@ QUERIES["kg_metapaths"] = q_kg_metapaths
 ORACLES["kg_metapaths"] = _sd.metapath_counts_sql(
     f"(WITH triples AS {TRIPLES_SQL} SELECT * FROM triples)"
 )
+
+
+# --- incremental fact fusion (operators/fusion.py) -----------------------------------
+
+def q_kg_fusion_incremental(spark, sf_dir):
+    """Delta maintenance of the fused-facts table: trust frozen from
+    the base claim corpus, the delta's (subj, pred) slots re-voted,
+    every other fused row passed through — cost scales with the delta.
+    The oracle computes fuse_with_trust(all, fuse_trust(base))
+    directly, so a green row proves the incremental path equals the
+    full recompute."""
+    from rdf2smw_spark.operators.fusion import (
+        fuse_incremental, fuse_trust, fuse_with_trust,
+    )
+    from rdf2smw_spark.session import scoped_persist
+
+    claims = _fusion_claims(spark, sf_dir)
+    is_delta = F.expr(
+        f"CAST(substring(subj, {len(_ORDER_NS) + 1}) AS BIGINT) % 7 = 0"
+    )
+    base = scoped_persist(claims.filter(~is_delta))
+    delta = claims.filter(is_delta)
+    trust = fuse_trust(base)
+    fused = fuse_with_trust(base, trust)
+    return fuse_incremental(fused, base, delta, trust)
+
+
+QUERIES["kg_fusion_incremental"] = q_kg_fusion_incremental
+from rdf2smw_spark.operators.fusion import fuse_incremental_sql as _finc_sql  # noqa: E402
+
+_FUSION_CLAIMS_FILLED = (
+    _FUSION_CLAIMS_SQL.replace("{ORDER}", _ORDER_NS)
+    .replace("{PRED}", _SHIPS_PRED)
+    .replace("{NATION}", _NATION_NS)
+    .replace("{SUPPLIER}", _SUPPLIER_NS)
+)
+ORACLES["kg_fusion_incremental"] = _finc_sql(
+    f"(SELECT * FROM {_FUSION_CLAIMS_FILLED}"
+    f" WHERE CAST(substring(subj, {len(_ORDER_NS) + 1}) AS BIGINT) % 7 <> 0)",
+    _FUSION_CLAIMS_FILLED,
+)

@@ -4,7 +4,13 @@ summarization (operators/graph.py)."""
 import duckdb
 from pyspark.sql import functions as F
 
-from rdf2smw_spark.operators.fusion import fact_fusion, fact_fusion_sql
+from rdf2smw_spark.operators.fusion import (
+    fact_fusion,
+    fact_fusion_sql,
+    fuse_incremental,
+    fuse_trust,
+    fuse_with_trust,
+)
 from rdf2smw_spark.operators.graph import quotient_summary, quotient_summary_sql
 
 CLAIM_SCHEMA = "subj string, pred string, obj string, source string"
@@ -60,6 +66,35 @@ def test_fusion_deterministic_across_partitioning(spark):
     r1 = sorted(map(tuple, fact_fusion(df1).collect()))
     r7 = sorted(map(tuple, fact_fusion(df7).collect()))
     assert r1 == r7
+
+
+def test_fuse_incremental_equals_full_revote(spark):
+    """Exactness contract: maintaining the fused table under a claim
+    delta (frozen trust from the BASE corpus) must equal one full
+    voting pass over base ∪ delta under the same trust — including a
+    delta from a brand-new source (uniform prior) and a delta that
+    flips an existing slot's winner."""
+    base = spark.createDataFrame(
+        CLAIMS + [("f0", "p", "w", "B")], CLAIM_SCHEMA  # f0: never touched
+    )
+    delta = spark.createDataFrame(
+        [
+            ("f2", "p", "v", "D"),  # new source, touches existing slot f2
+            ("f3", "p", "z", "A"),  # brand-new slot
+            ("f1", "p", "y", "D"),  # extra vote on f1's losing object
+        ],
+        CLAIM_SCHEMA,
+    )
+    trust = fuse_trust(base)
+    fused = fuse_with_trust(base, trust)
+    inc = fuse_incremental(fused, base, delta, trust)
+    full = fuse_with_trust(base.unionByName(delta), trust)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    rows = {r.subj: r for r in inc.collect()}
+    assert "f0" in rows  # the untouched-passthrough branch carried a row
+    assert "f3" in rows and rows["f3"].obj == "z"  # new slot re-voted in
 
 
 TRIPLES = [
