@@ -1,0 +1,246 @@
+"""RDFS entailment materialization (the rho-df fragment).
+
+The KG-construction step between extraction and serving: make the
+triples the schema IMPLIES explicit, so downstream queries (BGPs,
+property tables, page rendering) never need a reasoner in the read
+path. Covers the instance-relevant RDFS rules:
+
+  rdfs5   subPropertyOf transitivity            (schema layer)
+  rdfs11  subClassOf transitivity               (schema layer)
+  rdfs7   (x P y), P subP+ Q          -> (x Q y)
+  rdfs2   (x P y), P domain C         -> (x type C)
+  rdfs3   (x P y), P range C, y IRI   -> (y type C)
+  rdfs9   (x type C), C subC+ D       -> (x type D)
+
+The rule set STRATIFIES: close the two schema layers first, extend
+property triples (rdfs7), apply domain/range to the extended set
+(rdfs2/3 — so a domain declared on a SUPER-property fires through
+rdfs7), then push every type triple up the closed class hierarchy
+(rdfs9, which produces only type triples that feed no further rule
+because the closure is already transitive). One pass, no instance-
+layer fixpoint — the only iteration is over the schema layers,
+O(hierarchy height) rounds on edge sets that are a sliver of the
+corpus (reference analogue: the converter's recursive
+countSuperCategories walk, triplestowikipageconv.go:278-292, which
+this generalizes from category counting to full entailment).
+
+Scale shape: subC+/subP+/domain/range are schema-sized — size-guarded
+broadcasts against the instance side; the instance side is touched by
+map-side joins only, never shuffled on a hot key. Output is the
+DERIVED-ONLY delta (anti-join on the asserted triple key), i.e. the
+MERGE source for maintaining a materialized-closure table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.schemas import SUBCLASS_PROPERTY_URI, TYPE_PROPERTY_URI
+from rdf2smw_spark.session import maybe_broadcast, scoped_persist
+
+SUBPROPERTY_URI = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+DOMAIN_URI = "http://www.w3.org/2000/01/rdf-schema#domain"
+RANGE_URI = "http://www.w3.org/2000/01/rdf-schema#range"
+
+# schema layers beyond this row count fall back to shuffle joins
+# (same adversarial-input discipline as the fuzzy-link map)
+SCHEMA_BROADCAST_LIMIT = 5_000_000
+
+
+CLASS_CUSTOMER = "http://example.org/class/Customer"
+CLASS_EVENT = "http://example.org/class/Event"
+CLASS_AGENT = "http://example.org/class/Agent"
+
+# Planted declarations for the registry query (the testdata graph
+# asserts subClassOf but no subPropertyOf/domain/range): a 2-level
+# property chain so rdfs5 and domain-through-superproperty both fire,
+# a range whose class has its own superclass so rdfs3 feeds rdfs9,
+# and a domain that re-derives an asserted type (exercising the
+# derived-only anti-join non-vacuously).
+_ONT = "http://example.org/onto#"
+_ORDER_CLASS = "http://example.org/class/Order"
+SYNTH_SCHEMA_TRIPLES: list[tuple] = [
+    (_ONT + "customer", SUBPROPERTY_URI, _ONT + "participant", True, None, "testdata://rdfs"),
+    (_ONT + "participant", SUBPROPERTY_URI, _ONT + "related", True, None, "testdata://rdfs"),
+    (_ONT + "customer", DOMAIN_URI, _ORDER_CLASS, True, None, "testdata://rdfs"),
+    (_ONT + "customer", RANGE_URI, CLASS_CUSTOMER, True, None, "testdata://rdfs"),
+    (_ONT + "participant", DOMAIN_URI, CLASS_EVENT, True, None, "testdata://rdfs"),
+    (CLASS_CUSTOMER, SUBCLASS_PROPERTY_URI, CLASS_AGENT, True, None, "testdata://rdfs"),
+]
+
+
+def synth_rdfs_schema(spark) -> DataFrame:
+    from rdf2smw_spark.schemas import TRIPLE_SCHEMA
+
+    return spark.createDataFrame(SYNTH_SCHEMA_TRIPLES, TRIPLE_SCHEMA)
+
+
+def synth_rdfs_schema_values_sql() -> str:
+    """The same rows as a DuckDB VALUES relation in triple-column order."""
+    rows = ", ".join(
+        "('{}', '{}', '{}', {}, CAST(NULL AS VARCHAR), '{}')".format(
+            s, p, o, "true" if i else "false", src
+        )
+        for (s, p, o, i, _d, src) in SYNTH_SCHEMA_TRIPLES
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS "
+        "v(subj, pred, obj, obj_is_iri, obj_datatype, src_url))"
+    )
+
+
+def _transitive_closure(edges: DataFrame, max_iter: int) -> DataFrame:
+    """(uri, anc) reachability closure of an edge frame — frontier
+    iteration with per-round localCheckpoint (the class_ancestors
+    loop without the depth column; depths are a path property, plain
+    reachability dedups harder)."""
+    edges = scoped_persist(edges.distinct())
+    closure = edges.localCheckpoint()
+    frontier = closure
+    for _ in range(max_iter):
+        stepped = frontier.join(
+            edges.select(F.col("uri").alias("anc"), F.col("anc").alias("__up")),
+            "anc",
+        ).select("uri", F.col("__up").alias("anc"))
+        fresh = stepped.join(closure, ["uri", "anc"], "anti").distinct().localCheckpoint()
+        if fresh.limit(1).count() == 0:
+            break
+        closure = closure.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    return closure
+
+
+def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+    """-> (subj, pred, obj, obj_is_iri, rule): the triples RDFS
+    entails but the graph does not assert, tagged with the
+    lexicographically-first rule that derives each (deterministic at
+    any parallelism). Input is the standard triple frame."""
+    base = triples.select("subj", "pred", "obj", "obj_is_iri").distinct()
+
+    def _schema_edges(pred_uri: str) -> DataFrame:
+        return triples.filter(
+            (F.col("pred") == pred_uri) & F.col("obj_is_iri")
+        ).select(F.col("subj").alias("uri"), F.col("obj").alias("anc"))
+
+    subc = _transitive_closure(_schema_edges(SUBCLASS_PROPERTY_URI), max_iter)
+    subp = _transitive_closure(_schema_edges(SUBPROPERTY_URI), max_iter)
+    dom = _schema_edges(DOMAIN_URI).distinct()
+    rng = _schema_edges(RANGE_URI).distinct()
+    b_subc = maybe_broadcast(subc, SCHEMA_BROADCAST_LIMIT)
+    b_subp = maybe_broadcast(subp, SCHEMA_BROADCAST_LIMIT)
+    b_dom = maybe_broadcast(dom, SCHEMA_BROADCAST_LIMIT)
+    b_rng = maybe_broadcast(rng, SCHEMA_BROADCAST_LIMIT)
+
+    d7 = base.join(b_subp, base.pred == b_subp.uri).select(
+        "subj", F.col("anc").alias("pred"), "obj", "obj_is_iri",
+        F.lit("rdfs7").alias("rule"),
+    )
+    # domain/range see asserted AND rdfs7-extended property triples
+    props = base.unionByName(d7.drop("rule"))
+    d2 = props.join(b_dom, props.pred == b_dom.uri).select(
+        "subj", F.lit(TYPE_PROPERTY_URI).alias("pred"),
+        F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit("rdfs2").alias("rule"),
+    )
+    d3 = (
+        props.filter(F.col("obj_is_iri"))
+        .join(b_rng, props.pred == b_rng.uri)
+        .select(
+            F.col("obj").alias("subj"), F.lit(TYPE_PROPERTY_URI).alias("pred"),
+            F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+            F.lit("rdfs3").alias("rule"),
+        )
+    )
+    types = (
+        base.filter((F.col("pred") == TYPE_PROPERTY_URI) & F.col("obj_is_iri"))
+        .select("subj", "obj")
+        .unionByName(d2.select("subj", "obj"))
+        .unionByName(d3.select("subj", "obj"))
+        .distinct()
+    )
+    d9 = types.join(b_subc, types.obj == b_subc.uri).select(
+        "subj", F.lit(TYPE_PROPERTY_URI).alias("pred"),
+        F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit("rdfs9").alias("rule"),
+    )
+    d11 = subc.select(
+        F.col("uri").alias("subj"), F.lit(SUBCLASS_PROPERTY_URI).alias("pred"),
+        F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit("rdfs11").alias("rule"),
+    )
+    d5 = subp.select(
+        F.col("uri").alias("subj"), F.lit(SUBPROPERTY_URI).alias("pred"),
+        F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit("rdfs5").alias("rule"),
+    )
+    derived = (
+        d7.unionByName(d2).unionByName(d3).unionByName(d9)
+        .unionByName(d11).unionByName(d5)
+        .groupBy("subj", "pred", "obj", "obj_is_iri")
+        .agg(F.min("rule").alias("rule"))
+    )
+    return derived.join(
+        base.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
+    )
+
+
+def rdfs_entail_sql(triples_sql: str) -> str:
+    """DuckDB twin: the same stratification with the schema closures as
+    recursive CTEs. triples_sql must be a parenthesized relation with
+    the standard triple columns."""
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT * FROM {triples_sql}),
+    base AS (SELECT DISTINCT subj, pred, obj, obj_is_iri FROM t),
+    ce AS (SELECT DISTINCT subj AS uri, obj AS anc FROM t
+           WHERE pred = '{SUBCLASS_PROPERTY_URI}' AND obj_is_iri),
+    pe AS (SELECT DISTINCT subj AS uri, obj AS anc FROM t
+           WHERE pred = '{SUBPROPERTY_URI}' AND obj_is_iri),
+    subc(uri, anc) AS (
+        SELECT uri, anc FROM ce
+        UNION
+        SELECT s.uri, c.anc FROM subc s JOIN ce c ON c.uri = s.anc),
+    subp(uri, anc) AS (
+        SELECT uri, anc FROM pe
+        UNION
+        SELECT s.uri, p.anc FROM subp s JOIN pe p ON p.uri = s.anc),
+    dom AS (SELECT DISTINCT subj AS uri, obj AS anc FROM t
+            WHERE pred = '{DOMAIN_URI}' AND obj_is_iri),
+    rng AS (SELECT DISTINCT subj AS uri, obj AS anc FROM t
+            WHERE pred = '{RANGE_URI}' AND obj_is_iri),
+    d7 AS (SELECT b.subj, s.anc AS pred, b.obj, b.obj_is_iri,
+                  'rdfs7' AS rule
+           FROM base b JOIN subp s ON s.uri = b.pred),
+    props AS (SELECT subj, pred, obj, obj_is_iri FROM base
+              UNION
+              SELECT subj, pred, obj, obj_is_iri FROM d7),
+    d2 AS (SELECT p.subj, '{TYPE_PROPERTY_URI}' AS pred, d.anc AS obj,
+                  true AS obj_is_iri, 'rdfs2' AS rule
+           FROM props p JOIN dom d ON d.uri = p.pred),
+    d3 AS (SELECT p.obj AS subj, '{TYPE_PROPERTY_URI}' AS pred,
+                  r.anc AS obj, true AS obj_is_iri, 'rdfs3' AS rule
+           FROM props p JOIN rng r ON r.uri = p.pred WHERE p.obj_is_iri),
+    types AS (SELECT subj, obj FROM base
+              WHERE pred = '{TYPE_PROPERTY_URI}' AND obj_is_iri
+              UNION SELECT subj, obj FROM d2
+              UNION SELECT subj, obj FROM d3),
+    d9 AS (SELECT ty.subj, '{TYPE_PROPERTY_URI}' AS pred, s.anc AS obj,
+                  true AS obj_is_iri, 'rdfs9' AS rule
+           FROM types ty JOIN subc s ON s.uri = ty.obj),
+    d11 AS (SELECT uri AS subj, '{SUBCLASS_PROPERTY_URI}' AS pred,
+                   anc AS obj, true AS obj_is_iri, 'rdfs11' AS rule
+            FROM subc),
+    d5 AS (SELECT uri AS subj, '{SUBPROPERTY_URI}' AS pred, anc AS obj,
+                  true AS obj_is_iri, 'rdfs5' AS rule
+           FROM subp),
+    allr AS (SELECT * FROM d7 UNION ALL SELECT * FROM d2
+             UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d9
+             UNION ALL SELECT * FROM d11 UNION ALL SELECT * FROM d5),
+    derived AS (SELECT subj, pred, obj, obj_is_iri, MIN(rule) AS rule
+                FROM allr GROUP BY subj, pred, obj, obj_is_iri)
+    SELECT d.subj, d.pred, d.obj, d.obj_is_iri, d.rule
+    FROM derived d LEFT JOIN (SELECT DISTINCT subj, pred, obj FROM base) b
+      ON b.subj = d.subj AND b.pred = d.pred AND b.obj = d.obj
+    WHERE b.subj IS NULL
+    """

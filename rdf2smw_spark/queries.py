@@ -2048,3 +2048,47 @@ ORACLES["kg_fusion_incremental"] = _finc_sql(
     f" WHERE CAST(substring(subj, {len(_ORDER_NS) + 1}) AS BIGINT) % 7 <> 0)",
     _FUSION_CLAIMS_FILLED,
 )
+
+
+# --- RDFS entailment materialization (operators/rdfs.py) -----------------------------
+
+def q_kg_rdfs_entailed(spark, sf_dir):
+    """Materialize the rho-df RDFS closure delta over the testdata KG +
+    planted subPropertyOf/domain/range declarations: schema layers
+    closed by frontier iteration, instance triples touched only by
+    size-guarded broadcast joins; output is the derived-only MERGE
+    source, each triple tagged with its min rule. Recursive-CTE
+    DuckDB twin."""
+    from rdf2smw_spark.operators import sameas as _sa
+    from rdf2smw_spark.operators.rdfs import rdfs_entail, synth_rdfs_schema
+
+    triples = (
+        testdata_triples(spark, sf_dir)
+        .unionByName(_sa.synth_class_chain(spark, sf_dir))
+        .unionByName(synth_rdfs_schema(spark))
+    )
+    return rdfs_entail(triples)
+
+
+QUERIES["kg_rdfs_entailed"] = q_kg_rdfs_entailed
+from rdf2smw_spark.operators.rdfs import (  # noqa: E402
+    rdfs_entail_sql as _rdfs_sql,
+    synth_rdfs_schema_values_sql as _rdfs_schema_sql,
+)
+
+_RDFS_INPUT_SQL = (
+    f"(SELECT * FROM (SELECT * FROM {TRIPLES_SQL} "
+    "UNION ALL "
+    "SELECT 'http://example.org/region/' || r_regionkey, "
+    "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+    "'http://example.org/zone/' || (r_regionkey % 2), "
+    "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region "
+    "UNION ALL "
+    "SELECT DISTINCT 'http://example.org/zone/' || (r_regionkey % 2), "
+    "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+    "'http://example.org/class/World', "
+    "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region "
+    "UNION ALL "
+    f"SELECT * FROM {_rdfs_schema_sql()}))"
+)
+ORACLES["kg_rdfs_entailed"] = _rdfs_sql(_RDFS_INPUT_SQL)

@@ -1,0 +1,102 @@
+"""RDFS entailment materialization (operators/rdfs.py)."""
+
+import duckdb
+
+from rdf2smw_spark.operators.rdfs import (
+    DOMAIN_URI,
+    RANGE_URI,
+    SUBPROPERTY_URI,
+    rdfs_entail,
+    rdfs_entail_sql,
+)
+from rdf2smw_spark.schemas import (
+    SUBCLASS_PROPERTY_URI as SUBC,
+    TRIPLE_SCHEMA,
+    TYPE_PROPERTY_URI as TYPE,
+)
+
+# Minimal graph where every rule fires at least once, including the
+# stratified interactions (domain on a SUPER-property; range-derived
+# type pushed up a 2-level class chain).
+T = [
+    # schema: p subP q subP r  (rdfs5 must derive p subP r)
+    ("p", SUBPROPERTY_URI, "q", True, None, "t"),
+    ("q", SUBPROPERTY_URI, "r", True, None, "t"),
+    # schema: A subC B subC C  (rdfs11 must derive A subC C)
+    ("A", SUBC, "B", True, None, "t"),
+    ("B", SUBC, "C", True, None, "t"),
+    # schema: q domain D (fires on p-triples THROUGH rdfs7), p range A
+    ("q", DOMAIN_URI, "D", True, None, "t"),
+    ("p", RANGE_URI, "A", True, None, "t"),
+    # instance: x p y (IRI), x p "lit" (literal: range must NOT type it)
+    ("x", "p", "y", True, None, "t"),
+    ("x", "p", "lit", False, "http://www.w3.org/2001/XMLSchema#string", "t"),
+    # asserted type that rdfs2 would re-derive if q's domain were on p
+    ("x", TYPE, "D", True, None, "t"),
+]
+
+
+def _derived(spark):
+    out = rdfs_entail(spark.createDataFrame(T, TRIPLE_SCHEMA))
+    return {(r.subj, r.pred, r.obj): r.rule for r in out.collect()}
+
+
+def test_every_rule_fires(spark):
+    d = _derived(spark)
+    assert d[("p", SUBPROPERTY_URI, "r")] == "rdfs5"
+    assert d[("A", SUBC, "C")] == "rdfs11"
+    assert ("x", "q", "y") in d and d[("x", "q", "y")] == "rdfs7"
+    assert ("x", "r", "y") in d  # via the CLOSED subP (p subP+ r)
+    assert ("x", "r", "lit") in d  # literals flow through rdfs7
+    # domain on q fires for the rdfs7-derived q-triples: x type D is
+    # ASSERTED so it must NOT reappear; nothing else has domain D
+    assert ("x", TYPE, "D") not in d
+    # range A types the IRI object only, then climbs the class chain
+    assert d[("y", TYPE, "A")] == "rdfs3"
+    assert ("y", TYPE, "B") in d and d[("y", TYPE, "B")] == "rdfs9"
+    assert ("y", TYPE, "C") in d
+    # the literal object never receives a type triple
+    assert not any(s == "lit" for (s, _p, _o) in d)
+
+
+def test_matches_duckdb_twin(spark):
+    got = sorted(map(tuple, _derived_df(spark).collect()))
+    vals = ", ".join(
+        "('{}', '{}', '{}', {}, {}, '{}')".format(
+            s, p, o, "true" if i else "false",
+            f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)", src,
+        )
+        for (s, p, o, i, dt, src) in T
+    )
+    sql = rdfs_entail_sql(
+        f"(SELECT * FROM (VALUES {vals}) AS "
+        "v(subj, pred, obj, obj_is_iri, obj_datatype, src_url))"
+    )
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def _derived_df(spark):
+    return rdfs_entail(spark.createDataFrame(T, TRIPLE_SCHEMA))
+
+
+def test_deterministic_across_partitioning(spark):
+    df1 = spark.createDataFrame(T, TRIPLE_SCHEMA).repartition(1)
+    df7 = spark.createDataFrame(T, TRIPLE_SCHEMA).repartition(7)
+    assert sorted(map(tuple, rdfs_entail(df1).collect())) == sorted(
+        map(tuple, rdfs_entail(df7).collect())
+    )
+
+
+def test_cyclic_schema_terminates(spark):
+    cyc = [
+        ("A", SUBC, "B", True, None, "t"),
+        ("B", SUBC, "A", True, None, "t"),
+        ("x", TYPE, "A", True, None, "t"),
+    ]
+    out = rdfs_entail(spark.createDataFrame(cyc, TRIPLE_SCHEMA))
+    d = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # closure of the 2-cycle: A subC A, B subC B (self via the cycle),
+    # and x picks up type B; x type A is asserted
+    assert ("x", TYPE, "B") in d
+    assert ("A", SUBC, "A") in d and ("B", SUBC, "B") in d
