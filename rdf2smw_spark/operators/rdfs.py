@@ -185,6 +185,167 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
     )
 
 
+OWL_INVERSE_URI = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC_URI = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE_URI = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+
+OWL_MAX_ITER = 8  # transitive step SQUARES path length: covers 2^8 hops
+
+# Planted declarations for the registry query: subClassOf declared
+# transitive (it IS — the closure materializes the class chains the
+# synth zones provide), an inverse for the order->customer edge, and a
+# symmetric adjacency ring over the nations (edges synthesized from
+# the nation table in the query).
+SYNTH_OWL_TRIPLES: list[tuple] = [
+    (SUBCLASS_PROPERTY_URI, TYPE_PROPERTY_URI, OWL_TRANSITIVE_URI, True, None, "testdata://owl"),
+    (_ONT + "customer", OWL_INVERSE_URI, _ONT + "customerOf", True, None, "testdata://owl"),
+    (_ONT + "adjacentTo", TYPE_PROPERTY_URI, OWL_SYMMETRIC_URI, True, None, "testdata://owl"),
+]
+
+
+def synth_owl_schema(spark) -> DataFrame:
+    from rdf2smw_spark.schemas import TRIPLE_SCHEMA
+
+    return spark.createDataFrame(SYNTH_OWL_TRIPLES, TRIPLE_SCHEMA)
+
+
+def synth_owl_schema_values_sql() -> str:
+    rows = ", ".join(
+        "('{}', '{}', '{}', {}, CAST(NULL AS VARCHAR), '{}')".format(
+            s, p, o, "true" if i else "false", src
+        )
+        for (s, p, o, i, _d, src) in SYNTH_OWL_TRIPLES
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS "
+        "v(subj, pred, obj, obj_is_iri, obj_datatype, src_url))"
+    )
+
+
+def owl_entail(triples: DataFrame, max_iter: int = OWL_MAX_ITER) -> DataFrame:
+    """OWL-lite property entailment: owl:inverseOf (both directions),
+    owl:SymmetricProperty, owl:TransitiveProperty, iterated to a joint
+    fixpoint (the rules FEED each other: the inverse of a transitive
+    property's closure edge is again subject to the inverse's own
+    declarations). -> derived-only (subj, pred, obj, obj_is_iri=true).
+
+    Scale shape: the loop runs over the RELEVANT edge set only —
+    triples whose pred carries any declaration, plus what the rules
+    derive — never the whole corpus; declaration frames are schema-
+    sized broadcasts. The transitive step self-joins the closure, so
+    path length doubles per round (pointer-doubling bound: max_iter=8
+    reaches 2^8-hop chains); per round one localCheckpoint truncates
+    lineage. Only IRI-object triples participate (object properties
+    by definition)."""
+    decls = triples.filter(F.col("obj_is_iri"))
+    inv_fwd = decls.filter(F.col("pred") == OWL_INVERSE_URI).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q")
+    )
+    inv = inv_fwd.unionByName(
+        inv_fwd.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    ).distinct()
+    sym = (
+        decls.filter(
+            (F.col("pred") == TYPE_PROPERTY_URI)
+            & (F.col("obj") == OWL_SYMMETRIC_URI)
+        )
+        .select(F.col("subj").alias("p"))
+        .distinct()
+    )
+    trans = (
+        decls.filter(
+            (F.col("pred") == TYPE_PROPERTY_URI)
+            & (F.col("obj") == OWL_TRANSITIVE_URI)
+        )
+        .select(F.col("subj").alias("p"))
+        .distinct()
+    )
+    b_inv = maybe_broadcast(inv, SCHEMA_BROADCAST_LIMIT)
+    b_sym = maybe_broadcast(sym, SCHEMA_BROADCAST_LIMIT)
+    b_trans = maybe_broadcast(trans, SCHEMA_BROADCAST_LIMIT)
+
+    relevant = (
+        inv.select("p")
+        .unionByName(sym)
+        .unionByName(trans)
+        .distinct()
+        .withColumnRenamed("p", "pred")
+    )
+    base = (
+        triples.filter(F.col("obj_is_iri"))
+        .join(maybe_broadcast(relevant, SCHEMA_BROADCAST_LIMIT), "pred", "semi")
+        .select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint()
+    )
+    closure = base
+    for _ in range(max_iter):
+        d_inv = closure.join(b_inv, closure.pred == b_inv.p).select(
+            F.col("obj").alias("subj"), F.col("q").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+        d_sym = closure.join(b_sym, closure.pred == b_sym.p, "semi").select(
+            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+        )
+        t_edges = closure.join(b_trans, closure.pred == b_trans.p, "semi")
+        d_trans = t_edges.alias("l").join(
+            t_edges.alias("r"),
+            (F.col("l.obj") == F.col("r.subj")) & (F.col("l.pred") == F.col("r.pred")),
+        ).select(F.col("l.subj").alias("subj"), F.col("l.pred").alias("pred"),
+                 F.col("r.obj").alias("obj"))
+        stepped = d_inv.unionByName(d_sym).unionByName(d_trans).distinct()
+        fresh = stepped.join(
+            closure, ["subj", "pred", "obj"], "anti"
+        ).localCheckpoint()
+        if fresh.limit(1).count() == 0:
+            break
+        closure = closure.unionByName(fresh).localCheckpoint()
+    return (
+        closure.join(base, ["subj", "pred", "obj"], "anti")
+        .withColumn("obj_is_iri", F.lit(True))
+    )
+
+
+def owl_entail_sql(triples_sql: str, max_iter: int = OWL_MAX_ITER) -> str:
+    """DuckDB twin: the SAME bounded iteration unrolled into chained
+    CTEs (both engines reach the joint fixpoint; extra unrolled steps
+    past convergence add nothing, so early-break vs full unroll agree)."""
+    ctes = [
+        f"t AS MATERIALIZED (SELECT * FROM {triples_sql})",
+        "invf AS (SELECT DISTINCT subj AS p, obj AS q FROM t"
+        f" WHERE pred = '{OWL_INVERSE_URI}' AND obj_is_iri)",
+        "inv AS MATERIALIZED (SELECT p, q FROM invf UNION SELECT q, p FROM invf)",
+        "sym AS MATERIALIZED (SELECT DISTINCT subj AS p FROM t"
+        f" WHERE pred = '{TYPE_PROPERTY_URI}' AND obj = '{OWL_SYMMETRIC_URI}')",
+        "tr AS MATERIALIZED (SELECT DISTINCT subj AS p FROM t"
+        f" WHERE pred = '{TYPE_PROPERTY_URI}' AND obj = '{OWL_TRANSITIVE_URI}')",
+        "rel AS (SELECT p FROM inv UNION SELECT p FROM sym UNION SELECT p FROM tr)",
+        # every c{i} is MATERIALIZED: the transitive step references its
+        # predecessor twice, so inlining would expand 2^max_iter copies
+        # of the base scan
+        "c0 AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t"
+        " WHERE obj_is_iri AND pred IN (SELECT p FROM rel))",
+    ]
+    for i in range(1, max_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED ("
+            f"SELECT subj, pred, obj FROM c{p}"
+            f" UNION SELECT c.obj, v.q, c.subj FROM c{p} c JOIN inv v ON v.p = c.pred"
+            f" UNION SELECT c.obj, c.pred, c.subj FROM c{p} c"
+            f" WHERE c.pred IN (SELECT p FROM sym)"
+            f" UNION SELECT l.subj, l.pred, r.obj FROM c{p} l JOIN c{p} r"
+            f" ON l.obj = r.subj AND l.pred = r.pred"
+            f" WHERE l.pred IN (SELECT p FROM tr))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT c.subj, c.pred, c.obj, true AS obj_is_iri FROM c{max_iter} c"
+        " LEFT JOIN c0 b ON b.subj = c.subj AND b.pred = c.pred AND b.obj = c.obj"
+        " WHERE b.subj IS NULL"
+    )
+
+
 def rdfs_entail_sql(triples_sql: str) -> str:
     """DuckDB twin: the same stratification with the schema closures as
     recursive CTEs. triples_sql must be a parenthesized relation with

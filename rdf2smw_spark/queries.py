@@ -2092,3 +2092,61 @@ _RDFS_INPUT_SQL = (
     f"SELECT * FROM {_rdfs_schema_sql()}))"
 )
 ORACLES["kg_rdfs_entailed"] = _rdfs_sql(_RDFS_INPUT_SQL)
+
+
+def q_kg_owl_entailed(spark, sf_dir):
+    """OWL-lite property entailment delta: subClassOf declared
+    transitive (materializing the synth 3-hop class chains), an
+    inverseOf for the order->customer edge, and a symmetric nation
+    adjacency ring — joint bounded fixpoint over the relevant edge set
+    only, unrolled identically in the DuckDB twin
+    (operators/rdfs.py owl_entail)."""
+    from rdf2smw_spark.operators import sameas as _sa
+    from rdf2smw_spark.operators.rdfs import owl_entail, synth_owl_schema
+    from rdf2smw_spark.sources.testdata import NATION as _NAT, load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    ring = nation.select(
+        F.concat(F.lit(_NAT), F.col("n_nationkey")).alias("subj"),
+        F.lit("http://example.org/onto#adjacentTo").alias("pred"),
+        F.concat(F.lit(_NAT), (F.col("n_nationkey") + 1) % 25).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit("testdata://owl").alias("src_url"),
+    )
+    triples = (
+        testdata_triples(spark, sf_dir)
+        .unionByName(_sa.synth_class_chain(spark, sf_dir))
+        .unionByName(synth_owl_schema(spark))
+        .unionByName(ring)
+    )
+    return owl_entail(triples)
+
+
+QUERIES["kg_owl_entailed"] = q_kg_owl_entailed
+from rdf2smw_spark.operators.rdfs import (  # noqa: E402
+    owl_entail_sql as _owl_sql,
+    synth_owl_schema_values_sql as _owl_schema_sql,
+)
+
+_OWL_INPUT_SQL = (
+    f"(SELECT * FROM (SELECT * FROM {TRIPLES_SQL} "
+    "UNION ALL "
+    "SELECT 'http://example.org/region/' || r_regionkey, "
+    "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+    "'http://example.org/zone/' || (r_regionkey % 2), "
+    "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region "
+    "UNION ALL "
+    "SELECT DISTINCT 'http://example.org/zone/' || (r_regionkey % 2), "
+    "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+    "'http://example.org/class/World', "
+    "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region "
+    "UNION ALL "
+    "SELECT 'http://example.org/nation/' || n_nationkey, "
+    "'http://example.org/onto#adjacentTo', "
+    "'http://example.org/nation/' || ((n_nationkey + 1) % 25), "
+    "true, CAST(NULL AS VARCHAR), 'testdata://owl' FROM nation "
+    "UNION ALL "
+    f"SELECT * FROM {_owl_schema_sql()}))"
+)
+ORACLES["kg_owl_entailed"] = _owl_sql(_OWL_INPUT_SQL)

@@ -4,8 +4,13 @@ import duckdb
 
 from rdf2smw_spark.operators.rdfs import (
     DOMAIN_URI,
+    OWL_INVERSE_URI,
+    OWL_SYMMETRIC_URI,
+    OWL_TRANSITIVE_URI,
     RANGE_URI,
     SUBPROPERTY_URI,
+    owl_entail,
+    owl_entail_sql,
     rdfs_entail,
     rdfs_entail_sql,
 )
@@ -85,6 +90,71 @@ def test_deterministic_across_partitioning(spark):
     df7 = spark.createDataFrame(T, TRIPLE_SCHEMA).repartition(7)
     assert sorted(map(tuple, rdfs_entail(df1).collect())) == sorted(
         map(tuple, rdfs_entail(df7).collect())
+    )
+
+
+# OWL-lite: anc transitive over a 5-hop chain; anc inverseOf desc (so
+# every closure edge reflects); near symmetric; and the INTERACTION —
+# desc-edges derived by the inverse rule are again closure inputs.
+OWL_T = [
+    ("anc", TYPE, OWL_TRANSITIVE_URI, True, None, "t"),
+    ("anc", OWL_INVERSE_URI, "desc", True, None, "t"),
+    ("near", TYPE, OWL_SYMMETRIC_URI, True, None, "t"),
+    ("a", "anc", "b", True, None, "t"),
+    ("b", "anc", "c", True, None, "t"),
+    ("c", "anc", "d", True, None, "t"),
+    ("d", "anc", "e", True, None, "t"),
+    ("e", "anc", "f", True, None, "t"),
+    ("x", "near", "y", True, None, "t"),
+    # one asserted desc edge: its inverse (b anc a... no — desc's
+    # inverse is anc: (q p) pairs are both directions) must appear
+    ("q", "desc", "p", True, None, "t"),
+    # a literal-object triple on a declared pred must NOT participate
+    ("a", "anc", "lit", False, "http://www.w3.org/2001/XMLSchema#string", "t"),
+    # an undeclared pred never enters the closure
+    ("u", "other", "v", True, None, "t"),
+]
+
+
+def test_owl_rules_fire(spark):
+    out = owl_entail(spark.createDataFrame(OWL_T, TRIPLE_SCHEMA))
+    d = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("a", "anc", "f") in d  # 5-hop transitive closure
+    assert ("a", "anc", "c") in d and ("c", "anc", "f") in d
+    assert ("b", "desc", "a") in d  # inverse of an ASSERTED edge
+    assert ("f", "desc", "a") in d  # inverse of a DERIVED closure edge
+    assert ("p", "anc", "q") in d  # inverse applied in the q->p direction
+    assert ("y", "near", "x") in d  # symmetric
+    assert not any(o == "lit" or s == "lit" for (s, _p, o) in d)
+    assert not any(p == "other" for (_s, p, _o) in d)
+    # derived-only: asserted edges never reappear
+    assert ("a", "anc", "b") not in d and ("x", "near", "y") not in d
+
+
+def test_owl_matches_duckdb_twin(spark):
+    got = sorted(
+        map(tuple, owl_entail(spark.createDataFrame(OWL_T, TRIPLE_SCHEMA)).collect())
+    )
+    vals = ", ".join(
+        "('{}', '{}', '{}', {}, {}, '{}')".format(
+            s, p, o, "true" if i else "false",
+            f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)", src,
+        )
+        for (s, p, o, i, dt, src) in OWL_T
+    )
+    sql = owl_entail_sql(
+        f"(SELECT * FROM (VALUES {vals}) AS "
+        "v(subj, pred, obj, obj_is_iri, obj_datatype, src_url))"
+    )
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_owl_deterministic_across_partitioning(spark):
+    df1 = spark.createDataFrame(OWL_T, TRIPLE_SCHEMA).repartition(1)
+    df5 = spark.createDataFrame(OWL_T, TRIPLE_SCHEMA).repartition(5)
+    assert sorted(map(tuple, owl_entail(df1).collect())) == sorted(
+        map(tuple, owl_entail(df5).collect())
     )
 
 
