@@ -2150,3 +2150,60 @@ _OWL_INPUT_SQL = (
     f"SELECT * FROM {_owl_schema_sql()}))"
 )
 ORACLES["kg_owl_entailed"] = _owl_sql(_OWL_INPUT_SQL)
+
+
+def q_kg_bgp_aggregate(spark, sf_dir):
+    """SPARQL aggregation: SELECT ?region ?status (COUNT(?o)) (COUNT(
+    DISTINCT ?c)) (SUM(?price)) WHERE { ?o :customer ?c . ?o
+    :orderstatus ?status . ?o :totalprice ?price . ?c a ?n . ?n
+    rdfs:subClassOf ?region } GROUP BY ?region ?status HAVING
+    (COUNT(?o) > COUNT(DISTINCT ?c)) — the GROUP BY/HAVING half of the
+    SPARQL surface. Instance patterns share the subject exchange
+    (bgp_star), the class hops broadcast, prices sum as exact cents."""
+    from rdf2smw_spark.operators import bgp
+
+    t = testdata_triples(spark, sf_dir)
+    star = bgp.bgp_star(
+        [
+            bgp.triple_pattern(t, _BGP_ONT + "customer", "ord_uri", "cust_uri"),
+            bgp.triple_pattern(t, _BGP_ONT + "orderstatus", "ord_uri", "status"),
+            bgp.triple_pattern(t, _BGP_ONT + "totalprice", "ord_uri", "price"),
+        ],
+        "ord_uri",
+    )
+    ctype = bgp.triple_pattern(t, _BGP_TYPE, "cust_uri", "nation_uri")
+    nsub = bgp.triple_pattern(t, _BGP_SUBCLASS, "nation_uri", "region_uri")
+    joined = star.join(ctype, "cust_uri").join(F.broadcast(nsub), "nation_uri")
+    agg = joined.groupBy("region_uri", "status").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("cust_uri").alias("n_customers"),
+        F.sum((F.col("price").cast("decimal(12,2)") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    return agg.filter(F.col("n_orders") > F.col("n_customers"))
+
+
+QUERIES["kg_bgp_aggregate"] = q_kg_bgp_aggregate
+ORACLES["kg_bgp_aggregate"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+oc AS (SELECT subj AS ord_uri, obj AS cust_uri FROM t
+       WHERE pred = '{_BGP_ONT}customer'),
+os AS (SELECT subj AS ord_uri, obj AS status FROM t
+       WHERE pred = '{_BGP_ONT}orderstatus'),
+op AS (SELECT subj AS ord_uri, obj AS price FROM t
+       WHERE pred = '{_BGP_ONT}totalprice'),
+ct AS (SELECT subj AS cust_uri, obj AS nation_uri FROM t
+       WHERE pred = '{_BGP_TYPE}'),
+ns AS (SELECT subj AS nation_uri, obj AS region_uri FROM t
+       WHERE pred = '{_BGP_SUBCLASS}')
+SELECT region_uri, status,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT cust_uri) AS n_customers,
+       CAST(SUM(CAST(CAST(price AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM oc JOIN os USING (ord_uri) JOIN op USING (ord_uri)
+        JOIN ct USING (cust_uri) JOIN ns USING (nation_uri)
+GROUP BY region_uri, status
+HAVING COUNT(*) > COUNT(DISTINCT cust_uri)
+"""

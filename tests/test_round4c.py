@@ -358,3 +358,87 @@ def test_ev_rolling_matches_pandas(spark, sf_dir):
     ev["rolling"] = expect.astype("int64")
     m = res.set_index("event_id")["rolling_cents_3"]
     assert all(m[r.event_id] == r.rolling for r in ev.itertuples())
+
+
+def test_bgp_aggregate_having_filters_and_sums_exact(spark, sf_dir):
+    from rdf2smw_spark.queries import q_kg_bgp_aggregate
+
+    res = q_kg_bgp_aggregate(spark, sf_dir).toPandas()
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    nation = load_table(spark, sf_dir, "nation").toPandas()
+    df = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey", right_on="c_custkey",
+    ).merge(nation[["n_nationkey", "n_regionkey"]],
+            left_on="c_nationkey", right_on="n_nationkey")
+    df["cents"] = (df["o_totalprice"].round(2) * 100).round().astype("int64")
+    g = df.groupby(["n_regionkey", "o_orderstatus"]).agg(
+        n_orders=("o_orderkey", "size"),
+        n_customers=("o_custkey", "nunique"),
+        total_cents=("cents", "sum"),
+    )
+    g = g[g["n_orders"] > g["n_customers"]]
+    got = {
+        (int(r.region_uri.rsplit("/", 1)[1]), r.status):
+            (r.n_orders, r.n_customers, r.total_cents)
+        for r in res.itertuples()
+    }
+    want = {
+        (int(k[0]), k[1]): (r.n_orders, r.n_customers, int(r.total_cents))
+        for k, r in g.iterrows()
+    }
+    assert got == want
+
+
+def test_bgp_aggregate_having_actually_filters(spark):
+    """A group where every customer ordered exactly once must be cut by
+    HAVING COUNT(*) > COUNT(DISTINCT cust) — proving the clause is
+    non-vacuous (the registered sf inputs happen to keep all groups)."""
+    from rdf2smw_spark.operators import bgp
+    from rdf2smw_spark.queries import _BGP_ONT, _BGP_SUBCLASS, _BGP_TYPE
+
+    rows = []
+    # region 0 / status X: cust c1 orders twice -> kept
+    # region 1 / status X: two customers order once each -> filtered
+    def order(o, c, status, price):
+        rows.extend([
+            (f"o{o}", _BGP_ONT + "customer", f"c{c}", True, None, "t"),
+            (f"o{o}", _BGP_ONT + "orderstatus", status, False, None, "t"),
+            (f"o{o}", _BGP_ONT + "totalprice", price, False, None, "t"),
+        ])
+    order(1, 1, "X", "10.00"); order(2, 1, "X", "5.50")
+    order(3, 2, "X", "1.00"); order(4, 3, "X", "2.00")
+    rows += [
+        ("c1", _BGP_TYPE, "n0", True, None, "t"),
+        ("c2", _BGP_TYPE, "n1", True, None, "t"),
+        ("c3", _BGP_TYPE, "n1", True, None, "t"),
+        ("n0", _BGP_SUBCLASS, "r0", True, None, "t"),
+        ("n1", _BGP_SUBCLASS, "r1", True, None, "t"),
+    ]
+    from rdf2smw_spark.schemas import TRIPLE_SCHEMA
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    star = bgp.bgp_star(
+        [
+            bgp.triple_pattern(t, _BGP_ONT + "customer", "ord_uri", "cust_uri"),
+            bgp.triple_pattern(t, _BGP_ONT + "orderstatus", "ord_uri", "status"),
+            bgp.triple_pattern(t, _BGP_ONT + "totalprice", "ord_uri", "price"),
+        ],
+        "ord_uri",
+    )
+    from pyspark.sql import functions as F
+    ctype = bgp.triple_pattern(t, _BGP_TYPE, "cust_uri", "nation_uri")
+    nsub = bgp.triple_pattern(t, _BGP_SUBCLASS, "nation_uri", "region_uri")
+    agg = (
+        star.join(ctype, "cust_uri").join(F.broadcast(nsub), "nation_uri")
+        .groupBy("region_uri", "status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("cust_uri").alias("n_customers"),
+            F.sum((F.col("price").cast("decimal(12,2)") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    kept = agg.filter(F.col("n_orders") > F.col("n_customers")).collect()
+    assert len(kept) == 1
+    r = kept[0]
+    assert r.region_uri == "r0" and r.n_orders == 2 and r.total_cents == 1550
