@@ -185,6 +185,116 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
     )
 
 
+SCHEMA_PREDS = (SUBCLASS_PROPERTY_URI, SUBPROPERTY_URI, DOMAIN_URI, RANGE_URI)
+
+
+def rdfs_entail_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    entailed_base: DataFrame | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Semi-naive maintenance of the entailment delta under NEW triples:
+    when the delta is instance-only, the closed schema layers are
+    unchanged, so the forward rules (rdfs7 -> 2/3 -> 9) need to run
+    over the DELTA rows only — the rules are per-triple monotone, so
+    entail(base ∪ delta) = entail(base) ∪ forward(delta) and the cost
+    scales with the delta, not the corpus. A delta that touches any
+    schema predicate (subClassOf, subPropertyOf, domain, range)
+    changes the closures themselves and falls back to the full
+    recompute (the incremental_kg probe discipline: a bounded limit(1)
+    existence check, never a full scan of the delta).
+
+    `entailed_base` is the MAINTAINED derived table (rdfs_entail(base));
+    passing it keeps the fast path free of any base-corpus entailment
+    work (it is touched only by a delta-restricted semi + anti join).
+    Recomputed from base when omitted.
+
+    Returns the derived-only rows ADDED by the delta — the MERGE
+    source. Exactness contract pytested against the full recompute."""
+    both = base.unionByName(delta)
+    if entailed_base is None:
+        entailed_base = rdfs_entail(base, max_iter)
+    schema_in_delta = (
+        delta.filter(F.col("pred").isin(*SCHEMA_PREDS) & F.col("obj_is_iri"))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if schema_in_delta:
+        # schema changed: closures differ — only the full recompute is
+        # sound (an entailment can even DISAPPEAR only under deletes,
+        # never here, but new schema edges re-derive across the corpus)
+        return rdfs_entail(both, max_iter).join(
+            entailed_base.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "anti",
+        )
+
+    def _schema_edges(src: DataFrame, pred_uri: str) -> DataFrame:
+        return src.filter(
+            (F.col("pred") == pred_uri) & F.col("obj_is_iri")
+        ).select(F.col("subj").alias("uri"), F.col("obj").alias("anc"))
+
+    subc = _transitive_closure(_schema_edges(base, SUBCLASS_PROPERTY_URI), max_iter)
+    subp = _transitive_closure(_schema_edges(base, SUBPROPERTY_URI), max_iter)
+    dom = _schema_edges(base, DOMAIN_URI).distinct()
+    rng = _schema_edges(base, RANGE_URI).distinct()
+    b_subc = maybe_broadcast(subc, SCHEMA_BROADCAST_LIMIT)
+    b_subp = maybe_broadcast(subp, SCHEMA_BROADCAST_LIMIT)
+    b_dom = maybe_broadcast(dom, SCHEMA_BROADCAST_LIMIT)
+    b_rng = maybe_broadcast(rng, SCHEMA_BROADCAST_LIMIT)
+
+    d = delta.select("subj", "pred", "obj", "obj_is_iri").distinct()
+    d7 = d.join(b_subp, d.pred == b_subp.uri).select(
+        "subj", F.col("anc").alias("pred"), "obj", "obj_is_iri",
+        F.lit("rdfs7").alias("rule"),
+    )
+    props = d.unionByName(d7.drop("rule"))
+    d2 = props.join(b_dom, props.pred == b_dom.uri).select(
+        "subj", F.lit(TYPE_PROPERTY_URI).alias("pred"),
+        F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit("rdfs2").alias("rule"),
+    )
+    d3 = (
+        props.filter(F.col("obj_is_iri"))
+        .join(b_rng, props.pred == b_rng.uri)
+        .select(
+            F.col("obj").alias("subj"), F.lit(TYPE_PROPERTY_URI).alias("pred"),
+            F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+            F.lit("rdfs3").alias("rule"),
+        )
+    )
+    types = (
+        d.filter((F.col("pred") == TYPE_PROPERTY_URI) & F.col("obj_is_iri"))
+        .select("subj", "obj")
+        .unionByName(d2.select("subj", "obj"))
+        .unionByName(d3.select("subj", "obj"))
+        .distinct()
+    )
+    d9 = types.join(b_subc, types.obj == b_subc.uri).select(
+        "subj", F.lit(TYPE_PROPERTY_URI).alias("pred"),
+        F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit("rdfs9").alias("rule"),
+    )
+    derived = (
+        d7.unionByName(d2).unionByName(d3).unionByName(d9)
+        .groupBy("subj", "pred", "obj", "obj_is_iri")
+        .agg(F.min("rule").alias("rule"))
+    )
+    # subtract what base∪delta asserts AND what base already entailed;
+    # the maintained table is restricted by semi-join to the rows this
+    # delta could re-derive before the anti (slim probe, no full scan
+    # shipped)
+    asserted = both.select("subj", "pred", "obj").distinct()
+    old_derived = entailed_base.join(
+        derived.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "semi"
+    )
+    return derived.join(asserted, ["subj", "pred", "obj"], "anti").join(
+        old_derived.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
+    )
+
+
 OWL_INVERSE_URI = "http://www.w3.org/2002/07/owl#inverseOf"
 OWL_SYMMETRIC_URI = "http://www.w3.org/2002/07/owl#SymmetricProperty"
 OWL_TRANSITIVE_URI = "http://www.w3.org/2002/07/owl#TransitiveProperty"

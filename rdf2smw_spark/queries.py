@@ -2207,3 +2207,52 @@ FROM oc JOIN os USING (ord_uri) JOIN op USING (ord_uri)
 GROUP BY region_uri, status
 HAVING COUNT(*) > COUNT(DISTINCT cust_uri)
 """
+
+
+def q_kg_rdfs_incremental(spark, sf_dir):
+    """Semi-naive entailment maintenance: the orderkey%9 slice of the
+    KG arrives as a delta; the schema probe finds no schema edge in it,
+    so the forward rules run over the delta only against the base's
+    closed schema — the maintained entailment table is touched by one
+    delta-restricted semi+anti join. Oracle computes entail(all) minus
+    entail(base) directly, so a green row proves the fast path equals
+    the full recompute (operators/rdfs.py rdfs_entail_incremental)."""
+    from rdf2smw_spark.operators import sameas as _sa
+    from rdf2smw_spark.operators.rdfs import (
+        rdfs_entail,
+        rdfs_entail_incremental,
+        synth_rdfs_schema,
+    )
+    from rdf2smw_spark.session import scoped_persist
+
+    triples = (
+        testdata_triples(spark, sf_dir)
+        .unionByName(_sa.synth_class_chain(spark, sf_dir))
+        .unionByName(synth_rdfs_schema(spark))
+    )
+    is_delta = F.col("subj").startswith(_ORDER_NS) & (
+        F.expr(f"CAST(substring(subj, {len(_ORDER_NS) + 1}) AS BIGINT) % 9 = 0")
+    )
+    base = scoped_persist(triples.filter(~is_delta))
+    delta = triples.filter(is_delta)
+    return rdfs_entail_incremental(base, delta, rdfs_entail(base))
+
+
+QUERIES["kg_rdfs_incremental"] = q_kg_rdfs_incremental
+
+# TRY_CAST: DuckDB evaluates both conjuncts without short-circuit, so
+# the cast sees non-order subjects too (Spark's non-ANSI cast nulls the
+# same way)
+_RDFS_DELTA_COND = (
+    "subj LIKE 'http://example.org/order/%' AND "
+    f"TRY_CAST(substring(subj, {len(_ORDER_NS) + 1}) AS BIGINT) % 9 = 0"
+)
+ORACLES["kg_rdfs_incremental"] = f"""
+WITH a AS MATERIALIZED (SELECT * FROM ({_rdfs_sql(_RDFS_INPUT_SQL)}) _a),
+b AS MATERIALIZED (SELECT * FROM ({_rdfs_sql(
+    f"(SELECT * FROM {_RDFS_INPUT_SQL} WHERE NOT ({_RDFS_DELTA_COND}))"
+)}) _b)
+SELECT a.subj, a.pred, a.obj, a.obj_is_iri, a.rule FROM a
+LEFT JOIN b ON b.subj = a.subj AND b.pred = a.pred AND b.obj = a.obj
+WHERE b.subj IS NULL
+"""

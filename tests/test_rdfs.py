@@ -12,6 +12,7 @@ from rdf2smw_spark.operators.rdfs import (
     owl_entail,
     owl_entail_sql,
     rdfs_entail,
+    rdfs_entail_incremental,
     rdfs_entail_sql,
 )
 from rdf2smw_spark.schemas import (
@@ -91,6 +92,52 @@ def test_deterministic_across_partitioning(spark):
     assert sorted(map(tuple, rdfs_entail(df1).collect())) == sorted(
         map(tuple, rdfs_entail(df7).collect())
     )
+
+
+def _entail_set(df):
+    return {(r.subj, r.pred, r.obj, r.obj_is_iri, r.rule) for r in df.collect()}
+
+
+def test_incremental_instance_delta_equals_full(spark):
+    """Fast path: instance-only delta — maintained table ∪ incremental
+    delta must equal the full recompute, tags included."""
+    base = spark.createDataFrame(T, TRIPLE_SCHEMA)
+    delta = spark.createDataFrame(
+        [
+            ("z", "p", "w", True, None, "t"),    # fires rdfs7 + range chain
+            ("z", TYPE, "A", True, None, "t"),   # fires rdfs9 up the chain
+        ],
+        TRIPLE_SCHEMA,
+    )
+    entailed_base = rdfs_entail(base)
+    inc = rdfs_entail_incremental(base, delta, entailed_base)
+    got = _entail_set(entailed_base) | _entail_set(inc)
+    want = _entail_set(rdfs_entail(base.unionByName(delta)))
+    assert got == want
+    d = {(r.subj, r.pred, r.obj) for r in inc.collect()}
+    assert ("z", "q", "w") in d and ("w", TYPE, "A") in d
+    assert ("z", TYPE, "B") in d  # delta type climbs the closed chain
+    # base-derived rows never reappear in the incremental output
+    assert ("y", TYPE, "A") not in d
+
+
+def test_incremental_schema_delta_falls_back(spark):
+    """A delta carrying a schema edge must take the full-rebuild path
+    and still return exactly the added rows."""
+    base = spark.createDataFrame(T, TRIPLE_SCHEMA)
+    delta = spark.createDataFrame(
+        [("C", SUBC, "E", True, None, "t")],  # extends the class chain
+        TRIPLE_SCHEMA,
+    )
+    entailed_base = rdfs_entail(base)
+    inc = rdfs_entail_incremental(base, delta, entailed_base)
+    got = _entail_set(entailed_base) | _entail_set(inc)
+    want = _entail_set(rdfs_entail(base.unionByName(delta)))
+    assert got == want
+    d = {(r.subj, r.pred, r.obj) for r in inc.collect()}
+    # the new schema edge re-derives ACROSS THE CORPUS: base's y (typed
+    # A via range) now reaches E — only a full rebuild can find this
+    assert ("y", TYPE, "E") in d and ("A", SUBC, "E") in d
 
 
 # OWL-lite: anc transitive over a 5-hop chain; anc inverseOf desc (so
