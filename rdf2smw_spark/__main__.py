@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--entity-dict", default=None,
                     help="web mode: parquet entity dictionary "
                          "(surface, uri, priority) enabling the LINK stage")
+    ap.add_argument("--entail", choices=["rdfs", "owl", "rdfs+owl"], default=None,
+                    help="materialize schema-implied triples before page "
+                         "conversion (RDFS rho-df and/or OWL-lite inverse/"
+                         "symmetric/transitive); derived facts carry "
+                         "entail:// provenance")
     ap.add_argument("--cores", type=int, default=None)
     # BooleanOptionalAction gives a working --no-resume (ADVICE r2: a
     # store_true with default=True could never be disabled)
@@ -69,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         res = run_nt_pipeline(
             spark, args.infile, args.out,
             use_templates=not args.no_templates, n_salt=args.salt,
+            entail=args.entail,
         )
     else:
         if not args.pages:
@@ -93,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.entity_dict) if args.entity_dict else None
             ),
             fuzzy_link_threshold=args.fuzzy_link_threshold,
+            entail=args.entail,
         )
 
     print(json.dumps(res, default=str))

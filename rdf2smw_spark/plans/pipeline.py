@@ -112,6 +112,43 @@ def decontaminate_pages(extracted: DataFrame, benchmark: DataFrame) -> DataFrame
     return extracted.join(clean, "url")
 
 
+def entail_triples(triples: DataFrame, mode: str) -> DataFrame:
+    """ENTAIL stage: union the schema-implied triples into the stream so
+    downstream pages carry the facts the ontology implies, not just the
+    asserted ones. mode ∈ {"rdfs", "owl", "rdfs+owl"} — one pass of
+    each selected family over the SAME input (rho-df needs no instance
+    fixpoint; OWL-lite runs its own bounded one internally; the two
+    families are not chained into each other). Derived triples carry
+    src_url='entail://<rule>' provenance and a NULL datatype (a derived
+    literal fact renders, but contributes no 'Has type' inference —
+    documented divergence, the safe default)."""
+    from rdf2smw_spark.operators.rdfs import owl_entail, rdfs_entail
+
+    out = triples
+    parts = []
+    if "rdfs" in mode:
+        parts.append(
+            rdfs_entail(triples).select(
+                "subj", "pred", "obj", "obj_is_iri",
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.concat(F.lit("entail://"), F.col("rule")).alias("src_url"),
+            )
+        )
+    if "owl" in mode:
+        parts.append(
+            owl_entail(triples).select(
+                "subj", "pred", "obj", "obj_is_iri",
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit("entail://owl").alias("src_url"),
+            )
+        )
+    if not parts:
+        raise ValueError(f"unknown entailment mode: {mode!r}")
+    for p in parts:
+        out = out.unionByName(p)
+    return out
+
+
 class _FingerprintChain:
     """Chained stage fingerprints: each stage's fingerprint hashes its
     own parameters AND the upstream fingerprint, so enabling, disabling,
@@ -175,6 +212,7 @@ def run_web_pipeline(
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
     benchmark: DataFrame | None = None,
+    entail: str | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
     entity_dict (surface, uri, priority) enables the LINK stage
@@ -254,6 +292,13 @@ def run_web_pipeline(
                 _side_input_signature(entity_dict),
             ),
         )
+    if entail is not None:
+        # ENTAIL runs after LINK: entailment over canonical URIs, so an
+        # alias and its canonical form never derive divergent closures
+        raw_triples = store.materialize(
+            entail_triples(raw_triples, entail), "entailed_triples", resume,
+            fingerprint=fpc.next("entailed_triples", entail),
+        )
     wiki_pages = store.materialize(
         triples_to_pages(spark, raw_triples, n_salt=n_salt), "wiki_pages", resume,
         fingerprint=fpc.next("wiki_pages", n_salt),
@@ -295,6 +340,7 @@ def run_nt_pipeline(
     out_dir: str,
     use_templates: bool = True,
     n_salt: int = 16,
+    entail: str | None = None,
 ) -> dict:
     """The reference CLI's job (main.go:38-151): .nt/.ttl file(s) → three
     XML documents (pages / properties / templates), single-file envelopes.
@@ -317,6 +363,8 @@ def run_nt_pipeline(
         )
     else:
         triples, bad = read_ntriples(spark, nt_path)
+    if entail is not None:
+        triples = entail_triples(triples, entail)
     pages = triples_to_pages(spark, triples, n_salt=n_salt)
     content, props, tpls = render_all(pages, use_templates=use_templates)
     os.makedirs(out_dir, exist_ok=True)

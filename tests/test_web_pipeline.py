@@ -231,3 +231,21 @@ def test_repetition_gate(spark):
         r["url"] for r in repetition_filter_pages(extracted, max_dup_line_frac=0.5).collect()
     }
     assert only_lines == {"https://a/1", "https://a/3"}
+
+
+def test_web_pipeline_entail_stage(spark, sf_dir, tmp_path):
+    """--entail rdfs+owl in web mode: the ENTAIL stage checkpoint
+    materializes, triple counts grow by exactly the derived rows, and
+    provenance marks them entail://."""
+    pages = synth_pages(spark, sf_dir).limit(30)
+    base = run_web_pipeline(
+        spark, pages, str(tmp_path / "plain"), resume=True, run_id="p"
+    )
+    ent = run_web_pipeline(
+        spark, pages, str(tmp_path / "ent"), resume=True, run_id="e",
+        entail="rdfs+owl",
+    )
+    assert ent["triples"] >= base["triples"]
+    ckpt = spark.read.parquet(str(tmp_path / "ent" / "entailed_triples"))
+    n_derived = ckpt.filter(ckpt.src_url.startswith("entail://")).count()
+    assert ckpt.count() == base["triples"] + n_derived
