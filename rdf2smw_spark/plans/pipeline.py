@@ -352,6 +352,12 @@ def run_nt_pipeline(
         from rdf2smw_spark.sources.turtle import read_turtle
 
         triples, bad = read_turtle(spark, nt_path)
+    elif nt_path.endswith((".jsonld", ".ndjson")):
+        # expanded NDJSON-LD (sources/jsonld.py): schema.org-style web
+        # embeds; line-parallel like .nt, quarantine policy identical
+        from rdf2smw_spark.sources.jsonld import read_jsonld
+
+        triples, bad = read_jsonld(spark, nt_path)
     elif nt_path.endswith(".nq"):
         # N-Quads (sources/nquads.py): the graph term lands in src_url,
         # so conversion is unchanged and lineage stays per-graph

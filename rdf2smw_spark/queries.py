@@ -2256,3 +2256,40 @@ SELECT a.subj, a.pred, a.obj, a.obj_is_iri, a.rule FROM a
 LEFT JOIN b ON b.subj = a.subj AND b.pred = a.pred AND b.obj = a.obj
 WHERE b.subj IS NULL
 """
+
+
+def q_kg_jsonld_triples(spark, sf_dir):
+    """JSON-LD front end (sources/jsonld.py): render the testdata graph
+    as expanded NDJSON-LD — @type keywords, typed/lang value objects,
+    IRI objects — then parse it back with the line-parallel distributed
+    reader. Oracle = the plain kg_triples derivation: a green row
+    proves serialize∘parse is the identity on the whole graph."""
+    import pandas as pd
+
+    from rdf2smw_spark.sources.jsonld import parse_jsonld_lines, triples_to_jsonld
+
+    t = testdata_triples(spark, sf_dir)
+
+    def to_lines(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src_url"].iloc[0]
+        rows = [
+            (s, p, o, bool(i), None if pd.isna(d) else d)
+            for s, p, o, i, d in zip(
+                pdf["subj"], pdf["pred"], pdf["obj"],
+                pdf["obj_is_iri"], pdf["obj_datatype"],
+            )
+        ]
+        lines = [ln for ln in triples_to_jsonld(rows).split("\n") if ln]
+        return pd.DataFrame({"line": lines, "src_url": [src] * len(lines)})
+
+    docs = t.groupBy("src_url").applyInPandas(
+        to_lines, schema="line string, src_url string"
+    )
+    parsed = parse_jsonld_lines(docs)
+    return parsed.filter(parsed.error.isNull()).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+    )
+
+
+QUERIES["kg_jsonld_triples"] = q_kg_jsonld_triples
+ORACLES["kg_jsonld_triples"] = f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples"
