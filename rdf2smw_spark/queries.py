@@ -2293,3 +2293,113 @@ def q_kg_jsonld_triples(spark, sf_dir):
 
 QUERIES["kg_jsonld_triples"] = q_kg_jsonld_triples
 ORACLES["kg_jsonld_triples"] = f"WITH triples AS {TRIPLES_SQL} SELECT * FROM triples"
+
+
+# --- SPARQL front end (sparql.py): text query -> DataFrame ------------------
+
+_SPARQL_PRE = """
+PREFIX ont: <http://example.org/onto#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+"""
+_RDFS_LABEL_URI = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def q_kg_sparql_select(spark, sf_dir):
+    """The parser/compiler path end-to-end (sparql.sparql_select): a
+    star BGP + OPTIONAL + explicit-cast FILTER, straight from query
+    text. The oracle is the hand-lowered SQL, so a green row proves the
+    whole parse -> algebra -> Catalyst chain, not a pre-built plan."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?cust ?name ?bal ?label WHERE {
+          ?cust ont:name ?name .
+          ?cust ont:acctbal ?bal .
+          OPTIONAL { ?cust rdfs:label ?label }
+          FILTER (xsd:double(?bal) > 1000.0)
+        }
+    """)
+
+
+QUERIES["kg_sparql_select"] = q_kg_sparql_select
+ORACLES["kg_sparql_select"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+n AS (SELECT subj AS cust, obj AS name FROM t WHERE pred = '{_BGP_ONT}name'),
+b AS (SELECT subj AS cust, obj AS bal FROM t WHERE pred = '{_BGP_ONT}acctbal'),
+l AS (SELECT subj AS cust, obj AS label FROM t WHERE pred = '{_RDFS_LABEL_URI}')
+SELECT n.cust, n.name, b.bal, l.label
+FROM n JOIN b USING (cust) LEFT JOIN l USING (cust)
+WHERE CAST(b.bal AS DOUBLE) > 1000.0
+"""
+
+
+def q_kg_sparql_union_agg(spark, sf_dir):
+    """UNION + FILTER NOT EXISTS + GROUP BY/HAVING from query text:
+    count unlabeled members per nation/segment class. The NOT EXISTS
+    lowers to a left-anti join on the shared ?m key; the UNION is a
+    null-padded unionByName; STRSTARTS on a variable stays a vectorized
+    startswith over the bound column."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?cls (COUNT(?m) AS ?n_members) WHERE {
+          { ?m a ?cls . FILTER (STRSTARTS(?cls, "http://example.org/nation/")) }
+          UNION
+          { ?m a ?cls . FILTER (STRSTARTS(?cls, "http://example.org/segment/")) }
+          FILTER NOT EXISTS { ?m rdfs:label ?l }
+        } GROUP BY ?cls HAVING (COUNT(?m) >= 5)
+    """)
+
+
+QUERIES["kg_sparql_union_agg"] = q_kg_sparql_union_agg
+ORACLES["kg_sparql_union_agg"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+mem AS (
+  SELECT subj AS m, obj AS cls FROM t
+  WHERE pred = '{_BGP_TYPE}' AND obj_is_iri
+    AND obj LIKE 'http://example.org/nation/%'
+  UNION ALL
+  SELECT subj, obj FROM t
+  WHERE pred = '{_BGP_TYPE}' AND obj_is_iri
+    AND obj LIKE 'http://example.org/segment/%'
+),
+lab AS (SELECT DISTINCT subj AS m FROM t WHERE pred = '{_RDFS_LABEL_URI}')
+SELECT cls, COUNT(m) AS n_members
+FROM mem ANTI JOIN lab USING (m)
+GROUP BY cls HAVING COUNT(m) >= 5
+"""
+
+
+def q_kg_sparql_path_values(spark, sf_dir):
+    """VALUES-seeded path BGP + ORDER BY/LIMIT from query text: orders
+    of customers in two pinned nations. The VALUES table is a broadcast
+    driver literal; ORDER BY + LIMIT lowers to TakeOrderedAndProject
+    (asserted in tests/test_sparql.py), never a global sort."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?ord ?nation ?odate WHERE {
+          VALUES ?nation { <http://example.org/nation/0> <http://example.org/nation/1> }
+          ?ord ont:customer ?cust .
+          ?cust a ?nation .
+          ?ord ont:orderdate ?odate .
+        } ORDER BY ?ord ?nation LIMIT 500
+    """)
+
+
+QUERIES["kg_sparql_path_values"] = q_kg_sparql_path_values
+ORACLES["kg_sparql_path_values"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+oc AS (SELECT subj AS ord, obj AS cust FROM t WHERE pred = '{_BGP_ONT}customer'),
+ct AS (SELECT subj AS cust, obj AS nation FROM t
+       WHERE pred = '{_BGP_TYPE}' AND obj_is_iri
+         AND obj IN ('http://example.org/nation/0', 'http://example.org/nation/1')),
+od AS (SELECT subj AS ord, obj AS odate FROM t WHERE pred = '{_BGP_ONT}orderdate')
+SELECT oc.ord, ct.nation, od.odate
+FROM oc JOIN ct USING (cust) JOIN od USING (ord)
+ORDER BY oc.ord, ct.nation LIMIT 500
+"""

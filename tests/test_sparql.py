@@ -1,0 +1,245 @@
+"""SPARQL front end: parser + compiler semantics over a small in-memory
+graph, each case verified against the hand-derived solution multiset."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf2smw_spark.schemas import TRIPLE_SCHEMA
+from rdf2smw_spark.sparql import (
+    Iri,
+    Lit,
+    SparqlSyntaxError,
+    TriplePattern,
+    Var,
+    parse_sparql,
+    sparql_select,
+)
+PRE = """
+PREFIX ex: <http://ex.org/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+"""
+
+EX = "http://ex.org/"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):  # noqa: F811
+    def t(s, p, o, iri=False, dt=None):
+        return (EX + s, (EX + p) if "/" not in p and ":" not in p else p,
+                (EX + o) if iri else o, iri, dt if not iri else None, "test://g")
+
+    rows = [
+        t("alice", RDF_TYPE, "Person", iri=True),
+        t("bob", RDF_TYPE, "Person", iri=True),
+        t("carol", RDF_TYPE, "Robot", iri=True),
+        t("alice", LABEL, "Alice", dt=XSD_STR),
+        t("bob", LABEL, "Bob", dt=XSD_STR),
+        t("alice", "knows", "bob", iri=True),
+        t("alice", "knows", "carol", iri=True),
+        t("bob", "knows", "carol", iri=True),
+        t("alice", "age", "31", dt="http://www.w3.org/2001/XMLSchema#integer"),
+        t("bob", "age", "9", dt="http://www.w3.org/2001/XMLSchema#integer"),
+        # literal that textually equals an IRI — must NOT match IRI terms
+        t("carol", "homepage", EX + "Person", iri=False, dt=XSD_STR),
+    ]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# -- parser ------------------------------------------------------------------
+
+def test_parse_basic_ast():
+    q = parse_sparql(PRE + "SELECT ?s ?o WHERE { ?s ex:knows ?o . }")
+    assert not q.distinct and not q.star
+    assert [it.alias for it in q.items] == ["s", "o"]
+    tp = q.where.elements[0]
+    assert tp == TriplePattern(Var("s"), Iri(EX + "knows"), Var("o"))
+
+
+def test_parse_predicate_object_lists():
+    q = parse_sparql(PRE + 'SELECT * WHERE { ex:a ex:p "x", "y" ; ex:q "z" . }')
+    pats = q.where.elements
+    assert len(pats) == 3
+    assert pats[0].o == Lit("x") and pats[1].o == Lit("y")
+    assert pats[2].p == Iri(EX + "q")
+
+
+def test_parse_a_keyword_and_typed_literal():
+    q = parse_sparql(PRE + 'SELECT * WHERE { ?s a ex:Person ; ex:v "5"^^xsd:integer . }')
+    assert q.where.elements[0].p == Iri(RDF_TYPE)
+    assert q.where.elements[1].o.datatype.endswith("integer")
+
+
+def test_parse_rejects_out_of_subset():
+    for bad in [
+        "SELECT ?s WHERE { ?s <http://p> ?o } SERVICE",  # trailing junk
+        "ASK { ?s ?p ?o }",                              # unsupported form
+        "SELECT WHERE { ?s <http://p> ?o }",             # no projection
+        "SELECT ?s WHERE { ?s undeclared:p ?o }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+def test_optional_cannot_open_group(graph):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(graph, PRE + "SELECT ?s WHERE { OPTIONAL { ?s ex:p ?o } }")
+
+
+# -- compiler semantics ---------------------------------------------------------
+
+def test_bgp_join_on_shared_var(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?who ?whom WHERE { ?who a ex:Person . ?who ex:knows ?whom . }
+    """)
+    assert rows(df) == sorted([
+        (EX + "alice", EX + "bob"),
+        (EX + "alice", EX + "carol"),
+        (EX + "bob", EX + "carol"),
+    ])
+
+
+def test_iri_literal_distinction(graph):
+    # <.../Person> as IRI object: only type triples, never carol's
+    # homepage literal with the same lexical form
+    df = sparql_select(graph, PRE + "SELECT ?s WHERE { ?s ?p ex:Person . }")
+    assert rows(df) == sorted([(EX + "alice",), (EX + "bob",)])
+    df2 = sparql_select(
+        graph, PRE + 'SELECT ?s WHERE { ?s ex:homepage "http://ex.org/Person" . }'
+    )
+    assert rows(df2) == [(EX + "carol",)]
+
+
+def test_optional_left_join(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?lab WHERE { ?s a ?c . OPTIONAL { ?s rdfs:label ?lab } }
+    """)
+    assert (EX + "carol", None) in rows(df)
+    assert (EX + "alice", "Alice") in rows(df)
+
+
+def test_union_pads_missing_vars(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?lab WHERE {
+          { ?s a ex:Robot } UNION { ?s a ex:Person . ?s rdfs:label ?lab }
+        }
+    """)
+    assert rows(df) == sorted([
+        (EX + "carol", None), (EX + "alice", "Alice"), (EX + "bob", "Bob"),
+    ])
+
+
+def test_minus_and_disjoint_minus(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s a ex:Person MINUS { ?s ex:age "9" } }
+    """)
+    assert rows(df) == [(EX + "alice",)]
+    # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3)
+    df2 = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s a ex:Person MINUS { ?x ex:age "9" } }
+    """)
+    assert df2.count() == 2
+
+
+def test_filter_not_exists_and_exists(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s a ex:Person . FILTER NOT EXISTS { ?s rdfs:label ?l } }
+    """)
+    assert df.count() == 0
+    df2 = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s ex:knows ?o . FILTER EXISTS { ?o a ex:Robot } }
+    """)
+    assert rows(df2) == sorted([(EX + "alice",), (EX + "bob",)])
+
+
+def test_filter_scopes_over_whole_group(graph):
+    # filter placed BEFORE the pattern that binds ?age still applies
+    df = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { FILTER (xsd:integer(?age) > 10) ?s ex:age ?age . }
+    """)
+    assert rows(df) == [(EX + "alice",)]
+
+
+def test_bind_values_and_builtins(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?up WHERE {
+          VALUES ?s { ex:alice ex:bob }
+          ?s rdfs:label ?lab .
+          BIND (UCASE(?lab) AS ?up)
+          FILTER (STRSTARTS(?up, "A") || CONTAINS(?up, "OB"))
+        }
+    """)
+    assert rows(df) == sorted([(EX + "alice", "ALICE"), (EX + "bob", "BOB")])
+
+
+def test_values_multi_var_with_undef(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?need WHERE {
+          VALUES (?s ?need) { (ex:alice "Alice") (ex:bob UNDEF) }
+          ?s rdfs:label ?need .
+        }
+    """)
+    # UNDEF row drops in the inner join on ?need (documented subset:
+    # VALUES joins on ALL its columns)
+    assert rows(df) == [(EX + "alice", "Alice")]
+
+
+def test_aggregation_having_order_limit(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?who (COUNT(?whom) AS ?n) WHERE { ?who ex:knows ?whom . }
+        GROUP BY ?who HAVING (COUNT(?whom) >= 1) ORDER BY DESC(?n) ?who LIMIT 1
+    """)
+    assert rows(df) == [(EX + "alice", 2)]
+
+
+def test_global_aggregate_and_distinct_count(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?o) AS ?d)
+        WHERE { ?s ex:knows ?o . }
+    """)
+    assert rows(df) == [(3, 2)]
+
+
+def test_numeric_cast_arithmetic(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s (xsd:integer(?a) + 1 AS ?next) WHERE { ?s ex:age ?a . }
+        ORDER BY ?s
+    """)
+    assert rows(df) == sorted([(EX + "alice", 32), (EX + "bob", 10)])
+
+
+def test_select_star_distinct_offset(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT DISTINCT ?c WHERE { ?s a ?c . } ORDER BY ?c LIMIT 10 OFFSET 1
+    """)
+    assert rows(df) == [(EX + "Robot",)]
+
+
+def test_order_limit_is_take_ordered(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?o WHERE { ?s ex:knows ?o . } ORDER BY ?s ?o LIMIT 2
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pred_filter_pushed_to_scan(spark, graph, tmp_path):  # noqa: F811
+    path = str(tmp_path / "t.parquet")
+    graph.write.parquet(path)
+    t = spark.read.parquet(path)
+    df = sparql_select(t, PRE + "SELECT ?s ?o WHERE { ?s ex:knows ?o . }")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "knows" in plan
+
+
+def test_unbound_projection_rejected(graph):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(graph, PRE + "SELECT ?nope WHERE { ?s ex:knows ?o . }")
