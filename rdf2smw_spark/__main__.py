@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                          "conversion (RDFS rho-df and/or OWL-lite inverse/"
                          "symmetric/transitive); derived facts carry "
                          "entail:// provenance")
+    ap.add_argument("--sparql", default=None,
+                    help="SPARQL SELECT/CONSTRUCT to run over the --in "
+                         "triples; result is written to OUT/sparql as "
+                         "parquet (CONSTRUCT emits the triple schema, "
+                         "re-ingestable via --in)")
+    ap.add_argument("--sparql-file", default=None,
+                    help="like --sparql but read the query from a file")
     ap.add_argument("--cores", type=int, default=None)
     # BooleanOptionalAction gives a working --no-resume (ADVICE r2: a
     # store_true with default=True could never be disabled)
@@ -66,7 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="rdf2smw_spark-cli", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.mode == "nt":
+    if args.sparql or args.sparql_file:
+        if not args.infile:
+            ap.error("--sparql requires --in (an RDF input to query)")
+        if args.sparql and args.sparql_file:
+            ap.error("--sparql and --sparql-file are mutually exclusive")
+        query = args.sparql
+        if args.sparql_file:
+            with open(args.sparql_file) as fh:
+                query = fh.read()
+        from rdf2smw_spark.plans.pipeline import run_sparql
+
+        res = run_sparql(spark, args.infile, query, args.out, entail=args.entail)
+    elif args.mode == "nt":
         if not args.infile:
             ap.error("--in required for nt mode (reference: main.go:47-50)")
         from rdf2smw_spark.plans.pipeline import run_nt_pipeline

@@ -334,6 +334,70 @@ def run_web_pipeline(
     return res
 
 
+def read_rdf_any(spark: SparkSession, path: str):
+    """Extension-dispatched RDF reader: .nt (line-parallel fast path,
+    the reference feeds everything to one Turtle decoder —
+    ttlfilereader.go:53), .ttl (stateful document parser), .nq (graph
+    term lands in src_url), .jsonld/.ndjson (expanded NDJSON-LD).
+    Returns (triples, quarantined_bad_lines)."""
+    if path.endswith(".ttl"):
+        from rdf2smw_spark.sources.turtle import read_turtle
+
+        return read_turtle(spark, path)
+    if path.endswith((".jsonld", ".ndjson")):
+        from rdf2smw_spark.sources.jsonld import read_jsonld
+
+        return read_jsonld(spark, path)
+    if path.endswith(".nq"):
+        from rdf2smw_spark.sources.nquads import read_nquads
+
+        triples, bad = read_nquads(spark, path)
+        return (
+            triples.select(
+                "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+            ),
+            bad,
+        )
+    return read_ntriples(spark, path)
+
+
+def run_sparql(
+    spark: SparkSession,
+    in_path: str,
+    query: str,
+    out_dir: str,
+    entail: str | None = None,
+) -> dict:
+    """Query surface: any supported RDF input + a SPARQL SELECT or
+    CONSTRUCT string -> parquet result under out_dir/sparql plus a
+    result summary. CONSTRUCT emits TRIPLE_SCHEMA, so its output can be
+    fed straight back through --in for conversion to wiki pages."""
+    from rdf2smw_spark.sparql import parse_sparql, ConstructQuery, _Compiler
+
+    triples, bad = read_rdf_any(spark, in_path)
+    if entail is not None:
+        triples = entail_triples(triples, entail)
+    q = parse_sparql(query)
+    comp = _Compiler(triples)
+    form = "construct" if isinstance(q, ConstructQuery) else "select"
+    df = (
+        comp.compile_construct(q) if isinstance(q, ConstructQuery)
+        else comp.compile_query(q)
+    )
+    out_path = os.path.join(out_dir, "sparql")
+    df.write.mode("overwrite").parquet(out_path)
+    n_rows = spark.read.parquet(out_path).count()
+    res = {
+        "form": form,
+        "result": out_path,
+        "n_rows": n_rows,
+        "columns": df.columns,
+        "bad_lines": bad.count(),
+    }
+    release_scoped_caches()
+    return res
+
+
 def run_nt_pipeline(
     spark: SparkSession,
     nt_path: str,
@@ -348,27 +412,7 @@ def run_nt_pipeline(
     Turtle decoder (ttlfilereader.go:53 — N-Triples is a Turtle subset);
     here the line-oriented N-Triples fast path keeps line-level
     parallelism for .nt, and .ttl uses the stateful document parser."""
-    if nt_path.endswith(".ttl"):
-        from rdf2smw_spark.sources.turtle import read_turtle
-
-        triples, bad = read_turtle(spark, nt_path)
-    elif nt_path.endswith((".jsonld", ".ndjson")):
-        # expanded NDJSON-LD (sources/jsonld.py): schema.org-style web
-        # embeds; line-parallel like .nt, quarantine policy identical
-        from rdf2smw_spark.sources.jsonld import read_jsonld
-
-        triples, bad = read_jsonld(spark, nt_path)
-    elif nt_path.endswith(".nq"):
-        # N-Quads (sources/nquads.py): the graph term lands in src_url,
-        # so conversion is unchanged and lineage stays per-graph
-        from rdf2smw_spark.sources.nquads import read_nquads
-
-        triples, bad = read_nquads(spark, nt_path)
-        triples = triples.select(
-            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
-        )
-    else:
-        triples, bad = read_ntriples(spark, nt_path)
+    triples, bad = read_rdf_any(spark, nt_path)
     if entail is not None:
         triples = entail_triples(triples, entail)
     pages = triples_to_pages(spark, triples, n_salt=n_salt)

@@ -2403,3 +2403,37 @@ SELECT oc.ord, ct.nation, od.odate
 FROM oc JOIN ct USING (cust) JOIN od USING (ord)
 ORDER BY oc.ord, ct.nation LIMIT 500
 """
+
+
+def q_kg_sparql_construct(spark, sf_dir):
+    """CONSTRUCT from query text (sparql.sparql_construct): materialize
+    a derived graph — inverse placedOrder edges + literal status facts —
+    in TRIPLE_SCHEMA, ready to feed conversion/entailment/another query.
+    Object metadata (obj_is_iri/obj_datatype) rides companion columns
+    from the WHERE bindings, so the literal ?st keeps xsd:string while
+    the IRI ?ord stays an IRI."""
+    from rdf2smw_spark.sparql import sparql_construct
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_construct(t, _SPARQL_PRE + """
+        CONSTRUCT { ?cust ont:placedOrder ?ord . ?ord ont:status ?st }
+        WHERE { ?ord ont:customer ?cust . ?ord ont:orderstatus ?st . }
+    """)
+
+
+QUERIES["kg_sparql_construct"] = q_kg_sparql_construct
+ORACLES["kg_sparql_construct"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+oc AS (SELECT subj AS ord, obj AS cust FROM t WHERE pred = '{_BGP_ONT}customer'),
+os AS (SELECT subj AS ord, obj AS st, obj_datatype AS st_dt FROM t
+       WHERE pred = '{_BGP_ONT}orderstatus')
+SELECT DISTINCT * FROM (
+  SELECT oc.cust AS subj, '{_BGP_ONT}placedOrder' AS pred, oc.ord AS obj,
+         true AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_datatype,
+         'sparql://construct' AS src_url
+  FROM oc JOIN os USING (ord)
+  UNION ALL
+  SELECT os.ord, '{_BGP_ONT}status', os.st, false, os.st_dt, 'sparql://construct'
+  FROM oc JOIN os USING (ord)
+)
+"""

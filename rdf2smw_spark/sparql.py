@@ -185,6 +185,13 @@ class SelectQuery:
     offset: int | None
 
 
+@dataclass
+class ConstructQuery:
+    template: list       # [TriplePattern]
+    where: Group
+    limit: int | None
+
+
 # --------------------------------------------------------------------------
 # Tokenizer
 # --------------------------------------------------------------------------
@@ -205,9 +212,10 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "PREFIX", "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "UNION", "MINUS",
-    "FILTER", "BIND", "VALUES", "GROUP", "BY", "HAVING", "ORDER", "ASC",
-    "DESC", "LIMIT", "OFFSET", "AS", "NOT", "EXISTS", "UNDEF", "A",
+    "PREFIX", "SELECT", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL",
+    "UNION", "MINUS", "FILTER", "BIND", "VALUES", "GROUP", "BY", "HAVING",
+    "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "AS", "NOT", "EXISTS",
+    "UNDEF", "A",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -312,12 +320,14 @@ class _Parser:
         raise SparqlSyntaxError(f"expected term, got {v!r}")
 
     # -- query -------------------------------------------------------------
-    def parse_query(self) -> SelectQuery:
+    def parse_query(self) -> SelectQuery | ConstructQuery:
         while self.accept("KW", "PREFIX"):
             pn = self.expect("PNAME")
             ns = pn[: pn.index(":")]
             iri = self.expect("IRIREF")
             self.prefixes[ns] = iri[1:-1]
+        if self.accept("KW", "CONSTRUCT"):
+            return self._parse_construct()
         self.expect("KW", "SELECT")
         distinct = self.accept("KW", "DISTINCT")
         items, star = [], False
@@ -386,6 +396,22 @@ class _Parser:
         self.expect("EOF")
         return SelectQuery(distinct, items, star, where, group_by, having,
                            order_by, limit, offset)
+
+    def _parse_construct(self) -> ConstructQuery:
+        self.expect("OP", "{")
+        template: list[TriplePattern] = []
+        while not self.accept("OP", "}"):
+            template.extend(self.parse_triples_block())
+            self.accept("OP", ".")
+        if not template:
+            raise SparqlSyntaxError("CONSTRUCT template is empty")
+        self.expect("KW", "WHERE")
+        where = self.parse_group()
+        limit = None
+        if self.accept("KW", "LIMIT"):
+            limit = int(self.expect("NUMBER"))
+        self.expect("EOF")
+        return ConstructQuery(template, where, limit)
 
     # -- group graph pattern ------------------------------------------------
     def parse_group(self) -> Group:
@@ -585,10 +611,16 @@ def parse_sparql(text: str) -> SelectQuery:
 # Compiler: AST -> DataFrame plan
 # --------------------------------------------------------------------------
 
-def _pattern_df(triples: DataFrame, tp: TriplePattern) -> DataFrame:
+def _pattern_df(
+    triples: DataFrame, tp: TriplePattern, capture: set | None = None
+) -> DataFrame:
     """One triple pattern -> relation with one column per variable.
     Fixed terms become pushable scan filters; IRI-vs-literal object
-    terms additionally constrain obj_is_iri (see module docstring)."""
+    terms additionally constrain obj_is_iri (see module docstring).
+    For CONSTRUCT, `capture` lists object-position variables whose
+    obj_is_iri/obj_datatype must ride along as hidden companion columns
+    (__isiri_v / __dt_v); each is captured at its FIRST object binding
+    and consumed from the set so joins never collide on companions."""
     df = triples
     cols: dict[str, Column] = {}
     # subject
@@ -609,6 +641,10 @@ def _pattern_df(triples: DataFrame, tp: TriplePattern) -> DataFrame:
             df = df.filter(F.col("obj") == cols[tp.o.name])
         else:
             cols[tp.o.name] = F.col("obj")
+            if capture is not None and tp.o.name in capture:
+                capture.discard(tp.o.name)
+                cols[f"__isiri_{tp.o.name}"] = F.col("obj_is_iri")
+                cols[f"__dt_{tp.o.name}"] = F.col("obj_datatype")
     elif isinstance(tp.o, Iri):
         df = df.filter(F.col("obj_is_iri") & (F.col("obj") == tp.o.value))
     else:  # Lit
@@ -635,9 +671,12 @@ def _join(left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
 
 
 class _Compiler:
-    def __init__(self, triples: DataFrame):
+    def __init__(self, triples: DataFrame, capture_obj_meta: set | None = None):
         self.triples = triples
         self.spark = triples.sparkSession
+        # object-position variables whose is_iri/datatype companions a
+        # CONSTRUCT template needs (consumed at first binding)
+        self.capture = capture_obj_meta if capture_obj_meta is not None else set()
 
     # -- groups --------------------------------------------------------------
     def compile_group(self, g: Group) -> DataFrame:
@@ -645,7 +684,7 @@ class _Compiler:
         filters: list = []
         for el in g.elements:
             if isinstance(el, TriplePattern):
-                df = _join(df, _pattern_df(self.triples, el), "inner")
+                df = _join(df, _pattern_df(self.triples, el, self.capture), "inner")
             elif isinstance(el, Group):
                 df = _join(df, self.compile_group(el), "inner")
             elif isinstance(el, Optional_):
@@ -655,10 +694,13 @@ class _Compiler:
             elif isinstance(el, Union_):
                 branches = [self.compile_group(b) for b in el.branches]
                 all_cols = sorted({c for b in branches for c in b.columns})
+                # pad missing vars with nulls of the dtype another branch
+                # bound them at (companions are boolean, vars string)
+                dtypes = {c: t for b in branches for c, t in b.dtypes}
                 padded = [
                     b.select(*[
                         F.col(c) if c in b.columns
-                        else F.lit(None).cast("string").alias(c)
+                        else F.lit(None).cast(dtypes[c]).alias(c)
                         for c in all_cols
                     ])
                     for b in branches
@@ -847,8 +889,101 @@ class _Compiler:
         return df
 
 
+    # -- CONSTRUCT ----------------------------------------------------------------
+    def compile_construct(self, q: ConstructQuery) -> DataFrame:
+        """CONSTRUCT -> a TRIPLE_SCHEMA DataFrame (a graph: distinct
+        triples), so the result plugs straight back into the engine —
+        conversion, rendering, entailment, another SPARQL query.
+
+        Template instantiation follows SPARQL 1.1 §16.2: solutions with
+        an unbound template variable produce no triple for that
+        template row; subject/predicate slots instantiated from a
+        variable that bound a LITERAL are dropped (invalid triples are
+        skipped, not errors). Object variables carry their binding's
+        obj_is_iri/obj_datatype via companion columns captured at the
+        WHERE pattern that bound them, so the emitted graph preserves
+        the IRI-vs-literal distinction exactly."""
+        # capture is_iri/datatype companions for EVERY template variable:
+        # object slots need the metadata, subject/predicate slots need the
+        # literal-guard (a var bound in WHERE object position may hold a
+        # literal, invalid in an IRI slot)
+        self.capture |= {
+            term.name
+            for t in q.template
+            for term in (t.s, t.p, t.o)
+            if isinstance(term, Var)
+        }
+        df = self.compile_group(q.where)
+        all_vars = set(df.columns)
+        for t in q.template:
+            for term in (t.s, t.p, t.o):
+                if isinstance(term, Var) and term.name not in all_vars:
+                    raise SparqlSyntaxError(
+                        f"template variable ?{term.name} never bound in WHERE"
+                    )
+
+        def iri_slot(term) -> Column:
+            # subject/predicate: IRIs only. A var bound in object
+            # position may hold a literal -> drop via companion guard.
+            if isinstance(term, Var):
+                col = F.col(term.name)
+                comp = f"__isiri_{term.name}"
+                if comp in df.columns:
+                    return F.when(F.col(comp), col)  # NULL when literal
+                return col
+            return F.lit(term.value)
+
+        parts = []
+        for t in q.template:
+            subj = iri_slot(t.s)
+            pred = iri_slot(t.p)
+            if isinstance(t.o, Var):
+                obj = F.col(t.o.name)
+                comp_i, comp_d = f"__isiri_{t.o.name}", f"__dt_{t.o.name}"
+                is_iri = (F.col(comp_i) if comp_i in df.columns
+                          else F.lit(True))  # bound as subj/pred -> IRI
+                dt = (F.col(comp_d) if comp_d in df.columns
+                      else F.lit(None).cast("string"))
+            elif isinstance(t.o, Iri):
+                obj, is_iri, dt = F.lit(t.o.value), F.lit(True), F.lit(None).cast("string")
+            else:
+                obj, is_iri = F.lit(t.o.value), F.lit(False)
+                dt = F.lit(t.o.datatype).cast("string")
+            parts.append(
+                df.select(
+                    subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
+                    is_iri.alias("obj_is_iri"), dt.alias("obj_datatype"),
+                ).filter(
+                    F.col("subj").isNotNull()
+                    & F.col("pred").isNotNull()
+                    & F.col("obj").isNotNull()
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.distinct().withColumn("src_url", F.lit("sparql://construct"))
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile a SPARQL SELECT string to a DataFrame over `triples`
     (schema: schemas.TRIPLE_SCHEMA). See module docstring for the
     supported subset and its pinned semantics."""
-    return _Compiler(triples).compile_query(parse_sparql(query))
+    q = parse_sparql(query)
+    if isinstance(q, ConstructQuery):
+        raise SparqlSyntaxError("use sparql_construct() for CONSTRUCT queries")
+    return _Compiler(triples).compile_query(q)
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """Compile a SPARQL CONSTRUCT string to a TRIPLE_SCHEMA DataFrame —
+    derived-graph materialization from query text. The output feeds any
+    downstream consumer of the triple table (conversion to wiki pages,
+    entailment, further SPARQL)."""
+    q = parse_sparql(query)
+    if not isinstance(q, ConstructQuery):
+        raise SparqlSyntaxError("use sparql_select() for SELECT queries")
+    return _Compiler(triples).compile_construct(q)

@@ -243,3 +243,112 @@ def test_pred_filter_pushed_to_scan(spark, graph, tmp_path):  # noqa: F811
 def test_unbound_projection_rejected(graph):
     with pytest.raises(SparqlSyntaxError):
         sparql_select(graph, PRE + "SELECT ?nope WHERE { ?s ex:knows ?o . }")
+
+
+# -- CONSTRUCT -----------------------------------------------------------------
+
+def test_construct_inverse_edges(graph):
+    from rdf2smw_spark.sparql import sparql_construct
+
+    df = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?o ex:knownBy ?s } WHERE { ?s ex:knows ?o . }
+    """)
+    assert set(df.columns) == {
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+    }
+    got = rows(df.select("subj", "obj", "obj_is_iri"))
+    assert got == sorted([
+        (EX + "bob", EX + "alice", True),
+        (EX + "carol", EX + "alice", True),
+        (EX + "carol", EX + "bob", True),
+    ])
+
+
+def test_construct_preserves_literal_metadata(graph):
+    from rdf2smw_spark.sparql import sparql_construct
+
+    df = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?s ex:nick ?lab . ?s a ex:Named }
+        WHERE { ?s rdfs:label ?lab . }
+    """)
+    lits = rows(df.filter("pred = 'http://ex.org/nick'")
+                .select("obj", "obj_is_iri", "obj_datatype"))
+    assert lits == sorted([("Alice", False, XSD_STR), ("Bob", False, XSD_STR)])
+    types = rows(df.filter("pred = '" + RDF_TYPE + "'")
+                 .select("obj", "obj_is_iri", "obj_datatype"))
+    assert types == sorted([(EX + "Named", True, None)] * 2)
+
+
+def test_construct_drops_literal_in_iri_slot(graph):
+    from rdf2smw_spark.sparql import sparql_construct
+
+    # ?v binds integers — invalid as subject, every instantiation skipped
+    df = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?v ex:cameFrom ?s } WHERE { ?s ex:age ?v . }
+    """)
+    assert df.count() == 0
+
+
+def test_construct_output_is_a_set(graph):
+    from rdf2smw_spark.sparql import sparql_construct
+
+    # two WHERE solutions per ?s (alice knows bob+carol) -> one triple
+    df = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?s a ex:Knower } WHERE { ?s ex:knows ?o . }
+    """)
+    assert df.count() == 2  # alice, bob
+
+
+def test_construct_feeds_back_into_select(graph):
+    from rdf2smw_spark.sparql import sparql_construct, sparql_select
+
+    g2 = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?o ex:knownBy ?s } WHERE { ?s ex:knows ?o . }
+    """)
+    df = sparql_select(g2, PRE + """
+        SELECT ?who (COUNT(?by) AS ?n) WHERE { ?who ex:knownBy ?by . }
+        GROUP BY ?who ORDER BY ?who
+    """)
+    assert rows(df) == sorted([(EX + "bob", 1), (EX + "carol", 2)])
+
+
+def test_construct_unbound_template_var_rejected(graph):
+    from rdf2smw_spark.sparql import SparqlSyntaxError, sparql_construct
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_construct(graph, PRE + """
+            CONSTRUCT { ?s ex:p ?nope } WHERE { ?s ex:knows ?o . }
+        """)
+
+
+# -- CLI surface -------------------------------------------------------------------
+
+def test_cli_sparql_select_and_construct_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from rdf2smw_spark.__main__ import main
+
+    nt = tmp_path / "in.nt"
+    nt.write_text(
+        '<http://e/s> <http://e/p> "v" .\n'
+        '<http://e/s> <http://e/q> <http://e/o> .\n'
+    )
+    rc = main(["--in", str(nt), "--out", str(tmp_path / "o1"),
+               "--sparql", "SELECT ?s ?v WHERE { ?s <http://e/p> ?v . }"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"form": "select", "result": str(tmp_path / "o1" / "sparql"),
+                   "n_rows": 1, "columns": ["s", "v"], "bad_lines": 0}
+
+    qf = tmp_path / "q.rq"
+    qf.write_text("CONSTRUCT { ?o <http://e/from> ?s } "
+                  "WHERE { ?s <http://e/q> ?o . }")
+    rc = main(["--in", str(nt), "--out", str(tmp_path / "o2"),
+               "--sparql-file", str(qf)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["form"] == "construct" and res["n_rows"] == 1
+    # CONSTRUCT output is TRIPLE_SCHEMA parquet — re-queryable
+    got = spark.read.parquet(res["result"]).collect()[0]
+    assert (got["subj"], got["pred"], got["obj"], got["obj_is_iri"]) == (
+        "http://e/o", "http://e/from", "http://e/s", True)
