@@ -2437,3 +2437,80 @@ SELECT DISTINCT * FROM (
   FROM oc JOIN os USING (ord)
 )
 """
+
+
+_CHAIN_TRIPLES_SQL = (
+    f"(SELECT * FROM (SELECT * FROM {TRIPLES_SQL} "
+    "UNION ALL "
+    "SELECT 'http://example.org/region/' || r_regionkey, "
+    "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+    "'http://example.org/zone/' || (r_regionkey % 2), "
+    "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region "
+    "UNION ALL "
+    "SELECT DISTINCT 'http://example.org/zone/' || (r_regionkey % 2), "
+    "'http://www.w3.org/2000/01/rdf-schema#subClassOf', "
+    "'http://example.org/class/World', "
+    "true, CAST(NULL AS VARCHAR), 'testdata://zones' FROM region))"
+)
+
+
+def q_kg_sparql_path_seq(spark, sf_dir):
+    """Sequence property path from query text: ?ord
+    ont:customer/a/rdfs:subClassOf ?region — three obj->subj hops in
+    one path expression (order -> customer -> nation -> region; the
+    customer's segment type has no subClassOf and drops out). Each hop
+    is a pred-filtered scan joined on full term equality."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?ord ?region WHERE {
+          ?ord ont:customer/a/rdfs:subClassOf ?region .
+        }
+    """)
+
+
+QUERIES["kg_sparql_path_seq"] = q_kg_sparql_path_seq
+ORACLES["kg_sparql_path_seq"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+oc AS (SELECT subj AS ord, obj AS cust FROM t WHERE pred = '{_BGP_ONT}customer'),
+ct AS (SELECT subj AS cust, obj AS cls FROM t
+       WHERE pred = '{_BGP_TYPE}' AND obj_is_iri),
+ns AS (SELECT subj AS cls, obj AS region FROM t
+       WHERE pred = '{_BGP_SUBCLASS}' AND obj_is_iri)
+SELECT oc.ord, ns.region
+FROM oc JOIN ct USING (cust) JOIN ns USING (cls)
+"""
+
+
+def q_kg_sparql_path_plus(spark, sf_dir):
+    """OneOrMorePath closure from query text: ?uri rdfs:subClassOf+
+    ?anc over the region->zone->World synthetic chain — the distributed
+    frontier fixpoint (sparql._path_closure) against DuckDB's recursive
+    CTE. Per SPARQL §9.3 the closure is a SET of term pairs (no
+    duplicate paths), which the CTE mirrors with UNION + DISTINCT."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir).unionByName(
+        _sameas.synth_class_chain(spark, sf_dir)
+    )
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?uri ?anc WHERE { ?uri rdfs:subClassOf+ ?anc . }
+    """)
+
+
+QUERIES["kg_sparql_path_plus"] = q_kg_sparql_path_plus
+ORACLES["kg_sparql_path_plus"] = f"""
+WITH RECURSIVE
+t AS (SELECT * FROM {_CHAIN_TRIPLES_SQL}),
+edges AS (
+    SELECT DISTINCT subj AS uri, obj AS anc FROM t
+    WHERE pred = '{_BGP_SUBCLASS}' AND obj_is_iri
+),
+reach(uri, anc) AS (
+    SELECT uri, anc FROM edges
+    UNION
+    SELECT r.uri, e.anc FROM reach r JOIN edges e ON e.uri = r.anc
+)
+SELECT DISTINCT uri, anc FROM reach
+"""

@@ -20,6 +20,11 @@ raises SparqlSyntaxError rather than mis-executing):
 - group graph patterns with ``OPTIONAL {}``, ``{} UNION {}``,
   ``MINUS {}``, ``FILTER``, ``BIND (expr AS ?v)``,
   ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``;
+- property paths (§9): sequence ``p1/p2``, alternation ``p1|p2``,
+  inverse ``^p``, grouping ``(...)``, and ``p+ | p* | p?`` — closures
+  are distributed frontier fixpoints over term-pair SETS (§9.3), with
+  both endpoints carrying IRI/datatype metadata so same-lexical
+  IRI-vs-literal terms never conflate mid-path;
 - ``FILTER [NOT] EXISTS { ... }`` (as the whole filter constraint);
 - builtins ``STR STRLEN STRSTARTS STRENDS CONTAINS UCASE LCASE REGEX
   BOUND COALESCE`` and casts ``xsd:integer/xsd:double/xsd:string``;
@@ -98,8 +103,30 @@ class Lit:
 @dataclass(frozen=True)
 class TriplePattern:
     s: object
-    p: object
+    p: object          # Var | Iri | a path node (PathSeq/PathAlt/PathInv/PathMod)
     o: object
+
+
+# property-path nodes (SPARQL 1.1 §9)
+@dataclass(frozen=True)
+class PathSeq:
+    steps: tuple       # p1/p2/...
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    branches: tuple    # p1|p2|...
+
+
+@dataclass(frozen=True)
+class PathInv:
+    elt: object        # ^p
+
+
+@dataclass(frozen=True)
+class PathMod:
+    elt: object
+    mod: str           # '+', '*', or '?'
 
 
 @dataclass(frozen=True)
@@ -206,7 +233,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().;,*+\-/=<>!])
+    | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().;,*+\-/=<>!|^?])
     """,
     re.VERBOSE,
 )
@@ -481,11 +508,57 @@ class _Parser:
             return None
         return self.parse_term()
 
+    # -- property paths (SPARQL 1.1 §9) --------------------------------------
+    def parse_path(self):
+        """Path := Seq ('|' Seq)* ; Seq := Elt ('/' Elt)* ;
+        Elt := Prim ('+'|'*'|'?')? ; Prim := '^' Prim | iri | 'a' | '(' Path ')'.
+        A bare variable predicate is NOT a path (no modifiers allowed)."""
+        if self.peek()[0] == "VAR":
+            return Var(self.next()[1][1:])
+        branches = [self._parse_path_seq()]
+        while self.accept("OP", "|"):
+            branches.append(self._parse_path_seq())
+        if len(branches) > 1:
+            return PathAlt(tuple(branches))
+        return branches[0]
+
+    def _parse_path_seq(self):
+        steps = [self._parse_path_elt()]
+        while self.accept("OP", "/"):
+            steps.append(self._parse_path_elt())
+        if len(steps) > 1:
+            return PathSeq(tuple(steps))
+        return steps[0]
+
+    def _parse_path_elt(self):
+        prim = self._parse_path_prim()
+        k, v = self.peek()
+        if k == "OP" and v in ("+", "*", "?"):
+            self.next()
+            return PathMod(prim, v)
+        return prim
+
+    def _parse_path_prim(self):
+        if self.accept("OP", "^"):
+            return PathInv(self._parse_path_prim())
+        if self.accept("OP", "("):
+            p = self.parse_path()
+            self.expect("OP", ")")
+            return p
+        k, v = self.next()
+        if k == "IRIREF":
+            return self._iri(v)
+        if k == "PNAME":
+            return self._pname(v)
+        if k == "KW" and v == "A":
+            return Iri(RDF_TYPE)
+        raise SparqlSyntaxError(f"expected path element, got {v!r}")
+
     def parse_triples_block(self) -> list[TriplePattern]:
         out = []
         subj = self.parse_term(allow_literal=False)
         while True:
-            pred = self.parse_term(allow_literal=False)
+            pred = self.parse_path()
             if isinstance(pred, Lit):
                 raise SparqlSyntaxError("literal in predicate position")
             while True:
@@ -611,6 +684,167 @@ def parse_sparql(text: str) -> SelectQuery:
 # Compiler: AST -> DataFrame plan
 # --------------------------------------------------------------------------
 
+_PATH_COLS = ["s", "s_iri", "s_dt", "o", "o_iri", "o_dt"]
+
+
+def _term_eq(left_prefix: str, right_prefix: str):
+    """RDF term equality across two path-relation endpoints: lexical
+    form + IRI/literal kind + datatype (null-safe)."""
+    return (
+        (F.col(f"{left_prefix}.o") == F.col(f"{right_prefix}.s"))
+        & (F.col(f"{left_prefix}.o_iri") == F.col(f"{right_prefix}.s_iri"))
+        & F.col(f"{left_prefix}.o_dt").eqNullSafe(F.col(f"{right_prefix}.s_dt"))
+    )
+
+
+def _path_closure(rel: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Transitive closure of a path relation (OneOrMorePath, SPARQL
+    §9.3: a SET of term pairs). Frontier extension — one join + one
+    anti-join per round, localCheckpoint to truncate lineage, O(graph
+    diameter) rounds. Paths traverse the schema/class layer in
+    practice (a sliver of a 10^12-triple corpus), so each round's
+    frontier is small; the anti-join keys co-partition with the
+    closure across rounds."""
+    rel = rel.select(*_PATH_COLS).distinct().persist()
+    closure = rel.localCheckpoint(eager=True)
+    frontier = closure
+    for _ in range(max_iter):
+        stepped = (
+            frontier.alias("f")
+            .join(rel.alias("e"), _term_eq("f", "e"))
+            .select(
+                F.col("f.s").alias("s"), F.col("f.s_iri").alias("s_iri"),
+                F.col("f.s_dt").alias("s_dt"),
+                F.col("e.o").alias("o"), F.col("e.o_iri").alias("o_iri"),
+                F.col("e.o_dt").alias("o_dt"),
+            )
+            .distinct()
+        )
+        fresh = stepped.join(
+            closure, ["s", "s_iri", "o", "o_iri"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.limit(1).count() == 0:
+            rel.unpersist()
+            return closure
+        closure = closure.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    rel.unpersist()
+    raise SparqlSyntaxError(
+        f"property-path closure did not converge in {max_iter} rounds"
+    )
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """All RDF terms of the graph as a zero-length path relation
+    (s = o = the term), per SPARQL §9.3 ZeroOrMorePath semantics."""
+    subs = triples.select(
+        F.col("subj").alias("t"), F.lit(True).alias("t_iri"),
+        F.lit(None).cast("string").alias("t_dt"),
+    )
+    objs = triples.select(
+        F.col("obj").alias("t"), F.col("obj_is_iri").alias("t_iri"),
+        F.col("obj_datatype").alias("t_dt"),
+    )
+    terms = subs.unionByName(objs).distinct()
+    return terms.select(
+        F.col("t").alias("s"), F.col("t_iri").alias("s_iri"),
+        F.col("t_dt").alias("s_dt"),
+        F.col("t").alias("o"), F.col("t_iri").alias("o_iri"),
+        F.col("t_dt").alias("o_dt"),
+    )
+
+
+def _path_rel(triples: DataFrame, path) -> DataFrame:
+    """Compile a path expression to a relation of term pairs
+    (s, s_iri, s_dt, o, o_iri, o_dt). Metadata rides both endpoints so
+    inverse paths and CONSTRUCT companions stay exact — two terms with
+    the same lexical form but different kind/datatype never conflate."""
+    if isinstance(path, Iri):
+        return triples.filter(F.col("pred") == path.value).select(
+            F.col("subj").alias("s"), F.lit(True).alias("s_iri"),
+            F.lit(None).cast("string").alias("s_dt"),
+            F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_iri"),
+            F.col("obj_datatype").alias("o_dt"),
+        )
+    if isinstance(path, PathInv):
+        rel = _path_rel(triples, path.elt)
+        return rel.select(
+            F.col("o").alias("s"), F.col("o_iri").alias("s_iri"),
+            F.col("o_dt").alias("s_dt"),
+            F.col("s").alias("o"), F.col("s_iri").alias("o_iri"),
+            F.col("s_dt").alias("o_dt"),
+        )
+    if isinstance(path, PathSeq):
+        out = _path_rel(triples, path.steps[0])
+        for step in path.steps[1:]:
+            nxt = _path_rel(triples, step)
+            out = (
+                out.alias("f")
+                .join(nxt.alias("e"), _term_eq("f", "e"))
+                .select(
+                    F.col("f.s").alias("s"), F.col("f.s_iri").alias("s_iri"),
+                    F.col("f.s_dt").alias("s_dt"),
+                    F.col("e.o").alias("o"), F.col("e.o_iri").alias("o_iri"),
+                    F.col("e.o_dt").alias("o_dt"),
+                )
+            )
+        return out
+    if isinstance(path, PathAlt):
+        rels = [_path_rel(triples, b) for b in path.branches]
+        out = rels[0]
+        for r in rels[1:]:
+            out = out.unionByName(r)
+        return out
+    if isinstance(path, PathMod):
+        rel = _path_rel(triples, path.elt)
+        if path.mod == "+":
+            return _path_closure(rel)
+        if path.mod == "?":
+            return rel.unionByName(_graph_terms(triples)).distinct()
+        # '*' = identity over all graph terms + the one-or-more closure
+        return _path_closure(rel).unionByName(_graph_terms(triples)).distinct()
+    raise SparqlSyntaxError(f"unsupported path {path!r}")  # pragma: no cover
+
+
+def _path_pattern_df(
+    triples: DataFrame, tp: TriplePattern, capture: set | None = None
+) -> DataFrame:
+    """Bind a path relation to the pattern's subject/object terms —
+    same fixed-term filters and companion capture as _pattern_df."""
+    rel = _path_rel(triples, tp.p)
+    cols: dict[str, Column] = {}
+    if isinstance(tp.s, Var):
+        cols[tp.s.name] = F.col("s")
+        if capture is not None and tp.s.name in capture:
+            capture.discard(tp.s.name)
+            cols[f"__isiri_{tp.s.name}"] = F.col("s_iri")
+            cols[f"__dt_{tp.s.name}"] = F.col("s_dt")
+    elif isinstance(tp.s, Iri):
+        rel = rel.filter(F.col("s_iri") & (F.col("s") == tp.s.value))
+    else:
+        rel = rel.filter(~F.col("s_iri") & (F.col("s") == tp.s.value))
+    if isinstance(tp.o, Var):
+        if tp.o.name in cols:
+            rel = rel.filter(
+                (F.col("o") == cols[tp.o.name]) & (F.col("o_iri") == F.col("s_iri"))
+            )
+        else:
+            cols[tp.o.name] = F.col("o")
+            if capture is not None and tp.o.name in capture:
+                capture.discard(tp.o.name)
+                cols[f"__isiri_{tp.o.name}"] = F.col("o_iri")
+                cols[f"__dt_{tp.o.name}"] = F.col("o_dt")
+    elif isinstance(tp.o, Iri):
+        rel = rel.filter(F.col("o_iri") & (F.col("o") == tp.o.value))
+    else:
+        rel = rel.filter(~F.col("o_iri") & (F.col("o") == tp.o.value))
+        if tp.o.datatype is not None:
+            rel = rel.filter(F.col("o_dt") == tp.o.datatype)
+    if not cols:
+        return rel.select(F.lit(1).alias("__match")).limit(1)
+    return rel.select(*[c.alias(n) for n, c in cols.items()])
+
+
 def _pattern_df(
     triples: DataFrame, tp: TriplePattern, capture: set | None = None
 ) -> DataFrame:
@@ -621,6 +855,8 @@ def _pattern_df(
     obj_is_iri/obj_datatype must ride along as hidden companion columns
     (__isiri_v / __dt_v); each is captured at its FIRST object binding
     and consumed from the set so joins never collide on companions."""
+    if isinstance(tp.p, (PathSeq, PathAlt, PathInv, PathMod)):
+        return _path_pattern_df(triples, tp, capture)
     df = triples
     cols: dict[str, Column] = {}
     # subject

@@ -352,3 +352,86 @@ def test_cli_sparql_select_and_construct_roundtrip(spark, tmp_path, capsys):
     got = spark.read.parquet(res["result"]).collect()[0]
     assert (got["subj"], got["pred"], got["obj"], got["obj_is_iri"]) == (
         "http://e/o", "http://e/from", "http://e/s", True)
+
+
+# -- property paths -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    """a -sub-> b -sub-> c -sub-> d, plus labels and a branch e -sub-> c."""
+    SUB = EX + "sub"
+
+    def t(s, o):
+        return (EX + s, SUB, EX + o, True, None, "test://chain")
+
+    rows = [t("a", "b"), t("b", "c"), t("c", "d"), t("e", "c"),
+            (EX + "a", LABEL, "A", False, XSD_STR, "test://chain")]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_path_sequence_and_inverse(graph):
+    # knows/label: label of everyone alice knows (only bob has one)
+    df = sparql_select(graph, PRE + """
+        SELECT ?lab WHERE { ex:alice ex:knows/rdfs:label ?lab . }
+    """)
+    assert rows(df) == [("Bob",)]
+    # inverse: ?s ^knows alice  ≡  alice knows ?s
+    df2 = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s ^ex:knows ex:alice . }
+    """)
+    assert rows(df2) == sorted([(EX + "bob",), (EX + "carol",)])
+
+
+def test_path_alternation(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT DISTINCT ?v WHERE { ex:alice rdfs:label|ex:age ?v . }
+    """)
+    assert rows(df) == sorted([("Alice",), ("31",)])
+
+
+def test_path_plus_closure(chain_graph):
+    df = sparql_select(chain_graph, PRE + """
+        SELECT ?anc WHERE { ex:a ex:sub+ ?anc . }
+    """)
+    assert rows(df) == sorted([(EX + "b",), (EX + "c",), (EX + "d",)])
+
+
+def test_path_star_includes_zero_length(chain_graph):
+    df = sparql_select(chain_graph, PRE + """
+        SELECT ?anc WHERE { ex:a ex:sub* ?anc . }
+    """)
+    assert rows(df) == sorted([(EX + "a",), (EX + "b",), (EX + "c",), (EX + "d",)])
+
+
+def test_path_optional_mod(chain_graph):
+    df = sparql_select(chain_graph, PRE + """
+        SELECT ?x WHERE { ex:b ex:sub? ?x . }
+    """)
+    assert rows(df) == sorted([(EX + "b",), (EX + "c",)])
+
+
+def test_path_combined_seq_closure(chain_graph):
+    # ^sub/sub+: siblings-or-deeper — from c: children {b, e} then their
+    # ancestors via sub+ ⊇ {c, d}
+    df = sparql_select(chain_graph, PRE + """
+        SELECT DISTINCT ?y WHERE { ex:c (^ex:sub)/ex:sub+ ?y . }
+    """)
+    assert rows(df) == sorted([(EX + "c",), (EX + "d",)])
+
+
+def test_path_literal_iri_no_conflation(graph):
+    # homepage literal "http://ex.org/Person" must not chain into
+    # Person-typed subjects via a path through it
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?o WHERE { ?s ex:homepage/ex:knows ?o . }
+    """)
+    assert df.count() == 0
+
+
+def test_path_in_construct(chain_graph):
+    from rdf2smw_spark.sparql import sparql_construct
+
+    df = sparql_construct(chain_graph, PRE + """
+        CONSTRUCT { ?d ex:ancestor ?a } WHERE { ?d ex:sub+ ?a . }
+    """)
+    assert df.count() == 8  # a->{b,c,d}, b->{c,d}, c->{d}, e->{c,d}
