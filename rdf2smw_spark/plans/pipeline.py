@@ -368,22 +368,17 @@ def run_sparql(
     out_dir: str,
     entail: str | None = None,
 ) -> dict:
-    """Query surface: any supported RDF input + a SPARQL SELECT or
-    CONSTRUCT string -> parquet result under out_dir/sparql plus a
-    result summary. CONSTRUCT emits TRIPLE_SCHEMA, so its output can be
-    fed straight back through --in for conversion to wiki pages."""
-    from rdf2smw_spark.sparql import parse_sparql, ConstructQuery, _Compiler
+    """Query surface: any supported RDF input + a SPARQL SELECT /
+    CONSTRUCT / ASK / DESCRIBE string -> parquet result under
+    out_dir/sparql plus a result summary. CONSTRUCT and DESCRIBE emit
+    TRIPLE_SCHEMA, so their output can be fed straight back through
+    --in for conversion to wiki pages."""
+    from rdf2smw_spark.sparql import sparql_query
 
     triples, bad = read_rdf_any(spark, in_path)
     if entail is not None:
         triples = entail_triples(triples, entail)
-    q = parse_sparql(query)
-    comp = _Compiler(triples)
-    form = "construct" if isinstance(q, ConstructQuery) else "select"
-    df = (
-        comp.compile_construct(q) if isinstance(q, ConstructQuery)
-        else comp.compile_query(q)
-    )
+    form, df = sparql_query(triples, query)
     out_path = os.path.join(out_dir, "sparql")
     df.write.mode("overwrite").parquet(out_path)
     n_rows = spark.read.parquet(out_path).count()

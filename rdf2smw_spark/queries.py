@@ -2514,3 +2514,49 @@ reach(uri, anc) AS (
 )
 SELECT DISTINCT uri, anc FROM reach
 """
+
+
+def q_kg_sparql_ask(spark, sf_dir):
+    """ASK from query text: one-row boolean existence check, capped at
+    one solution BEFORE the aggregate (limit(1) then count>0), so the
+    10^12-triple case stops at the first match instead of enumerating
+    the pattern."""
+    from rdf2smw_spark.sparql import sparql_query
+
+    t = testdata_triples(spark, sf_dir)
+    _, df = sparql_query(t, _SPARQL_PRE + """
+        ASK { ?n rdfs:subClassOf ?r . ?n rdfs:label ?lab . }
+    """)
+    return df
+
+
+QUERIES["kg_sparql_ask"] = q_kg_sparql_ask
+ORACLES["kg_sparql_ask"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT EXISTS (
+  SELECT 1 FROM
+    (SELECT subj FROM t WHERE pred = '{_BGP_SUBCLASS}') a
+    JOIN (SELECT subj FROM t WHERE pred = '{_RDFS_LABEL_URI}') b USING (subj)
+) AS ask
+"""
+
+
+def q_kg_sparql_describe(spark, sf_dir):
+    """DESCRIBE ?var from query text: subject-based concise description
+    — the variable's distinct solution values semi-join the triple
+    table on subj (one hash semi-join regardless of resource count)."""
+    from rdf2smw_spark.sparql import sparql_query
+
+    t = testdata_triples(spark, sf_dir)
+    _, df = sparql_query(t, _SPARQL_PRE + """
+        DESCRIBE ?n WHERE { ?n rdfs:subClassOf ?r . }
+    """)
+    return df
+
+
+QUERIES["kg_sparql_describe"] = q_kg_sparql_describe
+ORACLES["kg_sparql_describe"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+res AS (SELECT DISTINCT subj AS r FROM t WHERE pred = '{_BGP_SUBCLASS}')
+SELECT t.* FROM t SEMI JOIN res ON t.subj = res.r
+"""

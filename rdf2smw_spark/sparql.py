@@ -130,6 +130,11 @@ class PathMod:
 
 
 @dataclass(frozen=True)
+class PathNeg:
+    preds: tuple       # !iri or !(iri|iri|...) — forward IRIs only
+
+
+@dataclass(frozen=True)
 class Optional_:
     group: "Group"
 
@@ -219,6 +224,17 @@ class ConstructQuery:
     limit: int | None
 
 
+@dataclass
+class AskQuery:
+    where: Group
+
+
+@dataclass
+class DescribeQuery:
+    terms: list          # [Iri | Var]
+    where: Group | None  # None for DESCRIBE <iri> with no pattern
+
+
 # --------------------------------------------------------------------------
 # Tokenizer
 # --------------------------------------------------------------------------
@@ -239,10 +255,10 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "PREFIX", "SELECT", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL",
-    "UNION", "MINUS", "FILTER", "BIND", "VALUES", "GROUP", "BY", "HAVING",
-    "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "AS", "NOT", "EXISTS",
-    "UNDEF", "A",
+    "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
+    "WHERE", "OPTIONAL", "UNION", "MINUS", "FILTER", "BIND", "VALUES",
+    "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
+    "AS", "NOT", "EXISTS", "UNDEF", "A",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
@@ -355,6 +371,23 @@ class _Parser:
             self.prefixes[ns] = iri[1:-1]
         if self.accept("KW", "CONSTRUCT"):
             return self._parse_construct()
+        if self.accept("KW", "ASK"):
+            g = self.parse_group()
+            self.expect("EOF")
+            return AskQuery(g)
+        if self.accept("KW", "DESCRIBE"):
+            terms = []
+            while self.peek()[0] in ("VAR", "IRIREF", "PNAME"):
+                terms.append(self.parse_term(allow_literal=False))
+            if not terms:
+                raise SparqlSyntaxError("DESCRIBE needs at least one IRI or variable")
+            where = None
+            if self.accept("KW", "WHERE") or self.peek() == ("OP", "{"):
+                where = self.parse_group()
+            self.expect("EOF")
+            if where is None and any(isinstance(t, Var) for t in terms):
+                raise SparqlSyntaxError("DESCRIBE ?var requires a WHERE pattern")
+            return DescribeQuery(terms, where)
         self.expect("KW", "SELECT")
         distinct = self.accept("KW", "DISTINCT")
         items, star = [], False
@@ -539,12 +572,24 @@ class _Parser:
         return prim
 
     def _parse_path_prim(self):
+        if self.accept("OP", "!"):
+            # negated property set: !iri or !(iri|iri|...), forward only
+            if self.accept("OP", "("):
+                preds = [self._parse_path_iri()]
+                while self.accept("OP", "|"):
+                    preds.append(self._parse_path_iri())
+                self.expect("OP", ")")
+                return PathNeg(tuple(p.value for p in preds))
+            return PathNeg((self._parse_path_iri().value,))
         if self.accept("OP", "^"):
             return PathInv(self._parse_path_prim())
         if self.accept("OP", "("):
             p = self.parse_path()
             self.expect("OP", ")")
             return p
+        return self._parse_path_iri()
+
+    def _parse_path_iri(self) -> Iri:
         k, v = self.next()
         if k == "IRIREF":
             return self._iri(v)
@@ -766,6 +811,15 @@ def _path_rel(triples: DataFrame, path) -> DataFrame:
             F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_iri"),
             F.col("obj_datatype").alias("o_dt"),
         )
+    if isinstance(path, PathNeg):
+        # negated property set (§9.1): any predicate OUTSIDE the set —
+        # still a pushable scan filter (NOT IN on the pred column)
+        return triples.filter(~F.col("pred").isin(*path.preds)).select(
+            F.col("subj").alias("s"), F.lit(True).alias("s_iri"),
+            F.lit(None).cast("string").alias("s_dt"),
+            F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_iri"),
+            F.col("obj_datatype").alias("o_dt"),
+        )
     if isinstance(path, PathInv):
         rel = _path_rel(triples, path.elt)
         return rel.select(
@@ -855,7 +909,7 @@ def _pattern_df(
     obj_is_iri/obj_datatype must ride along as hidden companion columns
     (__isiri_v / __dt_v); each is captured at its FIRST object binding
     and consumed from the set so joins never collide on companions."""
-    if isinstance(tp.p, (PathSeq, PathAlt, PathInv, PathMod)):
+    if isinstance(tp.p, (PathSeq, PathAlt, PathInv, PathMod, PathNeg)):
         return _path_pattern_df(triples, tp, capture)
     df = triples
     cols: dict[str, Column] = {}
@@ -1204,6 +1258,45 @@ class _Compiler:
         return out
 
 
+    # -- ASK / DESCRIBE ---------------------------------------------------------
+    def compile_ask(self, q: AskQuery) -> DataFrame:
+        """ASK -> a one-row DataFrame (ask: boolean). The pattern is
+        capped at one solution BEFORE the existence aggregate, so the
+        plan stops at the first match instead of enumerating all."""
+        sol = self.compile_group(q.where).limit(1)
+        return sol.groupBy().agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+    def compile_describe(self, q: DescribeQuery) -> DataFrame:
+        """DESCRIBE -> all triples whose SUBJECT is a described
+        resource (subject-based concise description; the description
+        form is implementation-defined per SPARQL 1.1 §16.4). Fixed
+        IRIs are a broadcast-size driver list; DESCRIBE ?var unions the
+        variable's distinct solution values and semi-joins the triple
+        table on subj — one hash semi-join however many resources."""
+        parts = []
+        iris = [t.value for t in q.terms if isinstance(t, Iri)]
+        if iris:
+            parts.append(self.spark.createDataFrame([(i,) for i in iris], "r string"))
+        if q.where is not None:
+            sol = self.compile_group(q.where)
+            for t in q.terms:
+                if isinstance(t, Var):
+                    if t.name not in sol.columns:
+                        raise SparqlSyntaxError(
+                            f"DESCRIBE variable ?{t.name} never bound in WHERE"
+                        )
+                    parts.append(sol.select(F.col(t.name).alias("r")))
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
+        res = res.distinct()
+        if q.where is None:
+            res = F.broadcast(res)  # a literal IRI list is always tiny
+        return self.triples.join(
+            res, self.triples["subj"] == res["r"], "left_semi"
+        )
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile a SPARQL SELECT string to a DataFrame over `triples`
     (schema: schemas.TRIPLE_SCHEMA). See module docstring for the
@@ -1223,3 +1316,18 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     if not isinstance(q, ConstructQuery):
         raise SparqlSyntaxError("use sparql_select() for SELECT queries")
     return _Compiler(triples).compile_construct(q)
+
+
+def sparql_query(triples: DataFrame, query: str) -> tuple[str, DataFrame]:
+    """Generic entry: dispatch any of the four SPARQL query forms.
+    Returns (form, DataFrame) where form is one of
+    'select' | 'construct' | 'ask' | 'describe'."""
+    q = parse_sparql(query)
+    comp = _Compiler(triples)
+    if isinstance(q, ConstructQuery):
+        return "construct", comp.compile_construct(q)
+    if isinstance(q, AskQuery):
+        return "ask", comp.compile_ask(q)
+    if isinstance(q, DescribeQuery):
+        return "describe", comp.compile_describe(q)
+    return "select", comp.compile_query(q)

@@ -81,7 +81,7 @@ def test_parse_a_keyword_and_typed_literal():
 def test_parse_rejects_out_of_subset():
     for bad in [
         "SELECT ?s WHERE { ?s <http://p> ?o } SERVICE",  # trailing junk
-        "ASK { ?s ?p ?o }",                              # unsupported form
+        "INSERT DATA { <http://a> <http://b> <http://c> }",  # update form
         "SELECT WHERE { ?s <http://p> ?o }",             # no projection
         "SELECT ?s WHERE { ?s undeclared:p ?o }",
     ]:
@@ -435,3 +435,56 @@ def test_path_in_construct(chain_graph):
         CONSTRUCT { ?d ex:ancestor ?a } WHERE { ?d ex:sub+ ?a . }
     """)
     assert df.count() == 8  # a->{b,c,d}, b->{c,d}, c->{d}, e->{c,d}
+
+
+# -- ASK / DESCRIBE / negated property sets ------------------------------------------
+
+def test_ask(graph):
+    from rdf2smw_spark.sparql import sparql_query
+
+    form, df = sparql_query(graph, PRE + "ASK { ?s a ex:Robot }")
+    assert form == "ask" and rows(df) == [(True,)]
+    form, df = sparql_query(graph, PRE + "ASK { ex:carol ex:knows ?o }")
+    assert rows(df) == [(False,)]
+
+
+def test_describe_fixed_iri(graph):
+    from rdf2smw_spark.sparql import sparql_query
+
+    form, df = sparql_query(graph, PRE + "DESCRIBE ex:carol")
+    assert form == "describe"
+    assert df.count() == 2  # type + homepage
+    assert set(df.columns) == {
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+    }
+
+
+def test_describe_var_with_where(graph):
+    from rdf2smw_spark.sparql import sparql_query
+
+    _, df = sparql_query(graph, PRE + """
+        DESCRIBE ?s WHERE { ?s a ex:Person . ?s ex:age "31" }
+    """)
+    # all of alice's triples: type, label, 2x knows, age
+    assert df.count() == 5
+    assert {r["subj"] for r in df.collect()} == {EX + "alice"}
+
+
+def test_describe_var_without_where_rejected():
+    from rdf2smw_spark.sparql import SparqlSyntaxError, parse_sparql
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(PRE + "DESCRIBE ?s")
+
+
+def test_negated_property_set(graph):
+    # everything alice states EXCEPT knows/type
+    df = sparql_select(graph, PRE + """
+        SELECT ?v WHERE { ex:alice !(ex:knows|<%s>) ?v . }
+    """ % RDF_TYPE)
+    assert rows(df) == sorted([("Alice",), ("31",)])
+    # single-IRI form
+    df2 = sparql_select(graph, PRE + """
+        SELECT ?o WHERE { ex:carol !ex:homepage ?o . }
+    """)
+    assert rows(df2) == [(EX + "Robot",)]
