@@ -2560,3 +2560,42 @@ WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
 res AS (SELECT DISTINCT subj AS r FROM t WHERE pred = '{_BGP_SUBCLASS}')
 SELECT t.* FROM t SEMI JOIN res ON t.subj = res.r
 """
+
+
+def q_kg_sparql_subquery(spark, sf_dir):
+    """Subquery (§12) + GROUP_CONCAT/SUM from query text: per-region
+    totals of per-nation member counts, with the nation labels
+    concatenated in pinned lexicographic order. The inner aggregate
+    evaluates independently, joins the outer pattern on ?nation, then
+    re-aggregates per region — two shuffles, both on slim keys."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?region (SUM(?cnt) AS ?total)
+               (GROUP_CONCAT(?nlab; SEPARATOR="|") AS ?nations)
+        WHERE {
+          { SELECT ?nation (COUNT(?c) AS ?cnt)
+            WHERE { ?c a ?nation . } GROUP BY ?nation }
+          ?nation rdfs:subClassOf ?region .
+          ?nation rdfs:label ?nlab .
+        } GROUP BY ?region
+    """)
+
+
+QUERIES["kg_sparql_subquery"] = q_kg_sparql_subquery
+ORACLES["kg_sparql_subquery"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+inner_q AS (
+  SELECT obj AS nation, COUNT(subj) AS cnt FROM t
+  WHERE pred = '{_BGP_TYPE}' GROUP BY obj
+),
+ns AS (SELECT subj AS nation, obj AS region FROM t
+       WHERE pred = '{_BGP_SUBCLASS}' AND obj_is_iri),
+nl AS (SELECT subj AS nation, obj AS nlab FROM t
+       WHERE pred = '{_RDFS_LABEL_URI}')
+SELECT region, CAST(SUM(cnt) AS DOUBLE) AS total,
+       string_agg(nlab, '|' ORDER BY nlab) AS nations
+FROM inner_q JOIN ns USING (nation) JOIN nl USING (nation)
+GROUP BY region
+"""

@@ -189,6 +189,13 @@ class Call:
     fn: str
     args: tuple
     distinct: bool = False
+    sep: str | None = None   # GROUP_CONCAT(...; SEPARATOR="...")
+
+
+@dataclass(frozen=True)
+class SubSelect:
+    """A nested { SELECT ... } inside a group graph pattern (§12)."""
+    query: "SelectQuery"
 
 
 @dataclass(frozen=True)
@@ -258,10 +265,10 @@ _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
     "WHERE", "OPTIONAL", "UNION", "MINUS", "FILTER", "BIND", "VALUES",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
-    "AS", "NOT", "EXISTS", "UNDEF", "A",
+    "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR",
 }
 
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 _BUILTIN_FNS = {
     "STR", "STRLEN", "STRSTARTS", "STRENDS", "CONTAINS", "UCASE", "LCASE",
     "REGEX", "BOUND", "COALESCE",
@@ -388,6 +395,13 @@ class _Parser:
             if where is None and any(isinstance(t, Var) for t in terms):
                 raise SparqlSyntaxError("DESCRIBE ?var requires a WHERE pattern")
             return DescribeQuery(terms, where)
+        q = self._parse_select_core()
+        self.expect("EOF")
+        return q
+
+    def _parse_select_core(self) -> SelectQuery:
+        """SELECT clause + WHERE group + solution modifiers — shared by
+        the top-level query and { SELECT ... } subqueries (§12)."""
         self.expect("KW", "SELECT")
         distinct = self.accept("KW", "DISTINCT")
         items, star = [], False
@@ -453,7 +467,6 @@ class _Parser:
             limit = int(self.expect("NUMBER"))
         if self.accept("KW", "OFFSET"):
             offset = int(self.expect("NUMBER"))
-        self.expect("EOF")
         return SelectQuery(distinct, items, star, where, group_by, having,
                            order_by, limit, offset)
 
@@ -500,12 +513,17 @@ class _Parser:
                 self.next()
                 g.elements.append(self.parse_values())
             elif k == "OP" and v == "{":
-                branches = [self.parse_group()]
-                while self.accept("KW", "UNION"):
-                    branches.append(self.parse_group())
-                g.elements.append(
-                    Union_(tuple(branches)) if len(branches) > 1 else branches[0]
-                )
+                if self.peek(1) == ("KW", "SELECT"):  # subquery (§12)
+                    self.next()
+                    g.elements.append(SubSelect(self._parse_select_core()))
+                    self.expect("OP", "}")
+                else:
+                    branches = [self.parse_group()]
+                    while self.accept("KW", "UNION"):
+                        branches.append(self.parse_group())
+                    g.elements.append(
+                        Union_(tuple(branches)) if len(branches) > 1 else branches[0]
+                    )
             else:
                 g.elements.extend(self.parse_triples_block())
             self.accept("OP", ".")
@@ -704,8 +722,13 @@ class _Parser:
             args = [self.parse_expr()]
             while self.accept("OP", ","):
                 args.append(self.parse_expr())
+            sep = None
+            if self.accept("OP", ";"):   # GROUP_CONCAT(?v; SEPARATOR="..")
+                self.expect("KW", "SEPARATOR")
+                self.expect("OP", "=")
+                sep = self._string(self.expect("STRING"))
             self.expect("OP", ")")
-            return Call(v, tuple(args), distinct=distinct)
+            return Call(v, tuple(args), distinct=distinct, sep=sep)
         if k == "PNAME" and v.startswith("xsd:"):
             # cast call form xsd:double(?v)
             self.next()
@@ -1012,6 +1035,10 @@ class _Compiler:
                 df = df.withColumn(el.var, self.expr(el.expr, df))
             elif isinstance(el, Values_):
                 df = _join(df, self._values_df(el), "inner")
+            elif isinstance(el, SubSelect):
+                # §12: the subquery evaluates independently, then joins
+                # the outer pattern on its projected (shared) variables
+                df = _join(df, self.compile_query(el.query), "inner")
             elif isinstance(el, Filter_):
                 filters.append(el.expr)
             else:  # pragma: no cover
@@ -1081,6 +1108,14 @@ class _Compiler:
             a = self.expr(c.args[0], df)
             if c.fn == "COUNT":
                 return F.countDistinct(a) if c.distinct else F.count(a)
+            if c.fn == "GROUP_CONCAT":
+                # order within a group is unspecified in SPARQL; pinned
+                # here to LEXICOGRAPHIC so results are deterministic at
+                # any parallelism (oracle twin: string_agg ORDER BY)
+                vals = F.collect_set(a) if c.distinct else F.collect_list(a)
+                return F.array_join(F.sort_array(vals), c.sep if c.sep is not None else " ")
+            if c.fn == "SAMPLE":
+                return F.min(a)  # any value is valid; min is deterministic
             fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[c.fn]
             return fn(a.cast("double") if c.fn in ("SUM", "AVG") else a)
         args = [self.expr(a, df, agg) for a in c.args]

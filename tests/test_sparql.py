@@ -488,3 +488,38 @@ def test_negated_property_set(graph):
         SELECT ?o WHERE { ex:carol !ex:homepage ?o . }
     """)
     assert rows(df2) == [(EX + "Robot",)]
+
+
+# -- subqueries / GROUP_CONCAT / SAMPLE -----------------------------------------------
+
+def test_subquery_join(graph):
+    # inner SELECT finds max-degree knowers; outer adds their label
+    df = sparql_select(graph, PRE + """
+        SELECT ?who ?n ?lab WHERE {
+          { SELECT ?who (COUNT(?whom) AS ?n) WHERE { ?who ex:knows ?whom . }
+            GROUP BY ?who }
+          ?who rdfs:label ?lab .
+        } ORDER BY ?who
+    """)
+    assert rows(df) == sorted([
+        (EX + "alice", 2, "Alice"), (EX + "bob", 1, "Bob"),
+    ])
+
+
+def test_group_concat_and_sample(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?who (GROUP_CONCAT(?whom; SEPARATOR=",") AS ?all)
+                    (SAMPLE(?whom) AS ?one)
+        WHERE { ?who ex:knows ?whom . } GROUP BY ?who ORDER BY ?who
+    """)
+    assert rows(df) == sorted([
+        (EX + "alice", f"{EX}bob,{EX}carol", EX + "bob"),
+        (EX + "bob", EX + "carol", EX + "carol"),
+    ])
+
+
+def test_group_concat_default_separator(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT (GROUP_CONCAT(?lab) AS ?labs) WHERE { ?s rdfs:label ?lab . }
+    """)
+    assert rows(df) == [("Alice Bob",)]
