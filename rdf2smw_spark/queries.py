@@ -2599,3 +2599,25 @@ SELECT region, CAST(SUM(cnt) AS DOUBLE) AS total,
 FROM inner_q JOIN ns USING (nation) JOIN nl USING (nation)
 GROUP BY region
 """
+
+
+def q_kg_sparql_graph(spark, sf_dir):
+    """GRAPH ?g (§13.3) from query text: the src_url column is the
+    named graph (N-Quads lands its graph term there, file sources their
+    provenance URL), so GRAPH binds/filters it with zero extra plan —
+    per-graph type-triple counts here are one slim aggregate."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s a ?c } }
+        GROUP BY ?g
+    """)
+
+
+QUERIES["kg_sparql_graph"] = q_kg_sparql_graph
+ORACLES["kg_sparql_graph"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT src_url AS g, COUNT(subj) AS n FROM t
+WHERE pred = '{_BGP_TYPE}' GROUP BY src_url
+"""

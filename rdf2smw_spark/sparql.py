@@ -166,6 +166,15 @@ class Values_:
     rows: tuple
 
 
+@dataclass(frozen=True)
+class GraphPattern:
+    """GRAPH <g> {...} / GRAPH ?g {...} (§13.3): the triple table's
+    src_url column IS the graph term (the N-Quads reader lands the
+    graph there; file sources land their provenance URL)."""
+    term: object   # Iri | Var
+    group: "Group"
+
+
 @dataclass
 class Group:
     elements: list = field(default_factory=list)
@@ -265,7 +274,7 @@ _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
     "WHERE", "OPTIONAL", "UNION", "MINUS", "FILTER", "BIND", "VALUES",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
-    "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR",
+    "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -512,6 +521,10 @@ class _Parser:
             elif k == "KW" and v == "VALUES":
                 self.next()
                 g.elements.append(self.parse_values())
+            elif k == "KW" and v == "GRAPH":
+                self.next()
+                term = self.parse_term(allow_literal=False)
+                g.elements.append(GraphPattern(term, self.parse_group()))
             elif k == "OP" and v == "{":
                 if self.peek(1) == ("KW", "SELECT"):  # subquery (§12)
                     self.next()
@@ -923,7 +936,10 @@ def _path_pattern_df(
 
 
 def _pattern_df(
-    triples: DataFrame, tp: TriplePattern, capture: set | None = None
+    triples: DataFrame,
+    tp: TriplePattern,
+    capture: set | None = None,
+    graph=None,
 ) -> DataFrame:
     """One triple pattern -> relation with one column per variable.
     Fixed terms become pushable scan filters; IRI-vs-literal object
@@ -931,14 +947,29 @@ def _pattern_df(
     For CONSTRUCT, `capture` lists object-position variables whose
     obj_is_iri/obj_datatype must ride along as hidden companion columns
     (__isiri_v / __dt_v); each is captured at its FIRST object binding
-    and consumed from the set so joins never collide on companions."""
+    and consumed from the set so joins never collide on companions.
+    `graph` scopes the pattern to a named graph (src_url): an Iri
+    filters the scan, a Var binds src_url as that variable."""
+    if isinstance(graph, Iri):
+        triples = triples.filter(F.col("src_url") == graph.value)
+        graph = None
     if isinstance(tp.p, (PathSeq, PathAlt, PathInv, PathMod, PathNeg)):
+        if graph is not None:
+            raise SparqlSyntaxError(
+                "property paths inside GRAPH ?var are not supported "
+                "(a closure's per-solution graph binding is ambiguous)"
+            )
         return _path_pattern_df(triples, tp, capture)
     df = triples
     cols: dict[str, Column] = {}
+    if isinstance(graph, Var):
+        cols[graph.name] = F.col("src_url")
     # subject
     if isinstance(tp.s, Var):
-        cols[tp.s.name] = F.col("subj")
+        if tp.s.name in cols:  # e.g. GRAPH ?g { ?g ... }
+            df = df.filter(F.col("subj") == cols[tp.s.name])
+        else:
+            cols[tp.s.name] = F.col("subj")
     else:
         df = df.filter(F.col("subj") == tp.s.value)
     # predicate
@@ -990,6 +1021,8 @@ class _Compiler:
         # object-position variables whose is_iri/datatype companions a
         # CONSTRUCT template needs (consumed at first binding)
         self.capture = capture_obj_meta if capture_obj_meta is not None else set()
+        # active GRAPH scope (Iri | Var | None) — inherited by nested groups
+        self.graph = None
 
     # -- groups --------------------------------------------------------------
     def compile_group(self, g: Group) -> DataFrame:
@@ -997,7 +1030,17 @@ class _Compiler:
         filters: list = []
         for el in g.elements:
             if isinstance(el, TriplePattern):
-                df = _join(df, _pattern_df(self.triples, el, self.capture), "inner")
+                df = _join(
+                    df,
+                    _pattern_df(self.triples, el, self.capture, self.graph),
+                    "inner",
+                )
+            elif isinstance(el, GraphPattern):
+                prev, self.graph = self.graph, el.term
+                try:
+                    df = _join(df, self.compile_group(el.group), "inner")
+                finally:
+                    self.graph = prev
             elif isinstance(el, Group):
                 df = _join(df, self.compile_group(el), "inner")
             elif isinstance(el, Optional_):

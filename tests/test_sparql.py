@@ -523,3 +523,45 @@ def test_group_concat_default_separator(graph):
         SELECT (GROUP_CONCAT(?lab) AS ?labs) WHERE { ?s rdfs:label ?lab . }
     """)
     assert rows(df) == [("Alice Bob",)]
+
+
+# -- named graphs ----------------------------------------------------------------------
+
+def test_graph_fixed_iri(graph):
+    # src_url is test://g for everything; a different graph matches nothing
+    df = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { GRAPH <test://g> { ?s a ex:Robot } }
+    """)
+    assert rows(df) == [(EX + "carol",)]
+    df2 = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { GRAPH <test://other> { ?s a ex:Robot } }
+    """)
+    assert df2.count() == 0
+
+
+def test_graph_variable_binds_src(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ex:knows ?o } }
+    """)
+    assert rows(df) == [("test://g",)]
+
+
+def test_graph_var_joins_across_scopes(spark):
+    rows_ = [
+        (EX + "x", EX + "p", "1", False, None, "g://a"),
+        (EX + "x", EX + "q", "2", False, None, "g://a"),
+        (EX + "x", EX + "q", "3", False, None, "g://b"),
+    ]
+    t = spark.createDataFrame(rows_, TRIPLE_SCHEMA)
+    # both patterns must hold in the SAME graph ?g
+    df = sparql_select(t, PRE + """
+        SELECT ?g ?v WHERE { GRAPH ?g { ex:x ex:p ?u . ex:x ex:q ?v } }
+    """)
+    assert rows(df) == [("g://a", "2")]
+
+
+def test_graph_path_var_rejected(graph):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(graph, PRE + """
+            SELECT ?g WHERE { GRAPH ?g { ?s ex:knows+ ?o } }
+        """)
