@@ -2621,3 +2621,30 @@ WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
 SELECT src_url AS g, COUNT(subj) AS n FROM t
 WHERE pred = '{_BGP_TYPE}' GROUP BY src_url
 """
+
+
+def q_kg_sparql_ivm(spark, sf_dir):
+    """Incremental SPARQL view maintenance (operators/ivm.py): the
+    per-class member-count view is materialized over ~⅞ of the graph,
+    then maintained with the held-out slice as a crawl delta. The
+    oracle recomputes the view over the FULL graph, so a green row
+    proves maintained == recomputed exactly. The merge shuffles
+    |V| + |V(Δ)| slim rows — never the base triples."""
+    from rdf2smw_spark.operators.ivm import count_view, maintain_count_view
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c
+    """
+    t = testdata_triples(spark, sf_dir)
+    delta_cond = F.md5(F.concat("subj", "pred", "obj")).startswith("a")
+    base, delta = t.filter(~delta_cond), t.filter(delta_cond)
+    view = count_view(base, view_q)
+    return maintain_count_view(view, view_q, delta_plus=delta)
+
+
+QUERIES["kg_sparql_ivm"] = q_kg_sparql_ivm
+ORACLES["kg_sparql_ivm"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT obj AS c, COUNT(subj) AS n FROM t
+WHERE pred = '{_BGP_TYPE}' GROUP BY obj
+"""

@@ -1,0 +1,116 @@
+"""Incremental SPARQL count-view maintenance: maintained == recomputed
+for adds, removes, and group-vanishing removals; non-decomposable view
+shapes rejected loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf2smw_spark.operators.ivm import (
+    count_view,
+    is_delta_decomposable,
+    maintain_count_view,
+)
+from rdf2smw_spark.schemas import TRIPLE_SCHEMA
+from rdf2smw_spark.sparql import SparqlSyntaxError
+
+EX = "http://ex.org/"
+PRE = "PREFIX ex: <http://ex.org/>\n"
+
+VIEW = PRE + """
+SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c
+"""
+
+
+def t(s, c):
+    return (EX + s, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            EX + c, True, None, "test://g")
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    base = spark.createDataFrame(
+        [t("a", "X"), t("b", "X"), t("c", "Y"), t("d", "Z")], TRIPLE_SCHEMA
+    )
+    plus = spark.createDataFrame([t("e", "X"), t("f", "W")], TRIPLE_SCHEMA)
+    minus = spark.createDataFrame([t("c", "Y"), t("d", "Z")], TRIPLE_SCHEMA)
+    return base, plus, minus
+
+
+def as_map(df):
+    return {r["c"]: r["n"] for r in df.collect()}
+
+
+def test_maintained_equals_recomputed_adds(spark, frames):
+    base, plus, _ = frames
+    view = count_view(base, VIEW)
+    maintained = maintain_count_view(view, VIEW, delta_plus=plus)
+    recomputed = count_view(base.unionByName(plus), VIEW)
+    assert as_map(maintained) == as_map(recomputed) == {
+        EX + "X": 3, EX + "Y": 1, EX + "Z": 1, EX + "W": 1,
+    }
+
+
+def test_removal_drops_vanished_groups(spark, frames):
+    base, _, minus = frames
+    view = count_view(base, VIEW)
+    maintained = maintain_count_view(view, VIEW, delta_minus=minus)
+    # Y and Z fall to zero and VANISH, exactly like recompute
+    assert as_map(maintained) == {EX + "X": 2}
+
+
+def test_adds_and_removes_together(spark, frames):
+    base, plus, minus = frames
+    view = count_view(base, VIEW)
+    maintained = maintain_count_view(view, VIEW, delta_plus=plus, delta_minus=minus)
+    recomputed = count_view(
+        base.unionByName(plus).exceptAll(minus), VIEW
+    )
+    assert as_map(maintained) == as_map(recomputed)
+
+
+def test_union_and_filter_views_are_decomposable(spark, frames):
+    base, plus, _ = frames
+    q = PRE + """
+    SELECT ?c (COUNT(?s) AS ?n) WHERE {
+      { ?s a ?c . FILTER (CONTAINS(?c, "X")) } UNION { ?s a ?c . FILTER (CONTAINS(?c, "Y")) }
+    } GROUP BY ?c
+    """
+    assert is_delta_decomposable(q)
+    view = count_view(base, q)
+    maintained = maintain_count_view(view, q, delta_plus=plus)
+    assert as_map(maintained) == as_map(count_view(base.unionByName(plus), q))
+
+
+def test_non_decomposable_shapes_rejected():
+    joins = PRE + """
+    SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . ?s ex:p ?o . } GROUP BY ?c
+    """
+    assert not is_delta_decomposable(joins)
+    path = PRE + "SELECT (COUNT(?s) AS ?n) WHERE { ?s ex:p+ ?o . }"
+    assert not is_delta_decomposable(path)
+    cdist = PRE + "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s a ?c . }"
+    assert not is_delta_decomposable(cdist)
+    nonc = PRE + "SELECT (SUM(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c"
+    assert not is_delta_decomposable(nonc)
+    pat_join_union = PRE + """
+    SELECT ?c (COUNT(?s) AS ?n) WHERE {
+      ?s a ?c . { ?s ex:p ?o } UNION { ?s ex:q ?o }
+    } GROUP BY ?c
+    """
+    assert not is_delta_decomposable(pat_join_union)
+    exists = PRE + """
+    SELECT ?c (COUNT(?s) AS ?n) WHERE {
+      ?s a ?c . FILTER EXISTS { ?s ex:p ?o }
+    } GROUP BY ?c
+    """
+    assert not is_delta_decomposable(exists)
+
+
+def test_count_view_rejects_non_decomposable(spark, frames):
+    base, _, _ = frames
+    with pytest.raises(SparqlSyntaxError):
+        count_view(base, PRE + """
+            SELECT ?c (COUNT(?s) AS ?n)
+            WHERE { ?s a ?c . ?s ex:p ?o . } GROUP BY ?c
+        """)
