@@ -652,3 +652,80 @@ def funnel_stream(events: DataFrame, ttl_seconds: int | None = None) -> DataFram
             timeoutConf=timeout,
         )
     )
+
+
+def run_stream_sparql_view(
+    spark: SparkSession,
+    src_dir: str,
+    work_dir: str,
+    view_query: str,
+) -> dict:
+    """A STANDING SPARQL count view over a continuously-arriving crawl:
+    drain newly-appeared .nt files (exactly-once via the stream
+    checkpoint) and maintain the materialized view INCREMENTALLY with
+    operators/ivm.py — each micro-batch merges |V| + |V(Δ)| aggregate
+    rows; the accumulated triples are never re-scanned (they are never
+    even stored: the view IS the state).
+
+    The view query must be delta-decomposable (ivm.count_view raises
+    otherwise — a non-additive view belongs on the recompute path).
+    Versioned view snapshots (v=N) make each write atomic relative to
+    the read of the previous version; only the latest is kept.
+
+    Layout under work_dir: view/v=N (parquet snapshots), ckpt/.
+    Returns {batches, view_rows}."""
+    import os as _os
+    import shutil as _shutil
+
+    from rdf2smw_spark.operators.ivm import count_view, maintain_count_view
+    from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
+
+    view_dir = _os.path.join(work_dir, "view")
+    ckpt_dir = _os.path.join(work_dir, "ckpt")
+    state = {"batches": 0}
+
+    def _latest():
+        if not _os.path.isdir(view_dir):
+            return None, 0
+        vs = [d for d in _os.listdir(view_dir) if d.startswith("v=")]
+        if not vs:
+            return None, 0
+        n = max(int(d[2:]) for d in vs)
+        return spark.read.parquet(_os.path.join(view_dir, f"v={n}")), n
+
+    def _process(batch, batch_id):
+        parsed = parse_ntriples_lines(batch).filter(F.col("error").isNull())
+        delta = parsed.select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
+        ).localCheckpoint()
+        if delta.limit(1).count() == 0:
+            return
+        old, n = _latest()
+        if old is None:
+            new = count_view(delta, view_query)
+        else:
+            new = maintain_count_view(old, view_query, delta_plus=delta)
+        new.write.mode("overwrite").parquet(
+            _os.path.join(view_dir, f"v={n + 1}")
+        )
+        if old is not None:
+            _shutil.rmtree(_os.path.join(view_dir, f"v={n}"), ignore_errors=True)
+        state["batches"] += 1
+
+    lines = (
+        spark.readStream.format("text")
+        .load(src_dir)
+        .withColumn("src_url", F.input_file_name())
+    )
+    q = (
+        lines.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest, _ = _latest()
+    return {
+        "batches": state["batches"],
+        "view_rows": 0 if latest is None else latest.count(),
+    }

@@ -114,3 +114,34 @@ def test_count_view_rejects_non_decomposable(spark, frames):
             SELECT ?c (COUNT(?s) AS ?n)
             WHERE { ?s a ?c . ?s ex:p ?o . } GROUP BY ?c
         """)
+
+
+def test_streaming_sparql_view_across_drains(spark, tmp_path):
+    """Three drains of arriving .nt files: after each, the maintained
+    view equals a recompute over everything ingested so far."""
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    TY = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+    def nt(name, lines):
+        (src / name).write_text("".join(lines))
+
+    view_q = PRE + "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c"
+
+    nt("b1.nt", [f"<{EX}a> {TY} <{EX}X> .\n", f"<{EX}b> {TY} <{EX}X> .\n"])
+    res = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res["batches"] == 1
+    v1 = spark.read.parquet(work + "/view/v=1")
+    assert as_map(v1) == {EX + "X": 2}
+
+    nt("b2.nt", [f"<{EX}c> {TY} <{EX}X> .\n", f"<{EX}d> {TY} <{EX}Y> .\n"])
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    v2 = spark.read.parquet(work + "/view/v=2")
+    assert as_map(v2) == {EX + "X": 3, EX + "Y": 1}
+
+    # drain with nothing new: no-op, view version unchanged
+    res3 = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res3["batches"] == 0 and res3["view_rows"] == 2
