@@ -2331,7 +2331,7 @@ b AS (SELECT subj AS cust, obj AS bal FROM t WHERE pred = '{_BGP_ONT}acctbal'),
 l AS (SELECT subj AS cust, obj AS label FROM t WHERE pred = '{_RDFS_LABEL_URI}')
 SELECT n.cust, n.name, b.bal, l.label
 FROM n JOIN b USING (cust) LEFT JOIN l USING (cust)
-WHERE CAST(b.bal AS DOUBLE) > 1000.0
+WHERE TRY_CAST(b.bal AS DOUBLE) > 1000.0
 """
 
 

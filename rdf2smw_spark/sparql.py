@@ -280,7 +280,8 @@ _KEYWORDS = {
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 _BUILTIN_FNS = {
     "STR", "STRLEN", "STRSTARTS", "STRENDS", "CONTAINS", "UCASE", "LCASE",
-    "REGEX", "BOUND", "COALESCE",
+    "REGEX", "BOUND", "COALESCE", "CONCAT", "SUBSTR", "REPLACE",
+    "STRBEFORE", "STRAFTER", "IF", "ABS", "ROUND", "CEIL", "FLOOR",
 }
 
 
@@ -1185,6 +1186,49 @@ class _Compiler:
             return args[0].isNotNull()
         if c.fn == "COALESCE":
             return F.coalesce(*args)
+        if c.fn == "CONCAT":
+            return F.concat(*args)
+        if c.fn == "SUBSTR":
+            # SPARQL SUBSTR is 1-based like SQL substring
+            length = (args[2].cast("int") if len(args) > 2
+                      else F.lit(2147483647))
+            return args[0].substr(args[1].cast("int"), length)
+        if c.fn == "REPLACE":
+            pat = c.args[1]
+            if not isinstance(pat, Lit):
+                raise SparqlSyntaxError("REPLACE pattern must be a string literal")
+            return F.regexp_replace(args[0], pat.value, c.args[2].value
+                                    if isinstance(c.args[2], Lit) else "")
+        if c.fn == "STRBEFORE":
+            if not isinstance(c.args[1], Lit):
+                raise SparqlSyntaxError("STRBEFORE needle must be a literal")
+            n = c.args[1].value
+            # SPARQL: empty string when the needle does not occur
+            return F.when(
+                args[0].contains(n), F.substring_index(args[0], n, 1)
+            ).otherwise(F.lit(""))
+        if c.fn == "STRAFTER":
+            if not isinstance(c.args[1], Lit):
+                raise SparqlSyntaxError("STRAFTER needle must be a literal")
+            n = c.args[1].value
+            # part after the FIRST occurrence (substring_index(-1) would
+            # take the LAST); empty string when the needle is absent
+            return F.when(
+                args[0].contains(n),
+                args[0].substr(
+                    F.locate(n, args[0]) + F.lit(len(n)), F.lit(2147483647)
+                ),
+            ).otherwise(F.lit(""))
+        if c.fn == "IF":
+            return F.when(args[0], args[1]).otherwise(args[2])
+        if c.fn == "ABS":
+            return F.abs(args[0])
+        if c.fn == "ROUND":
+            return F.round(args[0], 0)
+        if c.fn == "CEIL":
+            return F.ceil(args[0])
+        if c.fn == "FLOOR":
+            return F.floor(args[0])
         if c.fn == "CAST_INTEGER":
             return args[0].cast("long")
         if c.fn == "CAST_DOUBLE":

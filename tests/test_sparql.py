@@ -565,3 +565,50 @@ def test_graph_path_var_rejected(graph):
         sparql_select(graph, PRE + """
             SELECT ?g WHERE { GRAPH ?g { ?s ex:knows+ ?o } }
         """)
+
+
+# -- extended builtins ------------------------------------------------------------------
+
+def test_string_builtins(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?b ?a ?sub ?cc WHERE {
+          ?s rdfs:label ?lab .
+          BIND (STRBEFORE(?lab, "li") AS ?b)
+          BIND (STRAFTER(?lab, "li") AS ?a)
+          BIND (SUBSTR(?lab, 2, 2) AS ?sub)
+          BIND (CONCAT(?lab, "!") AS ?cc)
+        } ORDER BY ?s
+    """)
+    assert rows(df) == sorted([
+        (EX + "alice", "A", "ce", "li", "Alice!"),
+        (EX + "bob", "", "", "ob", "Bob!"),  # needle absent -> ""
+    ])
+
+
+def test_replace_if_and_numerics(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?r ?flag ?half WHERE {
+          ?s ex:age ?a .
+          BIND (REPLACE(?a, "[0-9]", "#") AS ?r)
+          BIND (IF(xsd:integer(?a) > 10, "adult", "child") AS ?flag)
+          BIND (FLOOR(xsd:double(?a) / 2.0) AS ?half)
+        } ORDER BY ?s
+    """)
+    assert rows(df) == sorted([
+        (EX + "alice", "##", "adult", 15),
+        (EX + "bob", "#", "child", 4),
+    ])
+
+
+def test_substr_two_arg_and_strafter_first_occurrence(spark):
+    t = spark.createDataFrame(
+        [(EX + "x", EX + "p", "ab:cd:ef", False, None, "g://a")], TRIPLE_SCHEMA
+    )
+    df = sparql_select(t, PRE + """
+        SELECT ?tail ?after WHERE {
+          ?s ex:p ?v .
+          BIND (SUBSTR(?v, 4) AS ?tail)
+          BIND (STRAFTER(?v, ":") AS ?after)
+        }
+    """)
+    assert rows(df) == [("cd:ef", "cd:ef")]
