@@ -73,15 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="rdf2smw_spark-cli", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.sparql or args.sparql_file:
+    query = args.sparql
+    if args.sparql and args.sparql_file:
+        ap.error("--sparql and --sparql-file are mutually exclusive")
+    if args.sparql_file:
+        with open(args.sparql_file) as fh:
+            query = fh.read()
+
+    if query and args.mode != "web":
         if not args.infile:
-            ap.error("--sparql requires --in (an RDF input to query)")
-        if args.sparql and args.sparql_file:
-            ap.error("--sparql and --sparql-file are mutually exclusive")
-        query = args.sparql
-        if args.sparql_file:
-            with open(args.sparql_file) as fh:
-                query = fh.read()
+            ap.error("--sparql requires --in (an RDF input to query) "
+                     "or --mode web (query the constructed KG)")
         from rdf2smw_spark.plans.pipeline import run_sparql
 
         res = run_sparql(spark, args.infile, query, args.out, entail=args.entail)
@@ -119,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             fuzzy_link_threshold=args.fuzzy_link_threshold,
             entail=args.entail,
+            sparql=query,
         )
 
     print(json.dumps(res, default=str))

@@ -213,8 +213,12 @@ def run_web_pipeline(
     max_top_bigram_frac: float | None = None,
     benchmark: DataFrame | None = None,
     entail: str | None = None,
+    sparql: str | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
+    With `sparql` set, the query additionally runs over the FINAL
+    triples table (post LINK/ENTAIL — the constructed KG) and its
+    result lands at work_dir/sparql.
     entity_dict (surface, uri, priority) enables the LINK stage
     (broadcast canonicalization of literal mentions); with
     fuzzy_link_threshold set, surfaces the exact pass misses get a
@@ -324,6 +328,18 @@ def run_web_pipeline(
         "templates_xml": tpls_x.count(),
         "run_id": store.run_id,
     }
+    if sparql is not None:
+        from rdf2smw_spark.sparql import sparql_query
+
+        form, qdf = sparql_query(raw_triples, sparql)
+        qpath = os.path.join(work_dir, "sparql")
+        qdf.write.mode("overwrite").parquet(qpath)
+        res["sparql"] = {
+            "form": form,
+            "result": qpath,
+            "n_rows": spark.read.parquet(qpath).count(),
+            "columns": qdf.columns,
+        }
     # every stage is checkpointed and counted: the builders' scoped
     # persists (minhash bands, decontam n-grams, fuzzy-link map,
     # conversion dims) are dead weight now — release them so a

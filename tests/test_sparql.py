@@ -612,3 +612,23 @@ def test_substr_two_arg_and_strafter_first_occurrence(spark):
         }
     """)
     assert rows(df) == [("cd:ef", "cd:ef")]
+
+
+def test_cli_web_mode_sparql_over_constructed_kg(spark, tmp_path, capsys):
+    import json
+
+    from rdf2smw_spark.__main__ import main
+    from rdf2smw_spark.sources.webpages import synth_pages
+
+    pdir = str(tmp_path / "pages")
+    synth_pages(spark, "/root/testdata/sf0.001").write.parquet(pdir)
+    rc = main(["--pages", pdir, "--out", str(tmp_path / "w"), "--mode", "web",
+               "--sparql",
+               "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    q = res["sparql"]
+    assert q["form"] == "select" and q["columns"] == ["p", "n"]
+    got = spark.read.parquet(q["result"])
+    # per-predicate counts over the constructed KG sum to all triples
+    assert sum(r["n"] for r in got.collect()) == res["triples"]
