@@ -1049,7 +1049,17 @@ class _Compiler:
                     raise SparqlSyntaxError("OPTIONAL cannot open a group")
                 df = _join(df, self.compile_group(el.group), "left")
             elif isinstance(el, Union_):
-                branches = [self.compile_group(b) for b in el.branches]
+                # each branch captures its OWN companion columns (a var
+                # bound in several branches needs metadata in every one,
+                # not just the first — the capture set is otherwise
+                # consumed at the first binding)
+                snap = set(self.capture)
+                branches, leftovers = [], []
+                for b in el.branches:
+                    self.capture = set(snap)
+                    branches.append(self.compile_group(b))
+                    leftovers.append(self.capture)
+                self.capture = set.intersection(*leftovers) if leftovers else snap
                 all_cols = sorted({c for b in branches for c in b.columns})
                 # pad missing vars with nulls of the dtype another branch
                 # bound them at (companions are boolean, vars string)

@@ -632,3 +632,20 @@ def test_cli_web_mode_sparql_over_constructed_kg(spark, tmp_path, capsys):
     got = spark.read.parquet(q["result"])
     # per-predicate counts over the constructed KG sum to all triples
     assert sum(r["n"] for r in got.collect()) == res["triples"]
+
+
+def test_construct_union_metadata_in_every_branch(graph):
+    """A template-object var bound in BOTH union branches must carry
+    correct is_iri/datatype metadata from each branch, not just the
+    first (per-branch companion capture)."""
+    from rdf2smw_spark.sparql import sparql_construct
+
+    df = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?s ex:val ?v } WHERE {
+          { ?s ex:knows ?v } UNION { ?s rdfs:label ?v }
+        }
+    """)
+    got = {(r["obj"], r["obj_is_iri"], r["obj_datatype"]) for r in df.collect()}
+    assert (EX + "bob", True, None) in got        # IRI branch
+    assert ("Alice", False, XSD_STR) in got       # literal branch
+    assert not any(r["obj_is_iri"] is None for r in df.collect())
