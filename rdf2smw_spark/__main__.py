@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
                          "re-ingestable via --in)")
     ap.add_argument("--sparql-file", default=None,
                     help="like --sparql but read the query from a file")
+    ap.add_argument("--explain", action="store_true",
+                    help="with --sparql: print the formatted physical plan "
+                         "instead of executing the query")
     ap.add_argument("--cores", type=int, default=None)
     # BooleanOptionalAction gives a working --no-resume (ADVICE r2: a
     # store_true with default=True could never be disabled)
@@ -84,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
         if not args.infile:
             ap.error("--sparql requires --in (an RDF input to query) "
                      "or --mode web (query the constructed KG)")
+        if args.explain:
+            from rdf2smw_spark.plans.pipeline import read_rdf_any
+            from rdf2smw_spark.sparql import sparql_query
+
+            triples, _bad = read_rdf_any(spark, args.infile)
+            form, df = sparql_query(triples, query)
+            df.explain("formatted")
+            print(json.dumps({"form": form, "explained": True,
+                              "columns": df.columns}))
+            return 0
         from rdf2smw_spark.plans.pipeline import run_sparql
 
         res = run_sparql(spark, args.infile, query, args.out, entail=args.entail)
