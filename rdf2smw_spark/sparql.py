@@ -1026,26 +1026,53 @@ class _Compiler:
         self.graph = None
 
     # -- groups --------------------------------------------------------------
+    @staticmethod
+    def _merge_joinables(df: DataFrame | None, pending: list) -> DataFrame | None:
+        """Join buffered relations in CONNECTIVITY order: always pick a
+        relation sharing a variable with the accumulated result before
+        resorting to a cartesian — `VALUES ?x {..} ?a p ?b . ?a q ?x`
+        joins pattern-to-pattern first instead of crossing VALUES with
+        the disjoint first pattern (the plan linter forbids avoidable
+        Join Cross). Order within the buffer is otherwise stable, so
+        results are deterministic."""
+        rels = ([df] if df is not None else []) + pending
+        if not rels:
+            return df
+        out, rest = rels[0], list(rels[1:])
+        while rest:
+            pick = next(
+                (r for r in rest if set(out.columns) & set(r.columns)), rest[0]
+            )
+            rest.remove(pick)
+            out = _join(out, pick, "inner")
+        return out
+
     def compile_group(self, g: Group) -> DataFrame:
         df: DataFrame | None = None
+        pending: list = []   # joinable relations, merged connectivity-first
         filters: list = []
+
+        def flush() -> DataFrame | None:
+            nonlocal df, pending
+            df = self._merge_joinables(df, pending)
+            pending = []
+            return df
+
         for el in g.elements:
             if isinstance(el, TriplePattern):
-                df = _join(
-                    df,
-                    _pattern_df(self.triples, el, self.capture, self.graph),
-                    "inner",
+                pending.append(
+                    _pattern_df(self.triples, el, self.capture, self.graph)
                 )
             elif isinstance(el, GraphPattern):
                 prev, self.graph = self.graph, el.term
                 try:
-                    df = _join(df, self.compile_group(el.group), "inner")
+                    pending.append(self.compile_group(el.group))
                 finally:
                     self.graph = prev
             elif isinstance(el, Group):
-                df = _join(df, self.compile_group(el), "inner")
+                pending.append(self.compile_group(el))
             elif isinstance(el, Optional_):
-                if df is None:
+                if flush() is None:
                     raise SparqlSyntaxError("OPTIONAL cannot open a group")
                 df = _join(df, self.compile_group(el.group), "left")
             elif isinstance(el, Union_):
@@ -1075,29 +1102,29 @@ class _Compiler:
                 u = padded[0]
                 for p in padded[1:]:
                     u = u.unionByName(p)
-                df = _join(df, u, "inner")
+                pending.append(u)
             elif isinstance(el, Minus_):
-                if df is None:
+                if flush() is None:
                     raise SparqlSyntaxError("MINUS cannot open a group")
                 neg = self.compile_group(el.group)
                 shared = [c for c in df.columns if c in set(neg.columns)]
                 if shared:  # SPARQL §8.3: disjoint-domain MINUS removes nothing
                     df = df.join(neg.select(*shared).distinct(), shared, "left_anti")
             elif isinstance(el, Bind_):
-                if df is None:
+                if flush() is None:
                     df = self.spark.range(1).select(F.lit(1).alias("__unit"))
                 df = df.withColumn(el.var, self.expr(el.expr, df))
             elif isinstance(el, Values_):
-                df = _join(df, self._values_df(el), "inner")
+                pending.append(self._values_df(el))
             elif isinstance(el, SubSelect):
                 # §12: the subquery evaluates independently, then joins
                 # the outer pattern on its projected (shared) variables
-                df = _join(df, self.compile_query(el.query), "inner")
+                pending.append(self.compile_query(el.query))
             elif isinstance(el, Filter_):
                 filters.append(el.expr)
             else:  # pragma: no cover
                 raise SparqlSyntaxError(f"unsupported element {el!r}")
-        if df is None:
+        if flush() is None:
             raise SparqlSyntaxError("empty group graph pattern")
         for fx in filters:  # SPARQL 1.1 §8: filters scope over the whole group
             df = self._apply_filter(df, fx)
