@@ -57,6 +57,10 @@ Scale shape (10^12-triple Iceberg table, north rule):
   reuse ONE exchange across the whole chain (AQE picks broadcast for
   class-level patterns);
 - VALUES tables are driver literals -> always broadcast;
+- group joins order by SELECTIVITY then CONNECTIVITY (most-bound
+  pattern first, then most-bound neighbor sharing a variable) — inner
+  joins commute, and Catalyst without CBO stats keeps the written
+  order, so the compiler shrinks intermediates itself;
 - ORDER BY + LIMIT lowers to TakeOrderedAndProject (per-partition
   heaps), never a global sort;
 - MINUS / NOT EXISTS are left-anti joins on the shared key, EXISTS is
@@ -1028,23 +1032,34 @@ class _Compiler:
     # -- groups --------------------------------------------------------------
     @staticmethod
     def _merge_joinables(df: DataFrame | None, pending: list) -> DataFrame | None:
-        """Join buffered relations in CONNECTIVITY order: always pick a
-        relation sharing a variable with the accumulated result before
-        resorting to a cartesian — `VALUES ?x {..} ?a p ?b . ?a q ?x`
-        joins pattern-to-pattern first instead of crossing VALUES with
-        the disjoint first pattern (the plan linter forbids avoidable
-        Join Cross). Order within the buffer is otherwise stable, so
-        results are deterministic."""
-        rels = ([df] if df is not None else []) + pending
+        """Join buffered relations in SELECTIVITY-then-CONNECTIVITY
+        order. `pending` holds (relation, boundness) pairs — boundness
+        counts the pattern's fixed terms (VALUES tables rank highest:
+        driver literals). Inner joins commute, so reordering never
+        changes results; it changes intermediate sizes, which Catalyst
+        without CBO table stats will NOT fix on its own:
+
+        - start from the most-bound relation (smallest expected set),
+        - repeatedly join the most-bound relation that SHARES a
+          variable with the accumulated result (connectivity keeps the
+          join keyed — the plan linter forbids avoidable Join Cross),
+        - only a genuinely disjoint remainder cross-joins.
+
+        Ties keep buffer order, so plans are deterministic."""
+        rels = ([(df, -1)] if df is not None else []) + pending
         if not rels:
             return df
-        out, rest = rels[0], list(rels[1:])
+        rest = list(rels)
+        # accumulated df (boundness -1) keeps priority: OPTIONAL/BIND
+        # results must stay the left side they were built on
+        start = rest[0] if rest[0][1] == -1 else max(rest, key=lambda p: p[1])
+        rest.remove(start)
+        out = start[0]
         while rest:
-            pick = next(
-                (r for r in rest if set(out.columns) & set(r.columns)), rest[0]
-            )
+            connected = [p for p in rest if set(out.columns) & set(p[0].columns)]
+            pick = (max(connected, key=lambda p: p[1]) if connected else rest[0])
             rest.remove(pick)
-            out = _join(out, pick, "inner")
+            out = _join(out, pick[0], "inner")
         return out
 
     def compile_group(self, g: Group) -> DataFrame:
@@ -1060,17 +1075,21 @@ class _Compiler:
 
         for el in g.elements:
             if isinstance(el, TriplePattern):
+                bound = sum(
+                    not isinstance(t, Var) for t in (el.s, el.o)
+                ) + (0 if isinstance(el.p, Var) else 1)
                 pending.append(
-                    _pattern_df(self.triples, el, self.capture, self.graph)
+                    (_pattern_df(self.triples, el, self.capture, self.graph),
+                     bound)
                 )
             elif isinstance(el, GraphPattern):
                 prev, self.graph = self.graph, el.term
                 try:
-                    pending.append(self.compile_group(el.group))
+                    pending.append((self.compile_group(el.group), 0))
                 finally:
                     self.graph = prev
             elif isinstance(el, Group):
-                pending.append(self.compile_group(el))
+                pending.append((self.compile_group(el), 0))
             elif isinstance(el, Optional_):
                 if flush() is None:
                     raise SparqlSyntaxError("OPTIONAL cannot open a group")
@@ -1102,7 +1121,7 @@ class _Compiler:
                 u = padded[0]
                 for p in padded[1:]:
                     u = u.unionByName(p)
-                pending.append(u)
+                pending.append((u, 0))
             elif isinstance(el, Minus_):
                 if flush() is None:
                     raise SparqlSyntaxError("MINUS cannot open a group")
@@ -1115,11 +1134,11 @@ class _Compiler:
                     df = self.spark.range(1).select(F.lit(1).alias("__unit"))
                 df = df.withColumn(el.var, self.expr(el.expr, df))
             elif isinstance(el, Values_):
-                pending.append(self._values_df(el))
+                pending.append((self._values_df(el), 10))
             elif isinstance(el, SubSelect):
                 # §12: the subquery evaluates independently, then joins
                 # the outer pattern on its projected (shared) variables
-                pending.append(self.compile_query(el.query))
+                pending.append((self.compile_query(el.query), 0))
             elif isinstance(el, Filter_):
                 filters.append(el.expr)
             else:  # pragma: no cover
