@@ -286,7 +286,57 @@ _BUILTIN_FNS = {
     "STR", "STRLEN", "STRSTARTS", "STRENDS", "CONTAINS", "UCASE", "LCASE",
     "REGEX", "BOUND", "COALESCE", "CONCAT", "SUBSTR", "REPLACE",
     "STRBEFORE", "STRAFTER", "IF", "ABS", "ROUND", "CEIL", "FLOOR",
+    "DATATYPE", "ISIRI", "ISLITERAL",
 }
+
+# builtins that read a variable's term METADATA (kind/datatype) — their
+# Var arguments are pre-registered in the compiler's capture set so the
+# binding pattern emits companion columns (same machinery CONSTRUCT uses)
+_META_FNS = {"DATATYPE", "ISIRI", "ISLITERAL"}
+
+
+def _meta_vars(node) -> set:
+    """Variable names appearing under DATATYPE/ISIRI/ISLITERAL calls."""
+    out: set = set()
+    if isinstance(node, Call):
+        if node.fn in _META_FNS and node.args and isinstance(node.args[0], Var):
+            out.add(node.args[0].name)
+        for a in node.args:
+            if a != "*":
+                out |= _meta_vars(a)
+    elif isinstance(node, BinOp):
+        out |= _meta_vars(node.left) | _meta_vars(node.right)
+    elif isinstance(node, Not):
+        out |= _meta_vars(node.arg)
+    return out
+
+
+def _group_meta_vars(g: Group) -> set:
+    out: set = set()
+    for el in g.elements:
+        if isinstance(el, Filter_) and not isinstance(el.expr, ExistsExpr):
+            out |= _meta_vars(el.expr)
+        elif isinstance(el, Bind_):
+            out |= _meta_vars(el.expr)
+        elif isinstance(el, (Optional_, Minus_, GraphPattern)):
+            out |= _group_meta_vars(el.group)
+        elif isinstance(el, Union_):
+            for b in el.branches:
+                out |= _group_meta_vars(b)
+        elif isinstance(el, Group):
+            out |= _group_meta_vars(el)
+    return out
+
+
+def _query_meta_vars(q: "SelectQuery") -> set:
+    out = _group_meta_vars(q.where)
+    for it in q.items:
+        out |= _meta_vars(it.expr)
+    if q.having is not None:
+        out |= _meta_vars(q.having)
+    for e, _dir in q.order_by:
+        out |= _meta_vars(e)
+    return out
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -1291,10 +1341,32 @@ class _Compiler:
             return args[0].cast("double")
         if c.fn == "CAST_STRING":
             return args[0].cast("string")
+        if c.fn in _META_FNS:
+            if not c.args or not isinstance(c.args[0], Var):
+                raise SparqlSyntaxError(f"{c.fn} takes a variable argument")
+            name = c.args[0].name
+            comp_i = f"__isiri_{name}"
+            # no companion => the var was bound in subject/predicate
+            # position, an IRI by the triple model
+            is_iri = F.col(comp_i) if comp_i in df.columns else F.lit(True)
+            if c.fn == "ISIRI":
+                return is_iri
+            if c.fn == "ISLITERAL":
+                return ~is_iri
+            comp_d = f"__dt_{name}"
+            dt = (F.col(comp_d) if comp_d in df.columns
+                  else F.lit(None).cast("string"))
+            # DATATYPE: simple literals default to xsd:string (§17.4.2.7);
+            # IRIs have no datatype -> NULL (SPARQL: type error/unbound)
+            return F.when(~is_iri, F.coalesce(dt, F.lit(XSD + "string")))
         raise SparqlSyntaxError(f"unsupported function {c.fn}")
 
     # -- full query -------------------------------------------------------------
     def compile_query(self, q: SelectQuery) -> DataFrame:
+        # DATATYPE/ISIRI/ISLITERAL read a binding's term metadata: make
+        # the binding patterns emit companion columns (CONSTRUCT's
+        # capture machinery)
+        self.capture |= _query_meta_vars(q)
         df = self.compile_group(q.where)
 
         def has_agg(e) -> bool:
@@ -1332,6 +1404,19 @@ class _Compiler:
                 if not isinstance(it.expr, Var):
                     df = df.withColumn(it.alias, self.expr(it.expr, df))
 
+        def order(frame: DataFrame) -> DataFrame:
+            keys = []
+            for e, direction in q.order_by:
+                col = self.expr(e, frame)
+                keys.append(col.desc() if direction == "desc" else col.asc())
+            return frame.orderBy(*keys)  # + limit => TakeOrderedAndProject
+
+        # ORDER BY sorts BEFORE projection (SPARQL §15.1: order keys may
+        # reference non-projected variables, incl. metadata companions);
+        # projection preserves sort order. DISTINCT queries instead sort
+        # the deduped projection — their order keys must be projected.
+        if q.order_by and not q.distinct:
+            df = order(df)
         if not q.star:
             missing = [it.alias for it in q.items
                        if isinstance(it.expr, Var) and it.expr.name not in df.columns]
@@ -1342,14 +1427,13 @@ class _Compiler:
                  if isinstance(it.expr, Var) else F.col(it.alias))
                 for it in q.items
             ])
+        else:
+            df = df.drop(*[c for c in df.columns
+                           if c.startswith("__isiri_") or c.startswith("__dt_")])
         if q.distinct:
             df = df.distinct()
-        if q.order_by:
-            keys = []
-            for e, direction in q.order_by:
-                col = self.expr(e, df)
-                keys.append(col.desc() if direction == "desc" else col.asc())
-            df = df.orderBy(*keys)  # + limit below => TakeOrderedAndProject
+            if q.order_by:
+                df = order(df)
         if q.offset is not None:
             df = df.offset(q.offset)
         if q.limit is not None:

@@ -649,3 +649,33 @@ def test_construct_union_metadata_in_every_branch(graph):
     assert (EX + "bob", True, None) in got        # IRI branch
     assert ("Alice", False, XSD_STR) in got       # literal branch
     assert not any(r["obj_is_iri"] is None for r in df.collect())
+
+
+def test_datatype_isiri_isliteral(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?v ?dt ?iri WHERE {
+          ex:alice ?p ?v .
+          BIND (DATATYPE(?v) AS ?dt)
+          BIND (ISIRI(?v) AS ?iri)
+        }
+    """)
+    got = {(r["v"], r["dt"], r["iri"]) for r in df.collect()}
+    assert (EX + "Person", None, True) in got      # IRI: no datatype
+    assert ("Alice", XSD_STR, False) in got
+    assert ("31", "http://www.w3.org/2001/XMLSchema#integer", False) in got
+
+
+def test_isliteral_filter(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?v WHERE { ex:alice ?p ?v . FILTER (ISLITERAL(?v)) }
+    """)
+    assert rows(df) == sorted([("Alice",), ("31",)])
+
+
+def test_order_by_nonprojected_var(graph):
+    # ORDER BY a variable that is not projected (SPARQL §15.1)
+    df = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s ex:age ?a . }
+        ORDER BY DESC(xsd:integer(?a)) LIMIT 1
+    """)
+    assert rows(df) == [(EX + "alice",)]
