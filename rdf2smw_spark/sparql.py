@@ -13,24 +13,34 @@ subject-bucketed layout).
 Supported subset (everything parsed is fully implemented; anything else
 raises SparqlSyntaxError rather than mis-executing):
 
+- all four query forms: ``SELECT`` / ``CONSTRUCT`` (emits
+  TRIPLE_SCHEMA, feeds back into the engine) / ``ASK`` / ``DESCRIBE``
+  (subject-based description);
 - ``PREFIX`` declarations, ``a`` for rdf:type, ``;``/``,`` predicate and
   object lists;
 - ``SELECT [DISTINCT] ?v ... | *`` with ``(expr AS ?alias)`` projections
-  and aggregates ``COUNT(*) | COUNT([DISTINCT] ?v) | SUM/AVG/MIN/MAX``;
+  and aggregates ``COUNT(*) | COUNT([DISTINCT] ?v) | SUM/AVG/MIN/MAX |
+  GROUP_CONCAT(...; SEPARATOR="..") | SAMPLE`` (GROUP_CONCAT order and
+  SAMPLE pinned deterministic: lexicographic / min);
 - group graph patterns with ``OPTIONAL {}``, ``{} UNION {}``,
   ``MINUS {}``, ``FILTER``, ``BIND (expr AS ?v)``,
-  ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``;
+  ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }``,
+  ``GRAPH <g>|?g {}`` (over the src_url provenance column), and
+  ``{ SELECT ... }`` subqueries (§12);
 - property paths (§9): sequence ``p1/p2``, alternation ``p1|p2``,
-  inverse ``^p``, grouping ``(...)``, and ``p+ | p* | p?`` — closures
-  are distributed frontier fixpoints over term-pair SETS (§9.3), with
-  both endpoints carrying IRI/datatype metadata so same-lexical
-  IRI-vs-literal terms never conflate mid-path;
+  inverse ``^p``, grouping ``(...)``, negated sets ``!(...)``, and
+  ``p+ | p* | p?`` — closures are distributed frontier fixpoints over
+  term-pair SETS (§9.3), with both endpoints carrying IRI/datatype
+  metadata so same-lexical IRI-vs-literal terms never conflate
+  mid-path;
 - ``FILTER [NOT] EXISTS { ... }`` (as the whole filter constraint);
 - builtins ``STR STRLEN STRSTARTS STRENDS CONTAINS UCASE LCASE REGEX
-  BOUND COALESCE`` and casts ``xsd:integer/xsd:double/xsd:string``;
-  arithmetic ``+ - * /``, comparisons, ``&& || !``;
-- solution modifiers ``GROUP BY``, ``HAVING``, ``ORDER BY [ASC|DESC]``,
-  ``LIMIT``, ``OFFSET``.
+  BOUND COALESCE CONCAT SUBSTR REPLACE STRBEFORE STRAFTER IF ABS ROUND
+  CEIL FLOOR DATATYPE ISIRI ISLITERAL`` and casts
+  ``xsd:integer/xsd:double/xsd:string``; arithmetic ``+ - * /``,
+  comparisons, ``&& || !``;
+- solution modifiers ``GROUP BY``, ``HAVING``, ``ORDER BY [ASC|DESC]``
+  (keys may reference non-projected variables), ``LIMIT``, ``OFFSET``.
 
 Semantics pinned to the engine's triple contract (schemas.TRIPLE_SCHEMA,
 same lexical-form-only model as the reference's rdf.Triple.String()
