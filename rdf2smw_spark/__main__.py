@@ -88,10 +88,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--sparql requires --in (an RDF input to query) "
                      "or --mode web (query the constructed KG)")
         if args.explain:
-            from rdf2smw_spark.plans.pipeline import read_rdf_any
+            from rdf2smw_spark.plans.pipeline import entail_triples, read_rdf_any
             from rdf2smw_spark.sparql import sparql_query
 
             triples, _bad = read_rdf_any(spark, args.infile)
+            if args.entail is not None:  # explain what --sparql executes
+                triples = entail_triples(triples, args.entail)
             form, df = sparql_query(triples, query)
             df.explain("formatted")
             print(json.dumps({"form": form, "explained": True,

@@ -88,10 +88,16 @@ def is_delta_decomposable(query_text: str) -> bool:
     if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
         return False  # slicing/dedup is not additive
     for it in q.items:
-        if isinstance(it.expr, Call) and it.expr.fn != "COUNT":
-            return False
-        if isinstance(it.expr, Call) and it.expr.distinct:
-            return False  # COUNT(DISTINCT) needs the value set, not counts
+        if isinstance(it.expr, Var):
+            continue  # a GROUP BY key
+        if (isinstance(it.expr, Call) and it.expr.fn == "COUNT"
+                and not it.expr.distinct):
+            continue  # bare COUNT: counts add
+        # anything else — COUNT(DISTINCT) needs the value set, SUM/AVG/
+        # MIN/MAX don't subtract, and an aggregate NESTED in arithmetic
+        # (e.g. SUM(?x)+0) would be mistaken for a key column by the
+        # maintainer — is not count-additive
+        return False
     return True
 
 

@@ -61,10 +61,14 @@ def _parse_value(v) -> tuple[str, bool, str | None]:
     if "@value" not in v:
         raise ValueError("value entry needs @id or @value")
     val = v["@value"]
+    # native JSON booleans keep the XSD lexical form regardless of an
+    # explicit @type — str(True) would yield 'True' and break the
+    # serialize∘parse identity against the untyped path
+    lex = ("true" if val else "false") if isinstance(val, bool) else str(val)
     if "@language" in v:
-        return str(val), False, DT_LANGSTRING
+        return lex, False, DT_LANGSTRING
     if "@type" in v:
-        return str(val), False, str(v["@type"])
+        return lex, False, str(v["@type"])
     if isinstance(val, bool):
         return ("true" if val else "false"), False, DT_BOOLEAN
     if isinstance(val, int):
@@ -85,7 +89,10 @@ def _parse_line(line: str, src: str) -> list[tuple]:
     if not isinstance(subj, str) or "://" not in subj:
         raise ValueError(f"node needs an absolute @id, got {subj!r}")
     out = []
-    for t in node.get("@type", []) or []:
+    types = node.get("@type", []) or []
+    if isinstance(types, str):  # bare-string @type, common compact form
+        types = [types]
+    for t in types:
         if not isinstance(t, str):
             raise ValueError(f"@type entries must be IRI strings: {t!r}")
         out.append((subj, TYPE_PROPERTY_URI, t, True, None, src, None, None))

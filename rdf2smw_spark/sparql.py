@@ -56,7 +56,13 @@ usage, SURVEY §1.1):
   cannot do row-by-row without a UDF, so the cast is the user's
   explicit, vectorized opt-in;
 - FILTERs apply at the END of their group (SPARQL 1.1 §8 algebra:
-  filters scope over the whole group regardless of position).
+  filters scope over the whole group regardless of position);
+- a NULL (unbound) binding never joins: SPARQL's compatibility rule
+  lets an UNBOUND variable join anything, which a relational equi-join
+  cannot express — joining a later pattern on a variable left unbound
+  by OPTIONAL/UNION drops those solutions here (documented subset
+  limitation; bind the variable in every branch, or restructure so the
+  join happens before the OPTIONAL).
 
 Scale shape (10^12-triple Iceberg table, north rule):
 - every triple pattern compiles to ``pred = <iri>`` (+ optional
@@ -276,7 +282,7 @@ _TOKEN_RE = re.compile(
     | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<STRING>"(?:[^"\\]|\\.)*")
     | (?P<NUMBER>[0-9]+(?:\.[0-9]+)?)
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_.\-]*)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-]+(?:\.[A-Za-z0-9_\-]+)*)?)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().;,*+\-/=<>!|^?])
@@ -866,9 +872,34 @@ def _path_closure(rel: DataFrame, max_iter: int = 30) -> DataFrame:
             )
             .distinct()
         )
-        fresh = stepped.join(
-            closure, ["s", "s_iri", "o", "o_iri"], "left_anti"
-        ).localCheckpoint(eager=True)
+        # anti-join on FULL term identity (datatypes null-safe): keying
+        # on lexical+kind alone would drop a fresh pair that differs
+        # from a seen one only in literal datatype. The seen side is
+        # column-RENAMED (not aliased) — dataset aliases over a unioned
+        # checkpoint lineage trip Catalyst's Union constraint rewrite.
+        # anti-join on FULL term identity: lexical + kind + datatype.
+        # The dt columns join through never-NULL sentinel keys computed
+        # in the same name-keyed join shape that the rest of the loop
+        # uses ("\x00" = no datatype; no RDF datatype IRI contains it) —
+        # a fresh pair differing from a seen one only in literal
+        # datatype is NOT dropped.
+        def with_dt_keys(frame: DataFrame) -> DataFrame:
+            return frame.withColumn(
+                "s_dtk", F.coalesce(F.col("s_dt"), F.lit("\x00"))
+            ).withColumn("o_dtk", F.coalesce(F.col("o_dt"), F.lit("\x00")))
+
+        fresh = (
+            with_dt_keys(stepped)
+            .join(
+                with_dt_keys(closure).select(
+                    "s", "s_iri", "s_dtk", "o", "o_iri", "o_dtk"
+                ),
+                ["s", "s_iri", "s_dtk", "o", "o_iri", "o_dtk"],
+                "left_anti",
+            )
+            .drop("s_dtk", "o_dtk")
+            .localCheckpoint(eager=True)
+        )
         if fresh.limit(1).count() == 0:
             rel.unpersist()
             return closure
@@ -1039,9 +1070,10 @@ def _pattern_df(
         df = df.filter(F.col("subj") == tp.s.value)
     # predicate
     if isinstance(tp.p, Var):
-        cols.setdefault(tp.p.name, F.col("pred"))
-        if isinstance(tp.s, Var) and tp.p.name == tp.s.name:
-            df = df.filter(F.col("pred") == F.col("subj"))
+        if tp.p.name in cols:  # repeated var: ?s ?s ?o, or GRAPH ?g { ?s ?g ?o }
+            df = df.filter(F.col("pred") == cols[tp.p.name])
+        else:
+            cols[tp.p.name] = F.col("pred")
     else:
         df = df.filter(F.col("pred") == tp.p.value)
     # object
@@ -1168,15 +1200,22 @@ class _Compiler:
                 self.capture = set.intersection(*leftovers) if leftovers else snap
                 all_cols = sorted({c for b in branches for c in b.columns})
                 # pad missing vars with nulls of the dtype another branch
-                # bound them at (companions are boolean, vars string)
+                # bound them at (companions are boolean, vars string).
+                # A missing __isiri_ companion whose VAR the branch does
+                # bind means a subject/predicate-position binding — an
+                # IRI by the triple model — so pad TRUE, not NULL
+                # (NULL would make CONSTRUCT/ISIRI drop the branch).
                 dtypes = {c: t for b in branches for c, t in b.dtypes}
+
+                def pad(b: DataFrame, c: str) -> Column:
+                    if c in b.columns:
+                        return F.col(c)
+                    if c.startswith("__isiri_") and c[len("__isiri_"):] in b.columns:
+                        return F.lit(True).alias(c)
+                    return F.lit(None).cast(dtypes[c]).alias(c)
+
                 padded = [
-                    b.select(*[
-                        F.col(c) if c in b.columns
-                        else F.lit(None).cast(dtypes[c]).alias(c)
-                        for c in all_cols
-                    ])
-                    for b in branches
+                    b.select(*[pad(b, c) for c in all_cols]) for b in branches
                 ]
                 u = padded[0]
                 for p in padded[1:]:
@@ -1297,7 +1336,15 @@ class _Compiler:
             pat = c.args[1]
             if not isinstance(pat, Lit):
                 raise SparqlSyntaxError("REGEX pattern must be a string literal")
-            return args[0].rlike(pat.value)
+            pattern = pat.value
+            if len(c.args) > 2:  # optional flags argument (§17.4.3.14)
+                if not isinstance(c.args[2], Lit) or c.args[2].value not in ("i", ""):
+                    raise SparqlSyntaxError(
+                        "REGEX flags: only \"i\" is supported"
+                    )
+                if c.args[2].value == "i":
+                    pattern = "(?i)" + pattern
+            return args[0].rlike(pattern)
         if c.fn == "BOUND":
             return args[0].isNotNull()
         if c.fn == "COALESCE":
@@ -1313,8 +1360,9 @@ class _Compiler:
             pat = c.args[1]
             if not isinstance(pat, Lit):
                 raise SparqlSyntaxError("REPLACE pattern must be a string literal")
-            return F.regexp_replace(args[0], pat.value, c.args[2].value
-                                    if isinstance(c.args[2], Lit) else "")
+            if len(c.args) < 3 or not isinstance(c.args[2], Lit):
+                raise SparqlSyntaxError("REPLACE replacement must be a string literal")
+            return F.regexp_replace(args[0], pat.value, c.args[2].value)
         if c.fn == "STRBEFORE":
             if not isinstance(c.args[1], Lit):
                 raise SparqlSyntaxError("STRBEFORE needle must be a literal")

@@ -670,7 +670,11 @@ def run_stream_sparql_view(
     The view query must be delta-decomposable (ivm.count_view raises
     otherwise — a non-additive view belongs on the recompute path).
     Versioned view snapshots (v=N) make each write atomic relative to
-    the read of the previous version; only the latest is kept.
+    the read of the previous version; only the latest is kept. Each
+    snapshot records the batch_id it applied: foreachBatch is
+    at-least-once (a crash between the view write and the offset
+    commit replays the batch), so a batch whose id is already recorded
+    in the latest snapshot is skipped instead of double-merged.
 
     Layout under work_dir: view/v=N (parquet snapshots), ckpt/.
     Returns {batches, view_rows}."""
@@ -684,30 +688,43 @@ def run_stream_sparql_view(
     ckpt_dir = _os.path.join(work_dir, "ckpt")
     state = {"batches": 0}
 
+    import json as _json
+
     def _latest():
         if not _os.path.isdir(view_dir):
-            return None, 0
+            return None, 0, -1
         vs = [d for d in _os.listdir(view_dir) if d.startswith("v=")]
         if not vs:
-            return None, 0
+            return None, 0, -1
         n = max(int(d[2:]) for d in vs)
-        return spark.read.parquet(_os.path.join(view_dir, f"v={n}")), n
+        vdir = _os.path.join(view_dir, f"v={n}")
+        applied = -1
+        marker = _os.path.join(vdir, "_batch.json")
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                applied = _json.load(fh)["batch_id"]
+        return spark.read.parquet(vdir), n, applied
 
     def _process(batch, batch_id):
+        old, n, applied = _latest()
+        if batch_id <= applied:
+            # at-least-once replay after a crash between the view write
+            # and the offset commit: this batch is already in the view
+            return
         parsed = parse_ntriples_lines(batch).filter(F.col("error").isNull())
         delta = parsed.select(
             "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
         ).localCheckpoint()
         if delta.limit(1).count() == 0:
             return
-        old, n = _latest()
         if old is None:
             new = count_view(delta, view_query)
         else:
             new = maintain_count_view(old, view_query, delta_plus=delta)
-        new.write.mode("overwrite").parquet(
-            _os.path.join(view_dir, f"v={n + 1}")
-        )
+        vdir = _os.path.join(view_dir, f"v={n + 1}")
+        new.write.mode("overwrite").parquet(vdir)
+        with open(_os.path.join(vdir, "_batch.json"), "w") as fh:
+            _json.dump({"batch_id": batch_id}, fh)
         if old is not None:
             _shutil.rmtree(_os.path.join(view_dir, f"v={n}"), ignore_errors=True)
         state["batches"] += 1
@@ -724,7 +741,7 @@ def run_stream_sparql_view(
         .start()
     )
     q.awaitTermination()
-    latest, _ = _latest()
+    latest, _n, _applied = _latest()
     return {
         "batches": state["batches"],
         "view_rows": 0 if latest is None else latest.count(),

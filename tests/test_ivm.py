@@ -145,3 +145,38 @@ def test_streaming_sparql_view_across_drains(spark, tmp_path):
     # drain with nothing new: no-op, view version unchanged
     res3 = run_stream_sparql_view(spark, str(src), work, view_q)
     assert res3["batches"] == 0 and res3["view_rows"] == 2
+
+
+def test_nested_aggregate_projection_rejected():
+    nested = PRE + """
+    SELECT ?c (SUM(?s) + 0 AS ?t) WHERE { ?s a ?c . } GROUP BY ?c
+    """
+    assert not is_delta_decomposable(nested)
+    nested_count = PRE + """
+    SELECT ?c (COUNT(?s) * 2 AS ?t) WHERE { ?s a ?c . } GROUP BY ?c
+    """
+    assert not is_delta_decomposable(nested_count)
+
+
+def test_streaming_view_replay_is_idempotent(spark, tmp_path):
+    """Simulated at-least-once replay: re-processing data under a FRESH
+    checkpoint (batch ids restart at 0) against an existing view must
+    not double-merge — the snapshot records the batch id it applied."""
+    import shutil
+
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    TY = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    (src / "b1.nt").write_text(f"<{EX}a> {TY} <{EX}X> .\n")
+    view_q = PRE + "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c"
+
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    # crash-replay simulation: the offsets are lost, the view survived
+    shutil.rmtree(work + "/ckpt")
+    res = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res["view_rows"] == 1
+    v = spark.read.parquet(work + "/view/v=1")
+    assert as_map(v) == {EX + "X": 1}  # still 1, not doubled

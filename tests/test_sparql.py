@@ -679,3 +679,78 @@ def test_order_by_nonprojected_var(graph):
         ORDER BY DESC(xsd:integer(?a)) LIMIT 1
     """)
     assert rows(df) == [(EX + "alice",)]
+
+
+# -- review regressions -----------------------------------------------------------------
+
+def test_pname_trailing_dot_terminates_statement(graph):
+    # "{ ?s a ex:Person. }" — the '.' is the triple terminator, NOT part
+    # of the prefixed name
+    df = sparql_select(graph, PRE + "SELECT ?s WHERE { ?s a ex:Person. }")
+    assert df.count() == 2
+    # dots INSIDE a local name still work (ex:v1.5 style)
+    from rdf2smw_spark.sparql import Iri
+    q = parse_sparql(PRE + "SELECT ?s WHERE { ?s ex:v1.5 ?o . }")
+    assert q.where.elements[0].p == Iri(EX + "v1.5")
+
+
+def test_construct_union_subject_position_branch_not_dropped(graph):
+    """A CONSTRUCT var bound in SUBJECT position in one union branch and
+    object position in another: the subject branch's solutions must
+    survive (padded is_iri=TRUE, not NULL)."""
+    from rdf2smw_spark.sparql import sparql_construct
+
+    df = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?x ex:mark "hit" } WHERE {
+          { ?x a ex:Robot } UNION { ex:bob ex:knows ?x }
+        }
+    """)
+    subs = {r["subj"] for r in df.collect()}
+    assert subs == {EX + "carol"}  # both branches bind carol; not dropped
+    assert df.count() == 1
+
+
+def test_graph_var_in_predicate_position_filters(spark):
+    rows_ = [
+        (EX + "x", "g://a", "1", False, None, "g://a"),   # pred == graph
+        (EX + "x", EX + "p", "2", False, None, "g://a"),  # pred != graph
+    ]
+    t = spark.createDataFrame(rows_, TRIPLE_SCHEMA)
+    df = sparql_select(t, PRE + """
+        SELECT ?o WHERE { GRAPH ?g { ?s ?g ?o } }
+    """)
+    assert rows(df) == [("1",)]
+
+
+def test_replace_requires_literal_replacement(graph):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(graph, PRE + """
+            SELECT ?r WHERE { ?s rdfs:label ?lab .
+                              BIND (REPLACE(?lab, "a", ?s) AS ?r) }
+        """)
+
+
+def test_regex_case_insensitive_flag(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s WHERE { ?s rdfs:label ?lab . FILTER (REGEX(?lab, "ALICE", "i")) }
+    """)
+    assert rows(df) == [(EX + "alice",)]
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(graph, PRE + """
+            SELECT ?s WHERE { ?s rdfs:label ?l . FILTER (REGEX(?l, "x", "g")) }
+        """)
+
+
+def test_path_plus_keeps_distinct_datatypes(spark):
+    """Closure dedup keys on FULL term identity: two literals with the
+    same lexical form but different datatypes are different terms."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows_ = [
+        (EX + "a", EX + "p", "5", False, XSD_INT, "g://x"),
+        (EX + "a", EX + "p", "5", False, XSD_STR, "g://x"),
+    ]
+    t = spark.createDataFrame(rows_, TRIPLE_SCHEMA)
+    df = sparql_select(t, PRE + """
+        SELECT ?o ?dt WHERE { ex:a ex:p+ ?o . BIND (DATATYPE(?o) AS ?dt) }
+    """)
+    assert rows(df) == sorted([("5", XSD_INT), ("5", XSD_STR)])
