@@ -6,7 +6,7 @@ the hot path is JVM-side regex/arithmetic, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdf2smw_spark.operators.dedup import norm_text_sql
@@ -1336,4 +1336,74 @@ def corpus_split_sql(docs_sql: str, salt: str = "split-v1") -> str:
     return f"""
     SELECT doc_id, CASE {case} END AS split
     FROM (SELECT doc_id, {bucket} AS b FROM {docs_sql})
+    """
+
+
+# --- paragraph-level exact dedup ------------------------------------------------
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide paragraph dedup (the Dolma/RefinedWeb curation op a
+    doc-level pass misses: boilerplate paragraphs — nav text, license
+    headers, cookie banners — repeat across millions of pages). Every
+    paragraph occurrence is kept only at its canonical occurrence
+    (deterministic MIN of md5(doc_id:pos), engine-portable at any
+    parallelism); documents are rebuilt with survivors in original
+    order. Returns (doc_id, text, n_kept, n_dropped).
+
+    Scale shape: one shuffle keyed on the paragraph hash (slim rows:
+    hash + 32-byte order key, never the text twice) with a bounded
+    per-hash window — a boilerplate paragraph repeated 10^9 times is
+    ONE hot hash, which AQE splits; then one groupBy(doc_id) rebuild.
+    No self-join, no corpus-wide sort."""
+    paras = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "\n\n")).alias("pos", "para")
+        )
+        .filter(F.length(F.trim("para")) > 0)
+        .withColumn("h", F.md5("para"))
+        .withColumn(
+            "ok", F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("pos")))
+        )
+    )
+    w = Window.partitionBy("h").orderBy("ok", "doc_id", "pos")
+    flagged = paras.withColumn("keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+            ).alias("text"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+def paragraph_dedup_sql(docs_sql: str) -> str:
+    return f"""
+    WITH paras AS (
+        SELECT doc_id, i - 1 AS pos, parts[i] AS para,
+               md5(parts[i]) AS h,
+               md5(doc_id || ':' || (i - 1)) AS ok
+        FROM (SELECT doc_id, string_split(text, e'\\n\\n') AS parts FROM {docs_sql}),
+             UNNEST(generate_series(1, len(parts))) AS t(i)
+        WHERE length(trim(parts[i])) > 0
+    ),
+    flagged AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY ok, doc_id, pos) = 1 AS keep
+        FROM paras
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN para END, e'\\n\\n' ORDER BY pos), '') AS text,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
     """

@@ -2648,3 +2648,38 @@ WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
 SELECT obj AS c, COUNT(subj) AS n FROM t
 WHERE pred = '{_BGP_TYPE}' GROUP BY obj
 """
+
+
+_BOILER = "subscribe to our newsletter accept all cookies all rights reserved"
+
+
+def q_ta_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (text_analysis.paragraph_dedup): the
+    derived corpus gives every document the same boilerplate paragraph
+    plus two content chunks — the classic nav/banner duplication a
+    doc-level dedup misses. The canonical occurrence (deterministic
+    md5-min) keeps the boilerplate ONCE corpus-wide; documents are
+    rebuilt with survivors in original order. One slim hash-keyed
+    shuffle + one per-doc rebuild (PLANS.md §65)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.coalesce("text", F.lit("")), " ")
+    para_docs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit(_BOILER),
+            F.array_join(F.slice(words, 1, 20), " "),
+            F.array_join(F.slice(words, 21, 20), " "),
+        ).alias("text"),
+    )
+    return ta.paragraph_dedup(para_docs)
+
+
+QUERIES["ta_paragraph_dedup"] = q_ta_paragraph_dedup
+ORACLES["ta_paragraph_dedup"] = ta.paragraph_dedup_sql(
+    f"""(SELECT doc_id,
+            '{_BOILER}' || e'\\n\\n' ||
+            COALESCE(array_to_string(string_split(COALESCE(text, ''), ' ')[1:20], ' '), '') || e'\\n\\n' ||
+            COALESCE(array_to_string(string_split(COALESCE(text, ''), ' ')[21:40], ' '), '') AS text
+         FROM documents)"""
+)

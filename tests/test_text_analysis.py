@@ -93,3 +93,26 @@ def test_stratified_sample_deterministic(spark):
     from collections import Counter
     per = Counter(lang for _, lang in a)
     assert per == {"en": 5, "de": 5, "fr": 5}
+
+
+def test_paragraph_dedup_keeps_canonical_once(spark):
+    from rdf2smw_spark.operators.text_analysis import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BOILER\n\nalpha beta\n\nBOILER"),
+            (2, "BOILER\n\ngamma delta"),
+            (3, "unique text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # BOILER occurs 3x across the corpus: exactly ONE survives
+    total_boilers = sum(r["text"].count("BOILER") for r in out.values())
+    assert total_boilers == 1
+    # content paragraphs survive in original order
+    assert "alpha beta" in out[1]["text"]
+    assert "gamma delta" in out[2]["text"]
+    assert out[3]["text"] == "unique text only"
+    assert out[3]["n_kept"] == 1 and out[3]["n_dropped"] == 0
+    assert sum(r["n_dropped"] for r in out.values()) == 2
