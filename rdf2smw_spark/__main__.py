@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="web mode: with an entity dictionary, fuzzy-link "
                          "(char-3-gram Jaccard >= threshold) the literal "
                          "surfaces the exact LINK pass left unmatched")
+    ap.add_argument("--url-blocklist", default=None,
+                    help="web mode: parquet of blocked domains (host "
+                         "column); pages on a blocked host or any of "
+                         "its subdomains are dropped before extraction")
     ap.add_argument("--entity-dict", default=None,
                     help="web mode: parquet entity dictionary "
                          "(surface, uri, priority) enabling the LINK stage")
@@ -137,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
             fuzzy_link_threshold=args.fuzzy_link_threshold,
             entail=args.entail,
             sparql=query,
+            url_blocklist=(
+                spark.read.parquet(args.url_blocklist)
+                if args.url_blocklist else None
+            ),
         )
 
     print(json.dumps(res, default=str))

@@ -261,3 +261,45 @@ def asof_snapshot_sql(pages_sql: str, cutoff: str = ASOF_CUTOFF) -> str:
     )
     SELECT url, warc_ts, html_len FROM ranked WHERE rn = 1
     """
+
+
+def blocklist_filter(pages: DataFrame, blocked_hosts: DataFrame) -> DataFrame:
+    """URL-level curation gate (the CCNet/RefinedWeb domain blocklist):
+    drop pages whose host — or any registrable parent domain of it —
+    appears in `blocked_hosts` (one `host` column). Subdomain semantics
+    match production blocklists: blocking ads.example.com also blocks
+    tracker.ads.example.com but NOT example.com.
+
+    Scale shape: the host parse is a map-side regexp; the candidate
+    set explodes each url's host into its ≤ depth parent suffixes
+    (bounded by hostname depth, ~5) and semi-joins the blocklist —
+    broadcast when small (the usual case: blocklists are KB-MB), AQE
+    decides otherwise. No per-row Python, no driver lookup table."""
+    host = F.lower(F.regexp_extract("url", HOST_RE, 1))
+    # suffixes: for a.b.c -> [a.b.c, b.c, c]
+    cand = pages.withColumn("__host", host).withColumn(
+        "__sfx",
+        F.explode(F.expr(
+            "transform(sequence(1, size(split(__host, '\\\\.'))), "
+            "i -> array_join(slice(split(__host, '\\\\.'), i, 1000), '.'))"
+        )),
+    )
+    blocked = blocked_hosts.select(F.lower("host").alias("__sfx")).distinct()
+    hit_urls = cand.join(blocked, "__sfx", "left_semi").select("url").distinct()
+    return pages.join(hit_urls, "url", "left_anti")
+
+
+def blocklist_filter_sql(pages_sql: str, blocked_hosts_sql: str) -> str:
+    return f"""
+    WITH p AS (SELECT * FROM {pages_sql}),
+    cand AS (
+        SELECT url, array_to_string(parts[i:len(parts)], '.') AS sfx
+        FROM (SELECT url,
+                     string_split(lower(regexp_extract(url, '{HOST_RE}', 1)), '.') AS parts
+              FROM p),
+             UNNEST(generate_series(1, len(parts))) AS t(i)
+    ),
+    blocked AS (SELECT DISTINCT lower(host) AS sfx FROM {blocked_hosts_sql}),
+    hit AS (SELECT DISTINCT url FROM cand SEMI JOIN blocked USING (sfx))
+    SELECT p.* FROM p ANTI JOIN hit USING (url)
+    """

@@ -51,7 +51,23 @@ class CheckpointStore:
             return False
 
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.stage_path(stage))
+        """Read a snapshot back; an EMPTY snapshot (a gate that dropped
+        every row writes _SUCCESS but no part files) reads through the
+        schema sidecar materialize() stored, instead of failing
+        UNABLE_TO_INFER_SCHEMA."""
+        path = self.stage_path(stage)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            schema_file = os.path.join(path, "_SCHEMA")
+            if os.path.exists(schema_file):
+                from pyspark.sql.types import StructType
+                import json as _json
+
+                with open(schema_file) as fh:
+                    schema = StructType.fromJson(_json.load(fh))
+                return self.spark.read.schema(schema).parquet(path)
+            raise
 
     def _append_lineage(self, stage: str, wall_ms: int) -> None:
         out = self.read(stage)
@@ -111,6 +127,8 @@ class CheckpointStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.stage_path(stage))
+        with open(os.path.join(self.stage_path(stage), "_SCHEMA"), "w") as fh:
+            fh.write(df.schema.json())
         if fingerprint is not None:
             with open(os.path.join(self.stage_path(stage), "_FINGERPRINT"), "w") as fh:
                 fh.write(fingerprint)

@@ -214,6 +214,7 @@ def run_web_pipeline(
     benchmark: DataFrame | None = None,
     entail: str | None = None,
     sparql: str | None = None,
+    url_blocklist: DataFrame | None = None,
 ) -> dict:
     """Common-Crawl-style pages → SMW XML + triples checkpoint tables.
     With `sparql` set, the query additionally runs over the FINAL
@@ -238,6 +239,18 @@ def run_web_pipeline(
     fpc = _FingerprintChain()
 
     deduped = latest_capture(pages)
+    if url_blocklist is not None:
+        # URL-level gate FIRST: a blocked page costs one regexp + one
+        # broadcast semi-join, never an extraction
+        from rdf2smw_spark.extract import blocklist_filter
+
+        deduped = store.materialize(
+            blocklist_filter(deduped, url_blocklist), "blocklist_filtered",
+            resume,
+            fingerprint=fpc.next(
+                "blocklist_filtered", _side_input_signature(url_blocklist)
+            ),
+        )
     extracted = store.materialize(
         extract_text(deduped), "text_extracted", resume,
         fingerprint=fpc.next("text_extracted"),

@@ -2683,3 +2683,45 @@ ORACLES["ta_paragraph_dedup"] = ta.paragraph_dedup_sql(
             COALESCE(array_to_string(string_split(COALESCE(text, ''), ' ')[21:40], ' '), '') AS text
          FROM documents)"""
 )
+
+
+def q_web_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist curation gate (extract.blocklist_filter):
+    pages hosted under blocked domains — or any SUBDOMAIN of one — are
+    dropped before extraction. The derived corpus spreads documents
+    over per-source hosts (src<k>.example.org plus a deeper
+    tracker.src<k>.example.org tier); the blocklist blocks two leaf
+    hosts and one PARENT domain, so the suffix-explode semantics
+    (block src3.example.org => also blocks tracker.src3.example.org,
+    never example.org itself) are what the hash checks."""
+    from rdf2smw_spark.extract import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("https://tracker."))
+            .otherwise(F.lit("https://")),
+            F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("src1.example.org",), ("src7.example.org",), ("src3.example.org",)],
+        "host string",
+    )
+    return blocklist_filter(pages, blocked).select("doc_id", "url")
+
+
+QUERIES["web_blocklist_filter"] = q_web_blocklist_filter
+_BLOCK_PAGES_SQL = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'https://tracker.' ELSE 'https://' END
+           || source || '.example.org/doc/' || doc_id AS url
+    FROM documents)"""
+ORACLES["web_blocklist_filter"] = __import__(
+    "rdf2smw_spark.extract", fromlist=["blocklist_filter_sql"]
+).blocklist_filter_sql(
+    _BLOCK_PAGES_SQL,
+    "(SELECT UNNEST(['src1.example.org', 'src7.example.org', 'src3.example.org']) AS host)",
+)

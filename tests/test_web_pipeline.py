@@ -249,3 +249,29 @@ def test_web_pipeline_entail_stage(spark, sf_dir, tmp_path):
     ckpt = spark.read.parquet(str(tmp_path / "ent" / "entailed_triples"))
     n_derived = ckpt.filter(ckpt.src_url.startswith("entail://")).count()
     assert ckpt.count() == base["triples"] + n_derived
+
+
+def test_url_blocklist_gate(spark, tmp_path, capsys):
+    import json
+
+    from rdf2smw_spark.__main__ import main
+    from rdf2smw_spark.sources.webpages import synth_pages
+
+    pdir = str(tmp_path / "pages")
+    synth_pages(spark, "/root/testdata/sf0.001").write.parquet(pdir)
+    bdir = str(tmp_path / "blocked")
+    # synth pages all live on example.org -> blocking it drops everything
+    spark.createDataFrame([("example.org",)], "host string").write.parquet(bdir)
+    rc = main(["--pages", pdir, "--out", str(tmp_path / "w"), "--mode", "web",
+               "--url-blocklist", bdir])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["extracted"] == 0 and res["triples"] == 0
+
+    # a non-matching blocklist drops nothing (subdomain, not parent)
+    bdir2 = str(tmp_path / "blocked2")
+    spark.createDataFrame([("sub.example.org",)], "host string").write.parquet(bdir2)
+    rc = main(["--pages", pdir, "--out", str(tmp_path / "w2"), "--mode", "web",
+               "--url-blocklist", bdir2])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["extracted"] > 0
