@@ -266,3 +266,61 @@ def crawl_frontier_sql(
     )
     SELECT * FROM ranked WHERE rank <= {per_host}
     """
+
+
+def anchor_entity_dict(edges: DataFrame, min_count: int = 1) -> DataFrame:
+    """(surface, uri, priority, n_links, p_prior): the Wikipedia-anchor
+    commonness prior P(entity | mention) — for each anchor surface, the
+    targets it links to ranked by link count. This is how production
+    entity linkers derive their dictionaries (anchor text is the weak
+    label; the most-linked target is the canonical sense), and the
+    output shape (surface, uri, priority) plugs directly into the LINK
+    stage beside the corpus-frequency dictionary (linking.py).
+
+    Determinism: ties rank by uri ascending. Plan: one (surface, uri)
+    count aggregate with map-side partials, one per-surface total, one
+    window bounded by the senses-per-surface cardinality (tiny —
+    ambiguous anchors have dozens of senses, not millions), all on slim
+    keys; nothing global."""
+    from pyspark.sql import Window
+
+    surf = F.lower(F.trim("anchor"))
+    pairs = (
+        edges.filter(F.length(surf) > 0)
+        .groupBy(surf.alias("surface"), F.col("href").alias("uri"))
+        .agg(F.count("*").alias("n_links"))
+        .filter(F.col("n_links") >= min_count)
+    )
+    totals = pairs.groupBy("surface").agg(F.sum("n_links").alias("__total"))
+    w = Window.partitionBy("surface").orderBy(
+        F.col("n_links").desc(), F.col("uri")
+    )
+    return (
+        pairs.join(totals, "surface")
+        .withColumn("priority", F.row_number().over(w))
+        .withColumn(
+            "p_prior",
+            F.round(F.col("n_links").cast("double") / F.col("__total"), 6),
+        )
+        .select("surface", "uri", "priority", "n_links", "p_prior")
+    )
+
+
+def anchor_entity_dict_sql(edges_sql: str, min_count: int = 1) -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT lower(trim(anchor)) AS surface, href AS uri, COUNT(*) AS n_links
+        FROM {edges_sql}
+        WHERE length(lower(trim(anchor))) > 0
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_count}
+    ),
+    totals AS (SELECT surface, SUM(n_links) AS total FROM pairs GROUP BY surface)
+    SELECT surface, uri,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY surface ORDER BY n_links DESC, uri) AS BIGINT)
+               AS priority,
+           n_links,
+           ROUND(CAST(n_links AS DOUBLE) / total, 6) AS p_prior
+    FROM pairs JOIN totals USING (surface)
+    """

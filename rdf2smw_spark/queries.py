@@ -2725,3 +2725,18 @@ ORACLES["web_blocklist_filter"] = __import__(
     _BLOCK_PAGES_SQL,
     "(SELECT UNNEST(['src1.example.org', 'src7.example.org', 'src3.example.org']) AS host)",
 )
+
+
+def q_web_anchor_dict(spark, sf_dir):
+    """Anchor-text commonness dictionary (weblinks.anchor_entity_dict):
+    P(entity | mention) priors from hyperlink anchors — the
+    production-style entity-linking dictionary derivation (anchor text
+    as weak label, most-linked target = canonical sense). Output shape
+    (surface, uri, priority) is LINK-stage compatible."""
+    return wl.anchor_entity_dict(wl.extract_links(synth_pages(spark, sf_dir)))
+
+
+QUERIES["web_anchor_dict"] = q_web_anchor_dict
+ORACLES["web_anchor_dict"] = wl.anchor_entity_dict_sql(
+    f"({wl.extract_links_sql(PAGES_SQL)})"
+)

@@ -59,3 +59,25 @@ def test_crawl_diff_flags_recrawled_urls(spark, sf_dir):
     assert (~one["changed"]).all() and (one["n_versions"] == 1).all()
     # recrawled urls are exactly the doc_id%10==0 ones
     assert all(int(u.rsplit("/", 1)[1]) % 10 == 0 for u in two.index)
+
+
+def test_anchor_entity_dict_priors(spark):
+    from rdf2smw_spark.operators.weblinks import anchor_entity_dict
+
+    edges = spark.createDataFrame(
+        [
+            ("s1", "http://e/Paris", "Paris"),
+            ("s2", "http://e/Paris", "Paris"),
+            ("s3", "http://e/Paris", "paris "),   # normalized surface
+            ("s4", "http://e/ParisTX", "Paris"),
+            ("s5", "http://e/Other", "other"),
+            ("s6", "http://e/X", ""),             # empty anchor dropped
+        ],
+        "src_url string, href string, anchor string",
+    )
+    out = {(r["surface"], r["uri"]): r for r in anchor_entity_dict(edges).collect()}
+    top = out[("paris", "http://e/Paris")]
+    assert top["priority"] == 1 and top["n_links"] == 3 and top["p_prior"] == 0.75
+    second = out[("paris", "http://e/ParisTX")]
+    assert second["priority"] == 2 and second["p_prior"] == 0.25
+    assert ("", "http://e/X") not in out
