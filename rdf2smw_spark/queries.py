@@ -2740,3 +2740,33 @@ QUERIES["web_anchor_dict"] = q_web_anchor_dict
 ORACLES["web_anchor_dict"] = wl.anchor_entity_dict_sql(
     f"({wl.extract_links_sql(PAGES_SQL)})"
 )
+
+
+def q_kg_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update (sparql.sparql_update): a MODIFY renaming
+    ont:priority to ont:importance — DELETE/INSERT templates
+    instantiated per WHERE solution (the CONSTRUCT machinery), applied
+    with set semantics on full term identity. The returned frame is the
+    UPDATED graph; the deltas the update derives are exactly what the
+    incremental maintainers consume."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    t = testdata_triples(spark, sf_dir)
+    res = sparql_update(t, _SPARQL_PRE + """
+        DELETE { ?o ont:priority ?p } INSERT { ?o ont:importance ?p }
+        WHERE { ?o ont:priority ?p }
+    """)
+    return res["updated"]
+
+
+QUERIES["kg_sparql_update"] = q_kg_sparql_update
+ORACLES["kg_sparql_update"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+del AS (SELECT * FROM t WHERE pred = '{_BGP_ONT}priority'),
+kept AS (SELECT * FROM t WHERE pred <> '{_BGP_ONT}priority')
+SELECT * FROM kept
+UNION ALL
+SELECT DISTINCT subj, '{_BGP_ONT}importance' AS pred, obj,
+       obj_is_iri, obj_datatype, 'sparql://update' AS src_url
+FROM del
+"""

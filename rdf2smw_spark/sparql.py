@@ -266,6 +266,16 @@ class AskQuery:
 
 
 @dataclass
+class UpdateQuery:
+    """SPARQL 1.1 Update (§3): INSERT/DELETE DATA (ground triples,
+    where=None) or DELETE/INSERT ... WHERE (templates instantiated per
+    solution). Both templates may be present (a MODIFY)."""
+    delete_template: list   # [TriplePattern] (ground for DATA forms)
+    insert_template: list
+    where: Group | None
+
+
+@dataclass
 class DescribeQuery:
     terms: list          # [Iri | Var]
     where: Group | None  # None for DESCRIBE <iri> with no pattern
@@ -295,6 +305,7 @@ _KEYWORDS = {
     "WHERE", "OPTIONAL", "UNION", "MINUS", "FILTER", "BIND", "VALUES",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
+    "INSERT", "DELETE", "DATA",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -458,6 +469,8 @@ class _Parser:
             self.prefixes[ns] = iri[1:-1]
         if self.accept("KW", "CONSTRUCT"):
             return self._parse_construct()
+        if self.peek()[1] in ("INSERT", "DELETE"):
+            return self._parse_update()
         if self.accept("KW", "ASK"):
             g = self.parse_group()
             self.expect("EOF")
@@ -549,6 +562,58 @@ class _Parser:
             offset = int(self.expect("NUMBER"))
         return SelectQuery(distinct, items, star, where, group_by, having,
                            order_by, limit, offset)
+
+    def _parse_template_block(self) -> list:
+        self.expect("OP", "{")
+        out: list[TriplePattern] = []
+        while not self.accept("OP", "}"):
+            out.extend(self.parse_triples_block())
+            self.accept("OP", ".")
+        return out
+
+    def _parse_update(self) -> UpdateQuery:
+        """INSERT DATA {..} | DELETE DATA {..} | DELETE WHERE {..} |
+        DELETE {..} [INSERT {..}] WHERE {..} | INSERT {..} WHERE {..}"""
+        delete_t: list = []
+        insert_t: list = []
+        where: Group | None = None
+        if self.accept("KW", "DELETE"):
+            if self.accept("KW", "DATA"):
+                delete_t = self._parse_template_block()
+                self._require_ground(delete_t, "DELETE DATA")
+            elif self.accept("KW", "WHERE"):
+                where = self.parse_group()
+                delete_t = [
+                    el for el in where.elements if isinstance(el, TriplePattern)
+                ]
+                if not delete_t:
+                    raise SparqlSyntaxError("DELETE WHERE needs triple patterns")
+            else:
+                delete_t = self._parse_template_block()
+                if self.accept("KW", "INSERT"):
+                    insert_t = self._parse_template_block()
+                self.expect("KW", "WHERE")
+                where = self.parse_group()
+        else:
+            self.expect("KW", "INSERT")
+            if self.accept("KW", "DATA"):
+                insert_t = self._parse_template_block()
+                self._require_ground(insert_t, "INSERT DATA")
+            else:
+                insert_t = self._parse_template_block()
+                self.expect("KW", "WHERE")
+                where = self.parse_group()
+        self.expect("EOF")
+        return UpdateQuery(delete_t, insert_t, where)
+
+    @staticmethod
+    def _require_ground(template: list, form: str) -> None:
+        for t in template:
+            for term in (t.s, t.p, t.o):
+                if isinstance(term, Var):
+                    raise SparqlSyntaxError(f"{form} takes ground triples only")
+            if not isinstance(t.p, Iri):
+                raise SparqlSyntaxError(f"{form} takes plain predicates only")
 
     def _parse_construct(self) -> ConstructQuery:
         self.expect("OP", "{")
@@ -1617,6 +1682,73 @@ class _Compiler:
         )
 
 
+    # -- UPDATE -------------------------------------------------------------------
+    def compile_update(self, q: UpdateQuery) -> dict:
+        """-> {'updated', 'inserted', 'deleted'} TRIPLE_SCHEMA frames.
+        Deltas derive exactly like CONSTRUCT graphs (ground DATA rows,
+        or templates instantiated per WHERE solution); application is
+        set-semantics on full term identity — DELETE removes every
+        matching row regardless of provenance, INSERT adds triples not
+        already present (src 'sparql://update'). The deltas are the
+        same shape the incremental maintainers consume
+        (operators/ivm.py, operators/incremental_kg.py), so an update
+        can maintain views instead of recomputing them."""
+        def delta(template: list) -> DataFrame | None:
+            if not template:
+                return None
+            if q.where is None:  # ground DATA form
+                rows = []
+                for t in template:
+                    if isinstance(t.o, Iri):
+                        rows.append((t.s.value, t.p.value, t.o.value,
+                                     True, None, "sparql://update"))
+                    else:
+                        rows.append((t.s.value, t.p.value, t.o.value,
+                                     False, t.o.datatype, "sparql://update"))
+                return self.spark.createDataFrame(
+                    rows,
+                    "subj string, pred string, obj string, obj_is_iri boolean,"
+                    " obj_datatype string, src_url string",
+                )
+            sub = ConstructQuery(list(template), q.where, None)
+            return _Compiler(self.triples).compile_construct(sub)
+
+        def dtk(frame: DataFrame) -> DataFrame:
+            return frame.withColumn(
+                "__dtk", F.coalesce(F.col("obj_datatype"), F.lit("\x00"))
+            )
+
+        key = ["subj", "pred", "obj", "obj_is_iri", "__dtk"]
+        updated = self.triples
+        deleted = None
+        del_delta = delta(q.delete_template)
+        if del_delta is not None:
+            dd = dtk(del_delta).select(*key).distinct()
+            deleted = dtk(updated).join(dd, key, "left_semi").drop("__dtk")
+            updated = dtk(updated).join(dd, key, "left_anti").drop("__dtk")
+        inserted = None
+        ins_delta = delta(q.insert_template)
+        if ins_delta is not None:
+            existing = dtk(updated).select(*key).distinct()
+            inserted = (
+                dtk(ins_delta)
+                .join(existing, key, "left_anti")
+                .drop("__dtk")
+                .withColumn("src_url", F.lit("sparql://update"))
+            )
+            updated = updated.unionByName(inserted)
+        empty = self.spark.createDataFrame(
+            [],
+            "subj string, pred string, obj string, obj_is_iri boolean,"
+            " obj_datatype string, src_url string",
+        )
+        return {
+            "updated": updated,
+            "inserted": inserted if inserted is not None else empty,
+            "deleted": deleted if deleted is not None else empty,
+        }
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile a SPARQL SELECT string to a DataFrame over `triples`
     (schema: schemas.TRIPLE_SCHEMA). See module docstring for the
@@ -1650,4 +1782,16 @@ def sparql_query(triples: DataFrame, query: str) -> tuple[str, DataFrame]:
         return "ask", comp.compile_ask(q)
     if isinstance(q, DescribeQuery):
         return "describe", comp.compile_describe(q)
+    if isinstance(q, UpdateQuery):
+        return "update", comp.compile_update(q)["updated"]
     return "select", comp.compile_query(q)
+
+
+def sparql_update(triples: DataFrame, query: str) -> dict:
+    """Apply a SPARQL 1.1 Update and return
+    {'updated', 'inserted', 'deleted'} TRIPLE_SCHEMA frames — the
+    deltas feed the incremental maintainers (ivm / incremental_kg)."""
+    q = parse_sparql(query)
+    if not isinstance(q, UpdateQuery):
+        raise SparqlSyntaxError("not an update request")
+    return _Compiler(triples).compile_update(q)

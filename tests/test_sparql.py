@@ -81,7 +81,7 @@ def test_parse_a_keyword_and_typed_literal():
 def test_parse_rejects_out_of_subset():
     for bad in [
         "SELECT ?s WHERE { ?s <http://p> ?o } SERVICE",  # trailing junk
-        "INSERT DATA { <http://a> <http://b> <http://c> }",  # update form
+        "CLEAR ALL",                                     # unsupported update form
         "SELECT WHERE { ?s <http://p> ?o }",             # no projection
         "SELECT ?s WHERE { ?s undeclared:p ?o }",
     ]:
@@ -754,3 +754,79 @@ def test_path_plus_keeps_distinct_datatypes(spark):
         SELECT ?o ?dt WHERE { ex:a ex:p+ ?o . BIND (DATATYPE(?o) AS ?dt) }
     """)
     assert rows(df) == sorted([("5", XSD_INT), ("5", XSD_STR)])
+
+
+# -- SPARQL Update -----------------------------------------------------------------
+
+def _graph_rows(df):
+    return {(r["subj"], r["pred"], r["obj"], r["obj_is_iri"], r["obj_datatype"])
+            for r in df.collect()}
+
+
+def test_insert_data_set_semantics(graph):
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(graph, PRE + """
+        INSERT DATA { ex:dave a ex:Person . ex:alice ex:knows ex:carol }
+    """)
+    # alice->carol already exists: set semantics, only dave's triple lands
+    assert res["inserted"].count() == 1
+    assert res["deleted"].count() == 0
+    assert res["updated"].count() == graph.count() + 1
+    assert (EX + "dave", RDF_TYPE, EX + "Person", True, None) in _graph_rows(
+        res["updated"]
+    )
+
+
+def test_delete_data_and_where(graph):
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(graph, PRE + """
+        DELETE DATA { ex:alice ex:knows ex:bob }
+    """)
+    assert res["deleted"].count() == 1
+    assert res["updated"].count() == graph.count() - 1
+
+    res2 = sparql_update(graph, PRE + "DELETE WHERE { ?s ex:knows ?o }")
+    assert res2["deleted"].count() == 3
+    assert (EX + "alice", LABEL, "Alice", False, XSD_STR) in _graph_rows(
+        res2["updated"]
+    )
+
+
+def test_modify_rename_predicate(graph):
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(graph, PRE + """
+        DELETE { ?s ex:knows ?o } INSERT { ?s ex:contactOf ?o }
+        WHERE { ?s ex:knows ?o }
+    """)
+    rows_ = _graph_rows(res["updated"])
+    assert not any(p == EX + "knows" for _, p, _, _, _ in rows_)
+    assert (EX + "alice", EX + "contactOf", EX + "bob", True, None) in rows_
+    assert res["updated"].count() == graph.count()  # 3 deleted, 3 inserted
+
+
+def test_insert_where_preserves_literal_metadata(graph):
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(graph, PRE + """
+        INSERT { ?s ex:alias ?lab } WHERE { ?s rdfs:label ?lab }
+    """)
+    assert (EX + "bob", EX + "alias", "Bob", False, XSD_STR) in _graph_rows(
+        res["inserted"]
+    )
+
+
+def test_update_data_rejects_variables():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(PRE + "INSERT DATA { ?s ex:p ex:o }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(PRE + "DELETE DATA { ex:s ex:p ?o }")
+
+
+def test_update_via_generic_dispatch(graph):
+    from rdf2smw_spark.sparql import sparql_query
+
+    form, df = sparql_query(graph, PRE + "DELETE WHERE { ?s ex:age ?a }")
+    assert form == "update" and df.count() == graph.count() - 2
