@@ -15,7 +15,12 @@ raises SparqlSyntaxError rather than mis-executing):
 
 - all four query forms: ``SELECT`` / ``CONSTRUCT`` (emits
   TRIPLE_SCHEMA, feeds back into the engine) / ``ASK`` / ``DESCRIBE``
-  (subject-based description);
+  (subject-based description), plus SPARQL 1.1 Update:
+  ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+  ``DELETE {} INSERT {} WHERE {}`` — deltas derive like CONSTRUCT
+  graphs and apply with set semantics on full term identity
+  (sparql_update returns updated/inserted/deleted frames for the
+  incremental maintainers);
 - ``PREFIX`` declarations, ``a`` for rdf:type, ``;``/``,`` predicate and
   object lists;
 - ``SELECT [DISTINCT] ?v ... | *`` with ``(expr AS ?alias)`` projections
