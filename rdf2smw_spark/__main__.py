@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
                          "symmetric/transitive); derived facts carry "
                          "entail:// provenance")
     ap.add_argument("--sparql", default=None,
-                    help="SPARQL SELECT/CONSTRUCT to run over the --in "
+                    help="SPARQL query or update to run over the --in "
                          "triples; result is written to OUT/sparql as "
                          "parquet (CONSTRUCT emits the triple schema, "
                          "re-ingestable via --in)")

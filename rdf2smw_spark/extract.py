@@ -275,7 +275,18 @@ def blocklist_filter(pages: DataFrame, blocked_hosts: DataFrame) -> DataFrame:
     (bounded by hostname depth, ~5) and semi-joins the blocklist —
     broadcast when small (the usual case: blocklists are KB-MB), AQE
     decides otherwise. No per-row Python, no driver lookup table."""
-    host = F.lower(F.regexp_extract("url", HOST_RE, 1))
+    # normalized host: strip userinfo (user@), :port, and trailing FQDN
+    # dots — otherwise https://ads.example.com:8443/ or user@-urls bypass
+    # the blocklist (host 'ads.example.com:8443' matches no suffix)
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", HOST_RE, 1)), "^[^@]*@", ""
+            ),
+            ":[0-9]+$", "",
+        ),
+        r"\.+$", "",
+    )
     # suffixes: for a.b.c -> [a.b.c, b.c, c]
     cand = pages.withColumn("__host", host).withColumn(
         "__sfx",
@@ -295,7 +306,11 @@ def blocklist_filter_sql(pages_sql: str, blocked_hosts_sql: str) -> str:
     cand AS (
         SELECT url, array_to_string(parts[i:len(parts)], '.') AS sfx
         FROM (SELECT url,
-                     string_split(lower(regexp_extract(url, '{HOST_RE}', 1)), '.') AS parts
+                     string_split(
+                         regexp_replace(regexp_replace(regexp_replace(
+                             lower(regexp_extract(url, '{HOST_RE}', 1)),
+                             '^[^@]*@', ''), ':[0-9]+$', ''), '\\.+$', ''),
+                         '.') AS parts
               FROM p),
              UNNEST(generate_series(1, len(parts))) AS t(i)
     ),

@@ -1350,14 +1350,22 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     parallelism); documents are rebuilt with survivors in original
     order. Returns (doc_id, text, n_kept, n_dropped).
 
-    Scale shape: one shuffle keyed on the paragraph hash (slim rows:
-    hash + 32-byte order key, never the text twice) with a bounded
-    per-hash window — a boilerplate paragraph repeated 10^9 times is
-    ONE hot hash, which AQE splits; then one groupBy(doc_id) rebuild.
-    No self-join, no corpus-wide sort."""
+    Scale shape: the canonical-choice window runs over a SLIM
+    projection (hash + 32-byte order key + position — never the text),
+    so the hash-keyed shuffle is cheap and the boilerplate hot hash —
+    one paragraph repeated 10^9 times — is a slim fat partition AQE
+    splits. The text crosses the wire once: the flag joins back on
+    (doc_id, pos) with both sides repartitioned by doc_id, a
+    partitioning the groupBy(doc_id) rebuild then REUSES (subset-key
+    co-partitioning), so no second text exchange. Documents whose text
+    is NULL or all-whitespace stay in the output with empty text
+    (a rebuild must never change the corpus doc count)."""
     paras = (
         docs.select(
-            "doc_id", F.posexplode(F.split("text", "\n\n")).alias("pos", "para")
+            "doc_id",
+            F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n\n")).alias(
+                "pos", "para"
+            ),
         )
         .filter(F.length(F.trim("para")) > 0)
         .withColumn("h", F.md5("para"))
@@ -1366,24 +1374,33 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("h").orderBy("ok", "doc_id", "pos")
-    flagged = paras.withColumn("keep", F.row_number().over(w) == 1)
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "\n\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep"), F.struct("pos", "para"))
-                        )
-                    ),
-                    lambda x: x["para"],
+    flags = (
+        paras.select("doc_id", "pos", "h", "ok")  # slim: no text in this shuffle
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "pos", "keep")
+        .repartition("doc_id")
+    )
+    flagged = paras.select("doc_id", "pos", "para").repartition("doc_id").join(
+        flags, ["doc_id", "pos"]
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
                 ),
-            ).alias("text"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
-        )
+                lambda x: x["para"],
+            ),
+        ).alias("text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
     )
 
 
@@ -1393,17 +1410,24 @@ def paragraph_dedup_sql(docs_sql: str) -> str:
         SELECT doc_id, i - 1 AS pos, parts[i] AS para,
                md5(parts[i]) AS h,
                md5(doc_id || ':' || (i - 1)) AS ok
-        FROM (SELECT doc_id, string_split(text, e'\\n\\n') AS parts FROM {docs_sql}),
+        FROM (SELECT doc_id, string_split(COALESCE(text, ''), e'\\n\\n') AS parts
+              FROM {docs_sql}),
              UNNEST(generate_series(1, len(parts))) AS t(i)
         WHERE length(trim(parts[i])) > 0
     ),
     flagged AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY ok, doc_id, pos) = 1 AS keep
         FROM paras
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN para END, e'\\n\\n' ORDER BY pos), '') AS text,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM flagged GROUP BY doc_id
     )
-    SELECT doc_id,
-           COALESCE(string_agg(CASE WHEN keep THEN para END, e'\\n\\n' ORDER BY pos), '') AS text,
-           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-    FROM flagged GROUP BY doc_id
+    SELECT d.doc_id, COALESCE(r.text, '') AS text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.n_dropped, 0) AS n_dropped
+    FROM (SELECT doc_id FROM {docs_sql}) d LEFT JOIN rebuilt r USING (doc_id)
     """

@@ -285,13 +285,15 @@ def anchor_entity_dict(edges: DataFrame, min_count: int = 1) -> DataFrame:
     from pyspark.sql import Window
 
     surf = F.lower(F.trim("anchor"))
-    pairs = (
+    all_pairs = (
         edges.filter(F.length(surf) > 0)
         .groupBy(surf.alias("surface"), F.col("href").alias("uri"))
         .agg(F.count("*").alias("n_links"))
-        .filter(F.col("n_links") >= min_count)
     )
-    totals = pairs.groupBy("surface").agg(F.sum("n_links").alias("__total"))
+    # the prior's denominator is ALL links for the mention — computed
+    # BEFORE min_count prunes rare senses, else survivors' P(e|m) inflates
+    totals = all_pairs.groupBy("surface").agg(F.sum("n_links").alias("__total"))
+    pairs = all_pairs.filter(F.col("n_links") >= min_count)
     w = Window.partitionBy("surface").orderBy(
         F.col("n_links").desc(), F.col("uri")
     )
@@ -308,14 +310,14 @@ def anchor_entity_dict(edges: DataFrame, min_count: int = 1) -> DataFrame:
 
 def anchor_entity_dict_sql(edges_sql: str, min_count: int = 1) -> str:
     return f"""
-    WITH pairs AS (
+    WITH all_pairs AS (
         SELECT lower(trim(anchor)) AS surface, href AS uri, COUNT(*) AS n_links
         FROM {edges_sql}
         WHERE length(lower(trim(anchor))) > 0
         GROUP BY 1, 2
-        HAVING COUNT(*) >= {min_count}
     ),
-    totals AS (SELECT surface, SUM(n_links) AS total FROM pairs GROUP BY surface)
+    totals AS (SELECT surface, SUM(n_links) AS total FROM all_pairs GROUP BY surface),
+    pairs AS (SELECT * FROM all_pairs WHERE n_links >= {min_count})
     SELECT surface, uri,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY surface ORDER BY n_links DESC, uri) AS BIGINT)

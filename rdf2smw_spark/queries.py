@@ -2719,9 +2719,9 @@ _BLOCK_PAGES_SQL = """(
            CASE WHEN doc_id % 5 = 0 THEN 'https://tracker.' ELSE 'https://' END
            || source || '.example.org/doc/' || doc_id AS url
     FROM documents)"""
-ORACLES["web_blocklist_filter"] = __import__(
-    "rdf2smw_spark.extract", fromlist=["blocklist_filter_sql"]
-).blocklist_filter_sql(
+from rdf2smw_spark.extract import blocklist_filter_sql as _blocklist_sql  # noqa: E402
+
+ORACLES["web_blocklist_filter"] = _blocklist_sql(
     _BLOCK_PAGES_SQL,
     "(SELECT UNNEST(['src1.example.org', 'src7.example.org', 'src3.example.org']) AS host)",
 )

@@ -98,6 +98,20 @@ from pyspark.sql import functions as F
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _lit_datatype(lit: "Lit") -> str:
+    """Canonical stored datatype of a ground literal: the engine's
+    ingest paths (N-Triples/Turtle/JSON-LD, sources/) map plain
+    literals to xsd:string and @lang literals to rdf:langString, so
+    ground UPDATE terms must use the same identity or DELETE misses
+    and INSERT duplicates."""
+    if lit.datatype is not None:
+        return lit.datatype
+    if lit.lang is not None:
+        return RDF_LANGSTRING
+    return XSD + "string"
 
 
 class SparqlSyntaxError(ValueError):
@@ -1432,7 +1446,13 @@ class _Compiler:
                 raise SparqlSyntaxError("REPLACE pattern must be a string literal")
             if len(c.args) < 3 or not isinstance(c.args[2], Lit):
                 raise SparqlSyntaxError("REPLACE replacement must be a string literal")
-            return F.regexp_replace(args[0], pat.value, c.args[2].value)
+            pattern = pat.value
+            if len(c.args) > 3:  # optional flags, mirroring REGEX
+                if not isinstance(c.args[3], Lit) or c.args[3].value not in ("i", ""):
+                    raise SparqlSyntaxError("REPLACE flags: only \"i\" is supported")
+                if c.args[3].value == "i":
+                    pattern = "(?i)" + pattern
+            return F.regexp_replace(args[0], pattern, c.args[2].value)
         if c.fn == "STRBEFORE":
             if not isinstance(c.args[1], Lit):
                 raise SparqlSyntaxError("STRBEFORE needle must be a literal")
@@ -1587,6 +1607,11 @@ class _Compiler:
         # object slots need the metadata, subject/predicate slots need the
         # literal-guard (a var bound in WHERE object position may hold a
         # literal, invalid in an IRI slot)
+        for t in q.template:
+            if not isinstance(t.p, (Var, Iri)):
+                raise SparqlSyntaxError(
+                    "property paths are not allowed in CONSTRUCT/UPDATE templates"
+                )
         self.capture |= {
             term.name
             for t in q.template
@@ -1709,9 +1734,10 @@ class _Compiler:
                                      True, None, "sparql://update"))
                     else:
                         rows.append((t.s.value, t.p.value, t.o.value,
-                                     False, t.o.datatype, "sparql://update"))
+                                     False, _lit_datatype(t.o),
+                                     "sparql://update"))
                 return self.spark.createDataFrame(
-                    rows,
+                    sorted(set(rows)),  # a graph is a SET: self-dedup
                     "subj string, pred string, obj string, obj_is_iri boolean,"
                     " obj_datatype string, src_url string",
                 )

@@ -671,10 +671,13 @@ def run_stream_sparql_view(
     otherwise — a non-additive view belongs on the recompute path).
     Versioned view snapshots (v=N) make each write atomic relative to
     the read of the previous version; only the latest is kept. Each
-    snapshot records the batch_id it applied: foreachBatch is
+    snapshot records the set of FILES it has applied: foreachBatch is
     at-least-once (a crash between the view write and the offset
-    commit replays the batch), so a batch whose id is already recorded
-    in the latest snapshot is skipped instead of double-merged.
+    commit replays the batch — and a lost checkpoint restarts batch
+    ids at 0 while repacking old AND new files into one batch), so
+    each micro-batch is filtered to its not-yet-applied files before
+    merging. Exactly-once per file, independent of batch numbering or
+    checkpoint resets; the file list grows one entry per .nt dump.
 
     Layout under work_dir: view/v=N (parquet snapshots), ckpt/.
     Returns {batches, view_rows}."""
@@ -692,39 +695,41 @@ def run_stream_sparql_view(
 
     def _latest():
         if not _os.path.isdir(view_dir):
-            return None, 0, -1
+            return None, 0, set()
         vs = [d for d in _os.listdir(view_dir) if d.startswith("v=")]
         if not vs:
-            return None, 0, -1
+            return None, 0, set()
         n = max(int(d[2:]) for d in vs)
         vdir = _os.path.join(view_dir, f"v={n}")
-        applied = -1
-        marker = _os.path.join(vdir, "_batch.json")
+        applied: set = set()
+        marker = _os.path.join(vdir, "_applied.json")
         if _os.path.exists(marker):
             with open(marker) as fh:
-                applied = _json.load(fh)["batch_id"]
+                applied = set(_json.load(fh)["files"])
         return spark.read.parquet(vdir), n, applied
 
     def _process(batch, batch_id):
         old, n, applied = _latest()
-        if batch_id <= applied:
-            # at-least-once replay after a crash between the view write
-            # and the offset commit: this batch is already in the view
-            return
-        parsed = parse_ntriples_lines(batch).filter(F.col("error").isNull())
+        batch_files = {
+            r["src_url"] for r in batch.select("src_url").distinct().collect()
+        }
+        new_files = sorted(batch_files - applied)
+        if not new_files:
+            return  # replay of already-applied data (crash or ckpt reset)
+        parsed = parse_ntriples_lines(
+            batch.filter(F.col("src_url").isin(new_files))
+        ).filter(F.col("error").isNull())
         delta = parsed.select(
             "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
         ).localCheckpoint()
-        if delta.limit(1).count() == 0:
-            return
         if old is None:
             new = count_view(delta, view_query)
         else:
             new = maintain_count_view(old, view_query, delta_plus=delta)
         vdir = _os.path.join(view_dir, f"v={n + 1}")
         new.write.mode("overwrite").parquet(vdir)
-        with open(_os.path.join(vdir, "_batch.json"), "w") as fh:
-            _json.dump({"batch_id": batch_id}, fh)
+        with open(_os.path.join(vdir, "_applied.json"), "w") as fh:
+            _json.dump({"files": sorted(applied | batch_files)}, fh)
         if old is not None:
             _shutil.rmtree(_os.path.join(view_dir, f"v={n}"), ignore_errors=True)
         state["batches"] += 1

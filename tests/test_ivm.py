@@ -180,3 +180,25 @@ def test_streaming_view_replay_is_idempotent(spark, tmp_path):
     assert res["view_rows"] == 1
     v = spark.read.parquet(work + "/view/v=1")
     assert as_map(v) == {EX + "X": 1}  # still 1, not doubled
+
+
+def test_streaming_view_ckpt_reset_with_new_files(spark, tmp_path):
+    """Checkpoint lost AND a new file arrived: the repacked batch 0
+    must apply ONLY the new file (per-file tracking, not batch ids)."""
+    import shutil
+
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    TY = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    (src / "b1.nt").write_text(f"<{EX}a> {TY} <{EX}X> .\n")
+    view_q = PRE + "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c"
+    run_stream_sparql_view(spark, str(src), work, view_q)
+
+    shutil.rmtree(work + "/ckpt")                     # checkpoint lost
+    (src / "b2.nt").write_text(f"<{EX}b> {TY} <{EX}Y> .\n")  # new data
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    v = spark.read.parquet(work + "/view/v=2")
+    assert as_map(v) == {EX + "X": 1, EX + "Y": 1}    # b1 once, b2 applied

@@ -830,3 +830,42 @@ def test_update_via_generic_dispatch(graph):
 
     form, df = sparql_query(graph, PRE + "DELETE WHERE { ?s ex:age ?a }")
     assert form == "update" and df.count() == graph.count() - 2
+
+
+def test_delete_data_matches_stored_literal_identity(graph):
+    """Ground plain literals canonicalize to xsd:string (the ingest
+    paths' identity), so DELETE DATA actually matches stored rows."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(graph, PRE + 'DELETE DATA { ex:alice rdfs:label "Alice" }')
+    assert res["deleted"].count() == 1
+    res2 = sparql_update(graph, PRE + 'INSERT DATA { ex:bob rdfs:label "Bob" }')
+    assert res2["inserted"].count() == 0  # already present (xsd:string)
+
+
+def test_insert_data_self_dedup(graph):
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(graph, PRE + """
+        INSERT DATA { ex:z ex:p ex:q . ex:z ex:p ex:q }
+    """)
+    assert res["inserted"].count() == 1
+
+
+def test_update_template_rejects_paths(graph):
+    from rdf2smw_spark.sparql import sparql_update, sparql_construct
+
+    with pytest.raises(SparqlSyntaxError):
+        sparql_update(graph, PRE + "DELETE WHERE { ?s ex:knows+ ?o }")
+    with pytest.raises(SparqlSyntaxError):
+        sparql_construct(graph, PRE + """
+            CONSTRUCT { ?s ex:p/ex:q ?o } WHERE { ?s ex:knows ?o }
+        """)
+
+
+def test_replace_flags(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?r WHERE { ex:alice rdfs:label ?lab .
+                          BIND (REPLACE(?lab, "ALICE", "x", "i") AS ?r) }
+    """)
+    assert rows(df) == [("x",)]

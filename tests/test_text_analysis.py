@@ -116,3 +116,16 @@ def test_paragraph_dedup_keeps_canonical_once(spark):
     assert out[3]["text"] == "unique text only"
     assert out[3]["n_kept"] == 1 and out[3]["n_dropped"] == 0
     assert sum(r["n_dropped"] for r in out.values()) == 2
+
+
+def test_paragraph_dedup_keeps_empty_docs(spark):
+    from rdf2smw_spark.operators.text_analysis import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "real text"), (2, None), (3, "\n\n \n\n")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 0

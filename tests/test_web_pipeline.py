@@ -275,3 +275,20 @@ def test_url_blocklist_gate(spark, tmp_path, capsys):
                "--url-blocklist", bdir2])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["extracted"] > 0
+
+
+def test_blocklist_normalizes_port_userinfo_trailing_dot(spark):
+    from rdf2smw_spark.extract import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("https://ads.example.com:8443/x",),
+            ("https://user@ads.example.com/y",),
+            ("https://ads.example.com./z",),
+            ("https://ok.example.com/keep",),
+        ],
+        "url string",
+    )
+    blocked = spark.createDataFrame([("ads.example.com",)], "host string")
+    kept = [r["url"] for r in blocklist_filter(pages, blocked).collect()]
+    assert kept == ["https://ok.example.com/keep"]

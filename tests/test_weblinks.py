@@ -81,3 +81,16 @@ def test_anchor_entity_dict_priors(spark):
     second = out[("paris", "http://e/ParisTX")]
     assert second["priority"] == 2 and second["p_prior"] == 0.25
     assert ("", "http://e/X") not in out
+
+
+def test_anchor_dict_prior_denominator_unfiltered(spark):
+    from rdf2smw_spark.operators.weblinks import anchor_entity_dict
+
+    edges = spark.createDataFrame(
+        [("s", "http://e/A", "m")] * 8
+        + [("s", "http://e/B", "m"), ("s", "http://e/C", "m")],
+        "src_url string, href string, anchor string",
+    )
+    out = anchor_entity_dict(edges, min_count=2).collect()
+    assert len(out) == 1  # only A survives min_count
+    assert out[0]["p_prior"] == 0.8  # 8/10, NOT 8/8
