@@ -2770,3 +2770,59 @@ SELECT DISTINCT subj, '{_BGP_ONT}importance' AS pred, obj,
        obj_is_iri, obj_datatype, 'sparql://update' AS src_url
 FROM del
 """
+
+
+def q_kg_class_rollup(spark, sf_dir):
+    """Hierarchy-aware member rollup: per class, the count of DISTINCT
+    members including every subclass's members — the OLAP cube a KG
+    browser shows next to each ontology node. Members join the ancestor
+    closure (sameas.class_ancestors, self added at depth 0) on the slim
+    class key; the classes-per-member fanout is bounded by hierarchy
+    depth, then one countDistinct per ancestor. Region/zone/World roll
+    up nation members; leaf classes keep their direct counts."""
+    triples = testdata_triples(spark, sf_dir).unionByName(
+        _sameas.synth_class_chain(spark, sf_dir)
+    )
+    members = triples.filter(
+        (F.col("pred") == TYPE_PROPERTY_URI) & F.col("obj_is_iri")
+    ).select(F.col("subj").alias("member"), F.col("obj").alias("cls"))
+    anc = _sameas.class_ancestors(triples).select("uri", "ancestor")
+    self_map = (
+        members.select(F.col("cls").alias("uri")).distinct()
+        .withColumn("ancestor", F.col("uri"))
+    )
+    up = anc.unionByName(self_map)
+    return (
+        members.join(up, members.cls == up.uri)
+        .groupBy("ancestor")
+        .agg(F.countDistinct("member").alias("n_members"))
+        .select(F.col("ancestor").alias("cls"), "n_members")
+    )
+
+
+QUERIES["kg_class_rollup"] = q_kg_class_rollup
+ORACLES["kg_class_rollup"] = f"""
+WITH RECURSIVE
+t AS (SELECT * FROM {_CHAIN_TRIPLES_SQL}),
+members AS (
+    SELECT subj AS member, obj AS cls FROM t
+    WHERE pred = '{_BGP_TYPE}' AND obj_is_iri
+),
+edges AS (
+    SELECT DISTINCT subj AS uri, obj AS anc FROM t
+    WHERE pred = '{_BGP_SUBCLASS}' AND obj_is_iri
+),
+reach(uri, anc) AS (
+    SELECT uri, anc FROM edges
+    UNION
+    SELECT r.uri, e.anc FROM reach r JOIN edges e ON e.uri = r.anc
+),
+up AS (
+    SELECT uri, anc FROM reach
+    UNION
+    SELECT DISTINCT cls AS uri, cls AS anc FROM members
+)
+SELECT up.anc AS cls, COUNT(DISTINCT members.member) AS n_members
+FROM members JOIN up ON members.cls = up.uri
+GROUP BY up.anc
+"""
