@@ -936,3 +936,36 @@ def lsh_recall_sql(
                 THEN CAST((n_hit * 1000000) // n_candidates AS BIGINT) END AS precision_e6
     FROM n
     """
+
+
+def cluster_canonical_by_quality(
+    clusters: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster_id, quality, keep): pick each near-dup
+    cluster's survivor by HIGHEST quality score (doc_id ascending on
+    ties) instead of min-id — the production dedup policy: when a
+    boilerplate-laden page and its clean mirror are duplicates, keep
+    the clean one. One join on doc_id + a per-cluster window bounded by
+    cluster size (near-dup clusters are small by construction; a
+    pathological mega-cluster is one AQE-splittable partition)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(quality.select("doc_id", "quality"), "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+    )
+
+
+def cluster_canonical_by_quality_sql(clusters_sql: str, quality_sql: str) -> str:
+    return f"""
+    WITH c AS ({clusters_sql}), q AS ({quality_sql})
+    SELECT c.doc_id, c.cluster_id, q.quality,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id) = 1 AS keep
+    FROM c JOIN q USING (doc_id)
+    """

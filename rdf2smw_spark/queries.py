@@ -2826,3 +2826,26 @@ SELECT up.anc AS cls, COUNT(DISTINCT members.member) AS n_members
 FROM members JOIN up ON members.cls = up.uri
 GROUP BY up.anc
 """
+
+
+def q_dd_cluster_best(spark, sf_dir):
+    """Quality-aware survivor selection (dedup.cluster_canonical_by_
+    quality): compose the near-dup connected components with the
+    quality heuristic and keep each cluster's HIGHEST-quality member —
+    the production dedup policy (min-id keeps whichever crawled first;
+    quality keeps the clean mirror). Window bounded per cluster."""
+    docs = dd.near_dup_corpus(_docs(spark, sf_dir))
+    edges = dd.minhash_near_dups(_shingles(spark, sf_dir), threshold=0.5)
+    clusters = dd.dedup_clusters(docs, edges)
+    quality = ta.quality_score(docs)
+    return dd.cluster_canonical_by_quality(clusters, quality)
+
+
+QUERIES["dd_cluster_best"] = q_dd_cluster_best
+ORACLES["dd_cluster_best"] = dd.cluster_canonical_by_quality_sql(
+    dd.dedup_clusters_sql(
+        DOCS_ND_SQL,
+        dd.minhash_near_dups_sql(SHINGLES_SQL, threshold=0.5),
+    ),
+    ta.quality_score_sql(DOCS_ND_SQL),
+)
