@@ -75,8 +75,11 @@ def latest_capture(pages: DataFrame) -> DataFrame:
     )
 
 
-HOST_RE = "https?://([^/]+)"
-SECTION_RE = "https?://[^/]+/([^/]+)"
+# host/section terminate at /, ? and # — a path-less URL like
+# https://ads.example.com?track=1 must still parse host
+# 'ads.example.com' (otherwise the blocklist gate is bypassable)
+HOST_RE = "https?://([^/?#]+)"
+SECTION_RE = "https?://[^/?#]+/([^/?#]+)"
 
 
 def site_stats(pages: DataFrame) -> DataFrame:

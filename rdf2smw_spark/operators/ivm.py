@@ -87,18 +87,24 @@ def is_delta_decomposable(query_text: str) -> bool:
         return False
     if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
         return False  # slicing/dedup is not additive
+    has_count = False
     for it in q.items:
         if isinstance(it.expr, Var):
             continue  # a GROUP BY key
         if (isinstance(it.expr, Call) and it.expr.fn == "COUNT"
                 and not it.expr.distinct):
+            has_count = True
             continue  # bare COUNT: counts add
         # anything else — COUNT(DISTINCT) needs the value set, SUM/AVG/
         # MIN/MAX don't subtract, and an aggregate NESTED in arithmetic
         # (e.g. SUM(?x)+0) would be mistaken for a key column by the
         # maintainer — is not count-additive
         return False
-    return True
+    # a view with NO aggregate at all (plain SELECT ?s ?c) is a bag of
+    # rows, not a count view: union+groupBy would collapse it to a set
+    # and the maintainer would have zero agg expressions — route it to
+    # recompute instead of maintaining it wrong
+    return has_count
 
 
 def count_view(triples: DataFrame, query_text: str) -> DataFrame:
@@ -145,6 +151,12 @@ def maintain_count_view(
     out = merged.groupBy(*key_cols).agg(
         *[F.sum(c).cast("long").alias(c) for c in count_cols]
     )
+    if not key_cols:
+        # GLOBAL count view (no GROUP BY): recompute over a drained base
+        # yields ONE row with n=0 (SPARQL/Spark global-aggregate
+        # semantics), so the zero row must stay — only grouped views
+        # drop vanished groups
+        return out
     # groups whose every count fell to zero vanish, matching recompute
     keep = None
     for c in count_cols:

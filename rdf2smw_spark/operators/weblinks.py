@@ -228,7 +228,7 @@ def crawl_frontier(
     refs = edges.groupBy("href").agg(F.countDistinct("src_url").alias("n_refs"))
     fresh = refs.join(crawled, refs.href == crawled.url, "left_anti")
     scored = fresh.select(
-        F.regexp_extract("href", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1).alias("host"),
+        F.regexp_extract("href", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1).alias("host"),
         F.col("href").alias("url"),
         "n_refs",
     ).filter(F.col("host") != "")
@@ -254,7 +254,7 @@ def crawl_frontier_sql(
         WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = r.href)
     ),
     scored AS (
-        SELECT regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+        SELECT regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
                href AS url, n_refs
         FROM fresh
     ),

@@ -28,6 +28,7 @@ sources/ntriples.py.
 from __future__ import annotations
 
 import json
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -49,13 +50,20 @@ PARSED_SCHEMA = (
 )
 
 
+# absolute-IRI test: an RFC 3987 scheme prefix (letter, then letters/
+# digits/+/./-, then ':'). '://' would wrongly reject authority-less
+# schemes — urn:uuid:..., mailto:, did: — that the N-Triples/Turtle
+# paths of this repo accept, breaking .nt/.jsonld round-trip parity.
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 def _parse_value(v) -> tuple[str, bool, str | None]:
     """One expanded value entry -> (obj, obj_is_iri, obj_datatype)."""
     if not isinstance(v, dict):
         raise ValueError(f"value entry must be an object, got {type(v).__name__}")
     if "@id" in v:
         iri = v["@id"]
-        if not isinstance(iri, str) or "://" not in iri:
+        if not isinstance(iri, str) or not _ABS_IRI_RE.match(iri):
             raise ValueError(f"@id must be an absolute IRI: {iri!r}")
         return iri, True, None
     if "@value" not in v:
@@ -86,7 +94,7 @@ def _parse_line(line: str, src: str) -> list[tuple]:
         if kw in node:
             raise ValueError(f"{kw} is out of the expanded-NDJSON profile")
     subj = node.get("@id")
-    if not isinstance(subj, str) or "://" not in subj:
+    if not isinstance(subj, str) or not _ABS_IRI_RE.match(subj):
         raise ValueError(f"node needs an absolute @id, got {subj!r}")
     out = []
     types = node.get("@type", []) or []

@@ -694,19 +694,28 @@ def run_stream_sparql_view(
     import json as _json
 
     def _latest():
+        # _applied.json is the COMMIT RECORD: a snapshot without it is a
+        # crash remnant (the parquet write finished but the marker did
+        # not, or neither did). Selecting the highest MARKED version —
+        # and garbage-collecting unmarked dirs — closes the crash window
+        # where a replayed batch would otherwise re-merge files already
+        # in an unmarked newest snapshot (double counting), or read a
+        # partially-written snapshot as the base.
         if not _os.path.isdir(view_dir):
             return None, 0, set()
-        vs = [d for d in _os.listdir(view_dir) if d.startswith("v=")]
-        if not vs:
-            return None, 0, set()
-        n = max(int(d[2:]) for d in vs)
-        vdir = _os.path.join(view_dir, f"v={n}")
-        applied: set = set()
-        marker = _os.path.join(vdir, "_applied.json")
-        if _os.path.exists(marker):
-            with open(marker) as fh:
-                applied = set(_json.load(fh)["files"])
-        return spark.read.parquet(vdir), n, applied
+        vs = sorted(
+            (int(d[2:]) for d in _os.listdir(view_dir) if d.startswith("v=")),
+            reverse=True,
+        )
+        for n in vs:
+            vdir = _os.path.join(view_dir, f"v={n}")
+            marker = _os.path.join(vdir, "_applied.json")
+            if _os.path.exists(marker):
+                with open(marker) as fh:
+                    applied = set(_json.load(fh)["files"])
+                return spark.read.parquet(vdir), n, applied
+            _shutil.rmtree(vdir, ignore_errors=True)  # uncommitted remnant
+        return None, 0, set()
 
     def _process(batch, batch_id):
         old, n, applied = _latest()

@@ -202,3 +202,62 @@ def test_streaming_view_ckpt_reset_with_new_files(spark, tmp_path):
     run_stream_sparql_view(spark, str(src), work, view_q)
     v = spark.read.parquet(work + "/view/v=2")
     assert as_map(v) == {EX + "X": 1, EX + "Y": 1}    # b1 once, b2 applied
+
+
+def test_streaming_view_crash_between_parquet_and_marker(spark, tmp_path):
+    """ADVICE r4 crash window: the snapshot parquet (v=N+1) is written
+    but the process dies BEFORE _applied.json. On restart the unmarked
+    snapshot must be discarded (it is not committed) and the replayed
+    batch must rebuild it from the last committed version — not read
+    the remnant as base, not double-merge."""
+    import shutil
+
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    TY = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    view_q = PRE + "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . } GROUP BY ?c"
+
+    (src / "b1.nt").write_text(f"<{EX}a> {TY} <{EX}X> .\n")
+    run_stream_sparql_view(spark, str(src), work, view_q)
+
+    # simulate the crash: v=2 parquet exists (here: a copy of v=1 as a
+    # stand-in for a partially/fully written but UNMARKED snapshot) with
+    # no _applied.json, and the checkpoint lost the offsets
+    shutil.copytree(work + "/view/v=1", work + "/view/v=2")
+    import os
+
+    os.remove(work + "/view/v=2/_applied.json")
+    shutil.rmtree(work + "/ckpt")
+
+    (src / "b2.nt").write_text(f"<{EX}b> {TY} <{EX}Y> .\n")
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    v = spark.read.parquet(work + "/view/v=2")
+    assert as_map(v) == {EX + "X": 1, EX + "Y": 1}  # b1 exactly once
+
+
+def test_non_aggregate_view_not_decomposable(spark, frames):
+    """ADVICE r4: a plain SELECT with no aggregate is a bag of rows, not
+    a count view — it must be routed to recompute, not accepted and
+    then maintained with zero agg expressions."""
+    plain = PRE + "SELECT ?s ?c WHERE { ?s a ?c . }"
+    assert not is_delta_decomposable(plain)
+    base, _, _ = frames
+    with pytest.raises(SparqlSyntaxError):
+        count_view(base, plain)
+
+
+def test_global_count_view_keeps_zero_row(spark, frames):
+    """ADVICE r4: a GLOBAL count view (no GROUP BY) drained to empty
+    must keep its single row at n=0, exactly like recompute."""
+    base, _, _ = frames
+    gview = PRE + "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?c . }"
+    view = count_view(base, gview)
+    assert [r["n"] for r in view.collect()] == [4]
+    # remove EVERYTHING
+    maintained = maintain_count_view(view, gview, delta_minus=base)
+    recomputed = count_view(base.limit(0), gview)
+    assert [r["n"] for r in maintained.collect()] == [0]
+    assert [r["n"] for r in recomputed.collect()] == [0]

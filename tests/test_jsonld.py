@@ -101,3 +101,25 @@ def test_read_jsonld_file_and_cli(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["bad_lines"] == 1 and res["n_pages"] >= 1
     assert "<mediawiki>" in (tmp_path / "out" / "pages.xml").read_text()
+
+
+def test_authority_less_schemes_accepted(spark):
+    """ADVICE r4: urn:/mailto:/did: IRIs have no '://' but are absolute;
+    the .nt path accepts them, so the .jsonld path must too."""
+    import json as _json
+
+    from rdf2smw_spark.sources.jsonld import parse_jsonld_lines
+
+    rows = [
+        _json.dumps({"@id": "urn:uuid:0001", "@type": "http://ex.org/T"}),
+        _json.dumps({"@id": "mailto:a@b.c",
+                     "http://ex.org/p": {"@id": "did:example:xyz"}}),
+        _json.dumps({"@id": "relative/nope"}),
+    ]
+    lines = spark.createDataFrame([(r, "test://g") for r in rows],
+                                  "line string, src_url string")
+    parsed = parse_jsonld_lines(lines)
+    good = parsed.filter("error IS NULL").collect()
+    bad = parsed.filter("error IS NOT NULL").collect()
+    assert {r["subj"] for r in good} == {"urn:uuid:0001", "mailto:a@b.c"}
+    assert len(bad) == 1 and "relative/nope" in bad[0]["error"]

@@ -292,3 +292,37 @@ def test_blocklist_normalizes_port_userinfo_trailing_dot(spark):
     blocked = spark.createDataFrame([("ads.example.com",)], "host string")
     kept = [r["url"] for r in blocklist_filter(pages, blocked).collect()]
     assert kept == ["https://ok.example.com/keep"]
+
+
+def test_blocklist_pathless_url_with_query_or_fragment(spark):
+    # ADVICE r4: https://ads.example.com?track=1 has no path slash, so a
+    # host regex ending only at '/' extracts 'ads.example.com?track=1'
+    # and the page bypasses the gate. Host parse must stop at ? and #.
+    import duckdb
+
+    from rdf2smw_spark.extract import blocklist_filter, blocklist_filter_sql
+
+    rows = [
+        ("https://ads.example.com?track=1",),
+        ("https://ads.example.com#frag",),
+        ("https://sub.ads.example.com?x",),
+        ("https://ok.example.com?track=1",),
+    ]
+    pages = spark.createDataFrame(rows, "url string")
+    blocked = spark.createDataFrame([("ads.example.com",)], "host string")
+    kept = sorted(r["url"] for r in blocklist_filter(pages, blocked).collect())
+    assert kept == ["https://ok.example.com?track=1"]
+
+    # the DuckDB oracle twin must agree
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW pages_v AS SELECT * FROM (VALUES %s) t(url)"
+        % ", ".join("('%s')" % u for (u,) in rows)
+    )
+    con.execute(
+        "CREATE VIEW blocked_v AS SELECT 'ads.example.com' AS host"
+    )
+    got = sorted(
+        r[0] for r in con.execute(blocklist_filter_sql("pages_v", "blocked_v")).fetchall()
+    )
+    assert got == kept
