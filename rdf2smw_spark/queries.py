@@ -896,7 +896,9 @@ def q_kg_incremental_pages(spark, sf_dir):
     triples = testdata_triples(spark, sf_dir)
     delta = triples.filter(F.expr(_DELTA_ORDER) & (F.col("pred") != TYPE_PROPERTY_URI))
     base = triples.filter(~(F.expr(_DELTA_ORDER) & (F.col("pred") != TYPE_PROPERTY_URI)))
-    pages = incremental_pages(spark, base, delta)
+    # base/delta are disjoint filters of `triples`: pass it as `full` so
+    # every full-stream consumer shares ONE persisted scan
+    pages = incremental_pages(spark, base, delta, full=triples)
     content, _props, _tpls = render_all(pages, use_templates=True)
     return content.select("title", "page_type", "xml")
 
@@ -2849,3 +2851,49 @@ ORACLES["dd_cluster_best"] = dd.cluster_canonical_by_quality_sql(
     ),
     ta.quality_score_sql(DOCS_ND_SQL),
 )
+
+
+# --------------------------------------------------------------------------
+# Driver-window ordering. The correctness driver oracles the FIRST 50
+# entries of queries() each round; rounds 1-4 always presented the same
+# long-green first 50, so the SPARQL engine / entailment / graph /
+# incremental work had no driver-green CORRECTNESS row (VERDICT r4 #1).
+# _DRIVER_WINDOW front-loads: 3 core anchors, the full SPARQL engine
+# surface, the r4 flagship operators, then the queries no oracle outside
+# the builder's own sweep had touched. Everything else follows in its
+# original registration order — queries() still returns all of them.
+# --------------------------------------------------------------------------
+_DRIVER_WINDOW = [
+    # anchors (long-green core conversion path)
+    "kg_triples", "kg_fact_rows", "kg_pages_xml",
+    # r4 flagship: SPARQL 1.1 engine surface
+    "kg_sparql_select", "kg_sparql_construct", "kg_sparql_ask",
+    "kg_sparql_describe", "kg_sparql_update", "kg_sparql_ivm",
+    "kg_sparql_graph", "kg_sparql_subquery", "kg_sparql_path_seq",
+    "kg_sparql_path_plus", "kg_sparql_path_values", "kg_sparql_union_agg",
+    # r4 flagship: entailment / graph / incremental / fusion / packing
+    "kg_pagerank", "kg_rdfs_entailed", "kg_owl_entailed",
+    "kg_sameas_canon", "kg_incremental_pages", "kg_fact_fusion",
+    "ann_topk_pq", "dd_cluster_best", "ta_pack_sequences", "ev_asof_join",
+    # never independently oracled before this round
+    "kg_quotient_summary", "kg_zorder_layout", "ta_curation",
+    "web_capture_history", "kg_rdfs_incremental", "kg_graph_diff",
+    "kg_shacl_report", "kg_nquads_triples", "kg_bgp_aggregate",
+    "ann_topk_lsh", "ann_topk_ivf", "ivf_centroids", "link_entity_dict",
+    "link_exact", "link_fuzzy", "link_pmi", "dd_containment",
+    "dd_incremental", "kg_linked_triples", "kg_communities", "kg_kcore",
+    "web_hits", "search_bm25", "dd_semantic", "web_components",
+]
+
+
+def _reorder_registry() -> None:
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    ordered = {k: QUERIES[k] for k in _DRIVER_WINDOW}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_registry()
