@@ -163,3 +163,173 @@ def maintain_count_view(
         cond = F.col(c) > 0
         keep = cond if keep is None else (keep | cond)
     return out.filter(keep) if keep is not None else out
+
+
+# --------------------------------------------------------------------------
+# JOIN views — the counting algorithm (r4 verdict #3b)
+# --------------------------------------------------------------------------
+#
+# A two-pattern join view   V = γ_keys COUNT(*) (P1 ⋈ P2)   is not
+# single-source decomposable (a delta triple joins against base
+# triples), but it IS maintainable without touching the base via the
+# classic counting algorithm: maintain, per pattern, the PARTIAL COUNT
+# relation   γ_{gi} COUNT(*) (Pi)   where gi = vars(Pi) ∩ (join vars ∪
+# GROUP BY keys). Each partial is single-source (one pattern = one
+# triple per solution) and therefore count-additive under deltas; the
+# view is re-derived from the two partials alone:
+#
+#     V(keys) = Σ_{join vars} c1 · c2
+#
+# a join between two AGGREGATED relations whose sizes are bounded by
+# the number of distinct group values — at a 10^12-triple corpus the
+# partials are the slim dimension tables (distinct classes, predicates,
+# entities with the pattern), never the fact stream. Per drain the work
+# is merge(|partial| + |partial(Δ)|) plus one partials-join.
+
+
+def _join_view_query(query_text: str) -> tuple:
+    """Parse + validate a join-count view. Returns (query, tp1, tp2,
+    key_cols, count_aliases) or raises SparqlSyntaxError."""
+    from rdf2smw_spark.sparql import Iri
+
+    q = _view_query(query_text)
+    pats = [el for el in q.where.elements if isinstance(el, TriplePattern)]
+    others = [el for el in q.where.elements if not isinstance(el, TriplePattern)]
+    if len(pats) != 2 or others:
+        raise SparqlSyntaxError(
+            "join count views support exactly two triple patterns "
+            "(no filters/unions/optionals)"
+        )
+    for tp in pats:
+        if not isinstance(tp.p, (Var, Iri)):
+            raise SparqlSyntaxError("property paths are not maintainable")
+    if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
+        raise SparqlSyntaxError("slicing/dedup is not additive")
+    keys, counts = [], []
+    for it in q.items:
+        if isinstance(it.expr, Var):
+            keys.append(it.alias)
+        elif (isinstance(it.expr, Call) and it.expr.fn == "COUNT"
+                and not it.expr.distinct):
+            counts.append(it.alias)
+        else:
+            raise SparqlSyntaxError(
+                "join count views project keys and bare COUNTs only"
+            )
+    if not counts:
+        raise SparqlSyntaxError("join count views need a COUNT")
+    return q, pats[0], pats[1], keys, counts
+
+
+def _pattern_vars(tp) -> set:
+    return {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, Var)}
+
+
+def is_join_delta_decomposable(query_text: str) -> bool:
+    """True when the view is a two-pattern join + bare COUNTs that the
+    counting algorithm maintains exactly: ≥1 shared variable (no
+    cartesian), keys ⊆ pattern vars."""
+    try:
+        _q, tp1, tp2, keys, _counts = _join_view_query(query_text)
+    except SparqlSyntaxError:
+        return False
+    v1, v2 = _pattern_vars(tp1), _pattern_vars(tp2)
+    return bool(v1 & v2) and set(keys) <= (v1 | v2)
+
+
+def _partial_group_cols(tp1, tp2, keys) -> tuple[list, list, list]:
+    """(g1, g2, join_vars): each partial groups by its pattern's vars
+    that the join or the projection still needs; everything else is
+    counted out map-side."""
+    v1, v2 = _pattern_vars(tp1), _pattern_vars(tp2)
+    join_vars = sorted(v1 & v2)
+    need = set(join_vars) | set(keys)
+    return sorted(v1 & need), sorted(v2 & need), join_vars
+
+
+def join_count_partials(
+    triples: DataFrame, query_text: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two maintained partial-count relations over `triples`
+    (columns: the pattern's needed vars + `__c`). Each is one
+    pred-filtered scan + one slim groupBy — map-side partial
+    aggregation, no join."""
+    from rdf2smw_spark.sparql import _pattern_df
+
+    _q, tp1, tp2, keys, _counts = _join_view_query(query_text)
+    if not is_join_delta_decomposable(query_text):
+        raise SparqlSyntaxError(
+            "view is not join-delta-decomposable — recompute instead"
+        )
+    g1, g2, _jv = _partial_group_cols(tp1, tp2, keys)
+    p1 = _pattern_df(triples, tp1).groupBy(*g1).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    p2 = _pattern_df(triples, tp2).groupBy(*g2).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return p1, p2
+
+
+def join_count_view_from_partials(
+    p1: DataFrame, p2: DataFrame, query_text: str
+) -> DataFrame:
+    """Re-derive the view from the two partials: join on the shared
+    vars, per-key sum of count products. Exactly equals recomputing the
+    query over the base the partials describe."""
+    _q, tp1, tp2, keys, counts = _join_view_query(query_text)
+    _g1, _g2, join_vars = _partial_group_cols(tp1, tp2, keys)
+    joined = p1.withColumnRenamed("__c", "__c1").join(
+        p2.withColumnRenamed("__c", "__c2"), join_vars
+    )
+    prod = (F.col("__c1") * F.col("__c2")).cast("long")
+    aggs = [F.coalesce(F.sum(prod), F.lit(0)).cast("long").alias(c)
+            for c in counts]
+    out = joined.groupBy(*keys).agg(*aggs)
+    if keys:
+        keep = None
+        for c in counts:
+            cond = F.col(c) > 0
+            keep = cond if keep is None else (keep | cond)
+        out = out.filter(keep)
+    return out
+
+
+def maintain_join_count_partials(
+    partials: tuple[DataFrame, DataFrame],
+    query_text: str,
+    delta_plus: DataFrame | None = None,
+    delta_minus: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance both partials by a triple delta — each is a plain
+    count-additive merge (union + groupBy on the slim group cols; zero
+    groups drop, they contribute no join matches). The base triples are
+    never read; callers then re-derive the view with
+    join_count_view_from_partials."""
+    from rdf2smw_spark.sparql import _pattern_df
+
+    _q, tp1, tp2, keys, _counts = _join_view_query(query_text)
+    g1, g2, _jv = _partial_group_cols(tp1, tp2, keys)
+    out = []
+    for tp, g, old in ((tp1, g1, partials[0]), (tp2, g2, partials[1])):
+        parts = [old]
+        if delta_plus is not None:
+            parts.append(
+                _pattern_df(delta_plus, tp).groupBy(*g).agg(
+                    F.count(F.lit(1)).cast("long").alias("__c")
+                )
+            )
+        if delta_minus is not None:
+            parts.append(
+                _pattern_df(delta_minus, tp).groupBy(*g).agg(
+                    (-F.count(F.lit(1))).cast("long").alias("__c")
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy(*g).agg(
+            F.sum("__c").cast("long").alias("__c")
+        ).filter(F.col("__c") != 0)
+        out.append(merged)
+    return out[0], out[1]

@@ -2853,6 +2853,117 @@ ORACLES["dd_cluster_best"] = dd.cluster_canonical_by_quality_sql(
 )
 
 
+def q_kg_sparql_ivm_join(spark, sf_dir):
+    """Incremental maintenance of a two-pattern JOIN view (r4 verdict
+    #3b — operators/ivm.py counting algorithm): per-nation order counts
+    via { ?o ont:customer ?s . ?s a ?c }, materialized as two
+    per-pattern PARTIAL COUNT relations over ~⅞ of the graph, advanced
+    with the held-out slice as a crawl delta, then re-derived by
+    joining the partials (Σ c1·c2). The oracle recomputes the join over
+    the FULL graph — a green row proves the counting algorithm lands
+    exactly on recompute while never re-reading the base triples."""
+    from rdf2smw_spark.operators.ivm import (
+        join_count_partials,
+        join_count_view_from_partials,
+        maintain_join_count_partials,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?c (COUNT(?o) AS ?n)
+        WHERE { ?o ont:customer ?s . ?s a ?c . } GROUP BY ?c
+    """
+    t = testdata_triples(spark, sf_dir)
+    delta_cond = F.md5(F.concat("subj", "pred", "obj")).startswith("a")
+    base, delta = t.filter(~delta_cond), t.filter(delta_cond)
+    partials = join_count_partials(base, view_q)
+    partials = maintain_join_count_partials(partials, view_q, delta_plus=delta)
+    return join_count_view_from_partials(*partials, view_q)
+
+
+QUERIES["kg_sparql_ivm_join"] = q_kg_sparql_ivm_join
+ORACLES["kg_sparql_ivm_join"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT ty.obj AS c, COUNT(*) AS n
+FROM (SELECT subj, obj FROM t
+      WHERE pred = 'http://example.org/onto#customer') ord
+JOIN (SELECT subj, obj FROM t WHERE pred = '{_BGP_TYPE}') ty
+  ON ty.subj = ord.obj
+GROUP BY ty.obj
+"""
+
+
+def q_kg_sparql_path_graph(spark, sf_dir):
+    """OneOrMorePath INSIDE GRAPH ?var (r4 verdict #4): src_url rides
+    the pair key through the closure fixpoint, so each named graph's
+    closure grows independently in ONE distributed loop. The testdata
+    subclass edges live in graph testdata://nation and the synthetic
+    region->zone->World chain in testdata://zones — a global closure
+    would wrongly bridge nation->region->zone; the per-graph closure
+    must not. Oracle: recursive CTE with the graph column in the
+    recursion key."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir).unionByName(
+        _sameas.synth_class_chain(spark, sf_dir)
+    )
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?g ?uri ?anc WHERE {
+          GRAPH ?g { ?uri rdfs:subClassOf+ ?anc . }
+        }
+    """)
+
+
+QUERIES["kg_sparql_path_graph"] = q_kg_sparql_path_graph
+ORACLES["kg_sparql_path_graph"] = f"""
+WITH RECURSIVE
+t AS (SELECT * FROM {_CHAIN_TRIPLES_SQL}),
+edges AS (
+    SELECT DISTINCT src_url AS g, subj AS uri, obj AS anc FROM t
+    WHERE pred = '{_BGP_SUBCLASS}' AND obj_is_iri
+),
+reach(g, uri, anc) AS (
+    SELECT g, uri, anc FROM edges
+    UNION
+    SELECT r.g, r.uri, e.anc FROM reach r
+    JOIN edges e ON e.g = r.g AND e.uri = r.anc
+)
+SELECT DISTINCT g, uri, anc FROM reach
+"""
+
+
+def q_kg_sparql_optional_disjoint(spark, sf_dir):
+    """Disjoint OPTIONAL (r4 verdict #3a): the branch shares no
+    variables with the outer pattern. SPARQL left-join semantics:
+    non-empty branch extends every outer solution by every branch
+    solution (cross join with a selective branch); empty branch keeps
+    outer solutions with the variable unbound. One query exercises
+    both arms (?n binds, ?m stays NULL)."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir).unionByName(
+        _sameas.synth_class_chain(spark, sf_dir)
+    )
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?z ?n ?m WHERE {
+          ?z rdfs:subClassOf <http://example.org/class/World> .
+          OPTIONAL { ?n rdfs:label "ASIA" . }
+          OPTIONAL { ?m rdfs:label "NO_SUCH_LABEL_R5" . }
+        }
+    """)
+
+
+QUERIES["kg_sparql_optional_disjoint"] = q_kg_sparql_optional_disjoint
+ORACLES["kg_sparql_optional_disjoint"] = f"""
+WITH t AS (SELECT * FROM {_CHAIN_TRIPLES_SQL}),
+z AS (SELECT subj AS z FROM t
+      WHERE pred = '{_BGP_SUBCLASS}' AND obj_is_iri
+        AND obj = 'http://example.org/class/World'),
+n AS (SELECT subj AS n FROM t
+      WHERE pred = '{_RDFS_LABEL_URI}' AND NOT obj_is_iri AND obj = 'ASIA')
+SELECT z.z, n.n, CAST(NULL AS VARCHAR) AS m FROM z CROSS JOIN n
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver oracles the FIRST 50
 # entries of queries() each round; rounds 1-4 always presented the same
@@ -2871,6 +2982,9 @@ _DRIVER_WINDOW = [
     "kg_sparql_describe", "kg_sparql_update", "kg_sparql_ivm",
     "kg_sparql_graph", "kg_sparql_subquery", "kg_sparql_path_seq",
     "kg_sparql_path_plus", "kg_sparql_path_values", "kg_sparql_union_agg",
+    # round-5 subset-edge closures
+    "kg_sparql_path_graph", "kg_sparql_optional_disjoint",
+    "kg_sparql_ivm_join",
     # r4 flagship: entailment / graph / incremental / fusion / packing
     "kg_pagerank", "kg_rdfs_entailed", "kg_owl_entailed",
     "kg_sameas_canon", "kg_incremental_pages", "kg_fact_fusion",
@@ -2882,7 +2996,7 @@ _DRIVER_WINDOW = [
     "ann_topk_lsh", "ann_topk_ivf", "ivf_centroids", "link_entity_dict",
     "link_exact", "link_fuzzy", "link_pmi", "dd_containment",
     "dd_incremental", "kg_linked_triples", "kg_communities", "kg_kcore",
-    "web_hits", "search_bm25", "dd_semantic", "web_components",
+    "web_hits",
 ]
 
 

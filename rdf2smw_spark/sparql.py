@@ -923,37 +923,52 @@ def parse_sparql(text: str) -> SelectQuery:
 _PATH_COLS = ["s", "s_iri", "s_dt", "o", "o_iri", "o_dt"]
 
 
-def _term_eq(left_prefix: str, right_prefix: str):
+def _term_eq(left_prefix: str, right_prefix: str, with_g: bool = False):
     """RDF term equality across two path-relation endpoints: lexical
-    form + IRI/literal kind + datatype (null-safe)."""
-    return (
+    form + IRI/literal kind + datatype (null-safe). with_g additionally
+    requires both endpoints to come from the SAME named graph — the
+    GRAPH ?var evaluation scope (each solution's whole path stays
+    inside one graph)."""
+    eq = (
         (F.col(f"{left_prefix}.o") == F.col(f"{right_prefix}.s"))
         & (F.col(f"{left_prefix}.o_iri") == F.col(f"{right_prefix}.s_iri"))
         & F.col(f"{left_prefix}.o_dt").eqNullSafe(F.col(f"{right_prefix}.s_dt"))
     )
+    if with_g:
+        eq = eq & (F.col(f"{left_prefix}.g") == F.col(f"{right_prefix}.g"))
+    return eq
 
 
-def _path_closure(rel: DataFrame, max_iter: int = 30) -> DataFrame:
+def _path_closure(
+    rel: DataFrame, max_iter: int = 30, with_g: bool = False
+) -> DataFrame:
     """Transitive closure of a path relation (OneOrMorePath, SPARQL
     §9.3: a SET of term pairs). Frontier extension — one join + one
     anti-join per round, localCheckpoint to truncate lineage, O(graph
     diameter) rounds. Paths traverse the schema/class layer in
     practice (a sliver of a 10^12-triple corpus), so each round's
     frontier is small; the anti-join keys co-partition with the
-    closure across rounds."""
-    rel = rel.select(*_PATH_COLS).distinct().persist()
+    closure across rounds.
+
+    with_g: the relation carries a named-graph column `g` (GRAPH ?var
+    scope) — g rides the pair key through the fixpoint, so the closure
+    of each graph grows independently in the SAME distributed loop
+    (per-graph closures without a per-graph driver loop)."""
+    cols = _PATH_COLS + (["g"] if with_g else [])
+    rel = rel.select(*cols).distinct().persist()
     closure = rel.localCheckpoint(eager=True)
     frontier = closure
     for _ in range(max_iter):
+        sel = [
+            F.col("f.s").alias("s"), F.col("f.s_iri").alias("s_iri"),
+            F.col("f.s_dt").alias("s_dt"),
+            F.col("e.o").alias("o"), F.col("e.o_iri").alias("o_iri"),
+            F.col("e.o_dt").alias("o_dt"),
+        ] + ([F.col("f.g").alias("g")] if with_g else [])
         stepped = (
             frontier.alias("f")
-            .join(rel.alias("e"), _term_eq("f", "e"))
-            .select(
-                F.col("f.s").alias("s"), F.col("f.s_iri").alias("s_iri"),
-                F.col("f.s_dt").alias("s_dt"),
-                F.col("e.o").alias("o"), F.col("e.o_iri").alias("o_iri"),
-                F.col("e.o_dt").alias("o_dt"),
-            )
+            .join(rel.alias("e"), _term_eq("f", "e", with_g))
+            .select(*sel)
             .distinct()
         )
         # anti-join on FULL term identity (datatypes null-safe): keying
@@ -972,13 +987,14 @@ def _path_closure(rel: DataFrame, max_iter: int = 30) -> DataFrame:
                 "s_dtk", F.coalesce(F.col("s_dt"), F.lit("\x00"))
             ).withColumn("o_dtk", F.coalesce(F.col("o_dt"), F.lit("\x00")))
 
+        anti_keys = ["s", "s_iri", "s_dtk", "o", "o_iri", "o_dtk"] + (
+            ["g"] if with_g else []
+        )
         fresh = (
             with_dt_keys(stepped)
             .join(
-                with_dt_keys(closure).select(
-                    "s", "s_iri", "s_dtk", "o", "o_iri", "o_dtk"
-                ),
-                ["s", "s_iri", "s_dtk", "o", "o_iri", "o_dtk"],
+                with_dt_keys(closure).select(*anti_keys),
+                anti_keys,
                 "left_anti",
             )
             .drop("s_dtk", "o_dtk")
@@ -995,16 +1011,19 @@ def _path_closure(rel: DataFrame, max_iter: int = 30) -> DataFrame:
     )
 
 
-def _graph_terms(triples: DataFrame) -> DataFrame:
+def _graph_terms(triples: DataFrame, with_g: bool = False) -> DataFrame:
     """All RDF terms of the graph as a zero-length path relation
-    (s = o = the term), per SPARQL §9.3 ZeroOrMorePath semantics."""
+    (s = o = the term), per SPARQL §9.3 ZeroOrMorePath semantics.
+    with_g: terms are scoped per named graph (a term participates in
+    zero-length paths only inside the graphs that mention it)."""
+    gsel = [F.col("src_url").alias("g")] if with_g else []
     subs = triples.select(
         F.col("subj").alias("t"), F.lit(True).alias("t_iri"),
-        F.lit(None).cast("string").alias("t_dt"),
+        F.lit(None).cast("string").alias("t_dt"), *gsel,
     )
     objs = triples.select(
         F.col("obj").alias("t"), F.col("obj_is_iri").alias("t_iri"),
-        F.col("obj_datatype").alias("t_dt"),
+        F.col("obj_datatype").alias("t_dt"), *gsel,
     )
     terms = subs.unionByName(objs).distinct()
     return terms.select(
@@ -1012,20 +1031,24 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
         F.col("t_dt").alias("s_dt"),
         F.col("t").alias("o"), F.col("t_iri").alias("o_iri"),
         F.col("t_dt").alias("o_dt"),
+        *([F.col("g")] if with_g else []),
     )
 
 
-def _path_rel(triples: DataFrame, path) -> DataFrame:
+def _path_rel(triples: DataFrame, path, with_g: bool = False) -> DataFrame:
     """Compile a path expression to a relation of term pairs
     (s, s_iri, s_dt, o, o_iri, o_dt). Metadata rides both endpoints so
     inverse paths and CONSTRUCT companions stay exact — two terms with
-    the same lexical form but different kind/datatype never conflate."""
+    the same lexical form but different kind/datatype never conflate.
+    with_g: a `g` (named graph) column rides every pair and every join/
+    closure keys on it — the GRAPH ?var evaluation scope."""
+    gsel = [F.col("src_url").alias("g")] if with_g else []
     if isinstance(path, Iri):
         return triples.filter(F.col("pred") == path.value).select(
             F.col("subj").alias("s"), F.lit(True).alias("s_iri"),
             F.lit(None).cast("string").alias("s_dt"),
             F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_iri"),
-            F.col("obj_datatype").alias("o_dt"),
+            F.col("obj_datatype").alias("o_dt"), *gsel,
         )
     if isinstance(path, PathNeg):
         # negated property set (§9.1): any predicate OUTSIDE the set —
@@ -1034,57 +1057,73 @@ def _path_rel(triples: DataFrame, path) -> DataFrame:
             F.col("subj").alias("s"), F.lit(True).alias("s_iri"),
             F.lit(None).cast("string").alias("s_dt"),
             F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_iri"),
-            F.col("obj_datatype").alias("o_dt"),
+            F.col("obj_datatype").alias("o_dt"), *gsel,
         )
+    gcol = [F.col("g")] if with_g else []
     if isinstance(path, PathInv):
-        rel = _path_rel(triples, path.elt)
+        rel = _path_rel(triples, path.elt, with_g)
         return rel.select(
             F.col("o").alias("s"), F.col("o_iri").alias("s_iri"),
             F.col("o_dt").alias("s_dt"),
             F.col("s").alias("o"), F.col("s_iri").alias("o_iri"),
-            F.col("s_dt").alias("o_dt"),
+            F.col("s_dt").alias("o_dt"), *gcol,
         )
     if isinstance(path, PathSeq):
-        out = _path_rel(triples, path.steps[0])
+        out = _path_rel(triples, path.steps[0], with_g)
         for step in path.steps[1:]:
-            nxt = _path_rel(triples, step)
+            nxt = _path_rel(triples, step, with_g)
             out = (
                 out.alias("f")
-                .join(nxt.alias("e"), _term_eq("f", "e"))
+                .join(nxt.alias("e"), _term_eq("f", "e", with_g))
                 .select(
                     F.col("f.s").alias("s"), F.col("f.s_iri").alias("s_iri"),
                     F.col("f.s_dt").alias("s_dt"),
                     F.col("e.o").alias("o"), F.col("e.o_iri").alias("o_iri"),
                     F.col("e.o_dt").alias("o_dt"),
+                    *([F.col("f.g").alias("g")] if with_g else []),
                 )
             )
         return out
     if isinstance(path, PathAlt):
-        rels = [_path_rel(triples, b) for b in path.branches]
+        rels = [_path_rel(triples, b, with_g) for b in path.branches]
         out = rels[0]
         for r in rels[1:]:
             out = out.unionByName(r)
         return out
     if isinstance(path, PathMod):
-        rel = _path_rel(triples, path.elt)
+        rel = _path_rel(triples, path.elt, with_g)
         if path.mod == "+":
-            return _path_closure(rel)
+            return _path_closure(rel, with_g=with_g)
         if path.mod == "?":
-            return rel.unionByName(_graph_terms(triples)).distinct()
+            return rel.unionByName(_graph_terms(triples, with_g)).distinct()
         # '*' = identity over all graph terms + the one-or-more closure
-        return _path_closure(rel).unionByName(_graph_terms(triples)).distinct()
+        return _path_closure(rel, with_g=with_g).unionByName(
+            _graph_terms(triples, with_g)
+        ).distinct()
     raise SparqlSyntaxError(f"unsupported path {path!r}")  # pragma: no cover
 
 
 def _path_pattern_df(
-    triples: DataFrame, tp: TriplePattern, capture: set | None = None
+    triples: DataFrame,
+    tp: TriplePattern,
+    capture: set | None = None,
+    graph=None,
 ) -> DataFrame:
     """Bind a path relation to the pattern's subject/object terms —
-    same fixed-term filters and companion capture as _pattern_df."""
-    rel = _path_rel(triples, tp.p)
+    same fixed-term filters and companion capture as _pattern_df.
+    graph: a Var scopes the path per named graph (src_url rides the
+    pair key through the closure fixpoint and binds as that variable);
+    an Iri is handled upstream as a scan filter."""
+    with_g = isinstance(graph, Var)
+    rel = _path_rel(triples, tp.p, with_g=with_g)
     cols: dict[str, Column] = {}
+    if with_g:
+        cols[graph.name] = F.col("g")
     if isinstance(tp.s, Var):
-        cols[tp.s.name] = F.col("s")
+        if tp.s.name in cols:  # GRAPH ?g { ?g <p>+ ?o }
+            rel = rel.filter(F.col("s_iri") & (F.col("s") == cols[tp.s.name]))
+        else:
+            cols[tp.s.name] = F.col("s")
         if capture is not None and tp.s.name in capture:
             capture.discard(tp.s.name)
             cols[f"__isiri_{tp.s.name}"] = F.col("s_iri")
@@ -1094,7 +1133,9 @@ def _path_pattern_df(
     else:
         rel = rel.filter(~F.col("s_iri") & (F.col("s") == tp.s.value))
     if isinstance(tp.o, Var):
-        if tp.o.name in cols:
+        if with_g and tp.o.name == graph.name:  # GRAPH ?g { ?s <p>+ ?g }
+            rel = rel.filter(F.col("o_iri") & (F.col("o") == F.col("g")))
+        elif tp.o.name in cols:  # repeated s/o variable: ?x <p>+ ?x
             rel = rel.filter(
                 (F.col("o") == cols[tp.o.name]) & (F.col("o_iri") == F.col("s_iri"))
             )
@@ -1134,12 +1175,10 @@ def _pattern_df(
         triples = triples.filter(F.col("src_url") == graph.value)
         graph = None
     if isinstance(tp.p, (PathSeq, PathAlt, PathInv, PathMod, PathNeg)):
-        if graph is not None:
-            raise SparqlSyntaxError(
-                "property paths inside GRAPH ?var are not supported "
-                "(a closure's per-solution graph binding is ambiguous)"
-            )
-        return _path_pattern_df(triples, tp, capture)
+        # under GRAPH ?var the path relation carries src_url as the `g`
+        # pair-key column through the closure fixpoint — per-graph
+        # closures in one distributed loop
+        return _path_pattern_df(triples, tp, capture, graph=graph)
     df = triples
     cols: dict[str, Column] = {}
     if isinstance(graph, Var):
@@ -1188,10 +1227,23 @@ def _join(left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
     if shared:
         return left.join(right, shared, how)
     if how == "left":
-        # A correct disjoint OPTIONAL needs an eager emptiness probe
-        # (cross join when the branch matches, null-pad when it is
-        # empty) — outside the declarative subset by design.
-        raise SparqlSyntaxError("OPTIONAL group shares no variables with the pattern")
+        # Disjoint OPTIONAL (no shared variables): SPARQL left-join
+        # semantics extend EVERY left solution by every branch solution
+        # when the branch is non-empty, and keep left solutions with
+        # the optional variables unbound when it is empty. The branch's
+        # emptiness is decided with one bounded limit(1) probe
+        # (collect-is-the-guard); at scale the probe costs one scan of
+        # the branch's most selective pattern, and the non-empty arm is
+        # the same cross join a VALUES-join would produce.
+        if right.limit(1).count() == 0:
+            return left.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in right.schema.fields
+                ],
+            )
+        return left.crossJoin(right)
     return left.crossJoin(right)
 
 

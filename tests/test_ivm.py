@@ -261,3 +261,113 @@ def test_global_count_view_keeps_zero_row(spark, frames):
     recomputed = count_view(base.limit(0), gview)
     assert [r["n"] for r in maintained.collect()] == [0]
     assert [r["n"] for r in recomputed.collect()] == [0]
+
+
+# -- JOIN views (counting algorithm) ----------------------------------------
+
+JVIEW = PRE + """
+SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . ?s ex:p ?o . } GROUP BY ?c
+"""
+
+
+def jt(s, p, o, iri=True):
+    return (EX + s, EX + p if p != "a" else
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            EX + o if iri else o, iri, None if iri else None, "test://g")
+
+
+@pytest.fixture(scope="module")
+def jframes(spark):
+    base = spark.createDataFrame(
+        [jt("a", "a", "X"), jt("b", "a", "X"), jt("c", "a", "Y"),
+         jt("a", "p", "o1"), jt("a", "p", "o2"), jt("b", "p", "o1"),
+         jt("c", "p", "o1")],
+        TRIPLE_SCHEMA,
+    )
+    return base
+
+
+def _recompute(df, q):
+    from rdf2smw_spark.sparql import sparql_select
+
+    return {r["c"]: r["n"] for r in sparql_select(df, q).collect()}
+
+
+def test_join_view_decomposable_classification():
+    from rdf2smw_spark.operators.ivm import (
+        is_delta_decomposable,
+        is_join_delta_decomposable,
+    )
+
+    assert is_join_delta_decomposable(JVIEW)
+    assert not is_delta_decomposable(JVIEW)  # routed to the join path
+    # cartesian (no shared var) rejected
+    assert not is_join_delta_decomposable(PRE + """
+        SELECT ?c (COUNT(?s) AS ?n)
+        WHERE { ?s a ?c . ?x ex:p ?o . } GROUP BY ?c
+    """)
+    # three patterns rejected
+    assert not is_join_delta_decomposable(PRE + """
+        SELECT ?c (COUNT(?s) AS ?n)
+        WHERE { ?s a ?c . ?s ex:p ?o . ?o ex:q ?z . } GROUP BY ?c
+    """)
+
+
+def test_join_view_from_partials_equals_recompute(spark, jframes):
+    from rdf2smw_spark.operators.ivm import (
+        join_count_partials,
+        join_count_view_from_partials,
+    )
+
+    p1, p2 = join_count_partials(jframes, JVIEW)
+    view = join_count_view_from_partials(p1, p2, JVIEW)
+    got = {r["c"]: r["n"] for r in view.collect()}
+    assert got == _recompute(jframes, JVIEW) == {EX + "X": 3, EX + "Y": 1}
+
+
+def test_join_view_insert_remove_vanish(spark, jframes):
+    from rdf2smw_spark.operators.ivm import (
+        join_count_partials,
+        join_count_view_from_partials,
+        maintain_join_count_partials,
+    )
+
+    partials = join_count_partials(jframes, JVIEW)
+
+    # INSERT: a new fact for a (X gains a match), a new entity d:Y
+    plus = spark.createDataFrame(
+        [jt("a", "p", "o3"), jt("d", "a", "Y"), jt("d", "p", "o9")],
+        TRIPLE_SCHEMA,
+    )
+    partials = maintain_join_count_partials(partials, JVIEW, delta_plus=plus)
+    view = join_count_view_from_partials(*partials, JVIEW)
+    updated = jframes.unionByName(plus)
+    got = {r["c"]: r["n"] for r in view.collect()}
+    assert got == _recompute(updated, JVIEW) == {EX + "X": 4, EX + "Y": 2}
+
+    # REMOVE: drain every Y-typed solution -> the Y group VANISHES
+    minus = spark.createDataFrame(
+        [jt("c", "a", "Y"), jt("d", "a", "Y")], TRIPLE_SCHEMA
+    )
+    partials = maintain_join_count_partials(partials, JVIEW, delta_minus=minus)
+    view = join_count_view_from_partials(*partials, JVIEW)
+    remaining = updated.join(
+        minus.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
+    )
+    got = {r["c"]: r["n"] for r in view.collect()}
+    assert got == _recompute(remaining, JVIEW) == {EX + "X": 4}
+
+
+def test_join_view_global_zero_row(spark, jframes):
+    """Ungrouped join view drained to zero keeps its single 0 row."""
+    from rdf2smw_spark.operators.ivm import (
+        join_count_partials,
+        join_count_view_from_partials,
+        maintain_join_count_partials,
+    )
+
+    gq = PRE + "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?c . ?s ex:p ?o . }"
+    partials = join_count_partials(jframes, gq)
+    partials = maintain_join_count_partials(partials, gq, delta_minus=jframes)
+    view = join_count_view_from_partials(*partials, gq)
+    assert [r["n"] for r in view.collect()] == [0]

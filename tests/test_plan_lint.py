@@ -53,6 +53,10 @@ _CROSS_OK = {
     "search_bm25": "1-row totals join (avg doc length)",
     "ta_mixture_weights": "1-row totals join (corpus size)",
     "ta_tfidf_terms": "1-row totals join (corpus N for idf)",
+    # SPARQL disjoint OPTIONAL: the branch shares no variables, so the
+    # non-empty arm IS a cross join by left-join semantics; the branch
+    # is a selective pattern (label-filtered, few rows), never the corpus
+    "kg_sparql_optional_disjoint": "disjoint OPTIONAL extends by a selective branch",
 }
 
 

@@ -560,11 +560,83 @@ def test_graph_var_joins_across_scopes(spark):
     assert rows(df) == [("g://a", "2")]
 
 
-def test_graph_path_var_rejected(graph):
-    with pytest.raises(SparqlSyntaxError):
-        sparql_select(graph, PRE + """
-            SELECT ?g WHERE { GRAPH ?g { ?s ex:knows+ ?o } }
-        """)
+def test_graph_var_path_plus_per_graph_closure(spark):
+    """p+ inside GRAPH ?var: each graph's closure grows independently —
+    edges in different graphs must NOT chain (r4 verdict #4)."""
+    def e(s, o, g):
+        return (EX + s, EX + "p", EX + o, True, None, "g://" + g)
+
+    t = spark.createDataFrame(
+        [e("a", "b", "1"), e("b", "c", "1"),   # chain inside g1
+         e("c", "d", "2")],                    # continuation only in g2
+        TRIPLE_SCHEMA,
+    )
+    df = sparql_select(t, PRE + """
+        SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:p+ ?o } } ORDER BY ?g ?s ?o
+    """)
+    assert rows(df) == [
+        ("g://1", EX + "a", EX + "b"),
+        ("g://1", EX + "a", EX + "c"),   # via b, same graph
+        ("g://1", EX + "b", EX + "c"),
+        ("g://2", EX + "c", EX + "d"),
+        # NO (a->d) or (b->d): the b->c->d bridge spans graphs
+    ]
+
+
+def test_graph_var_path_star_zero_length_scoped(spark):
+    """p* zero-length solutions are scoped per graph: a term reflects
+    only in graphs that mention it."""
+    def e(s, o, g):
+        return (EX + s, EX + "p", EX + o, True, None, "g://" + g)
+
+    t = spark.createDataFrame([e("a", "b", "1"), e("c", "d", "2")], TRIPLE_SCHEMA)
+    df = sparql_select(t, PRE + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p* ?s } } ORDER BY ?g ?s
+    """)
+    assert rows(df) == [
+        ("g://1", EX + "a"), ("g://1", EX + "b"),
+        ("g://2", EX + "c"), ("g://2", EX + "d"),
+    ]
+
+
+def test_graph_var_path_object_is_graph_var(spark):
+    """GRAPH ?g { ?s p+ ?g }: the object must equal the graph IRI."""
+    def e(s, o, g):
+        return (EX + s, EX + "p", o, True, None, g)
+
+    t = spark.createDataFrame(
+        [e("a", EX + "b", "g://1"), e("b", "g://1", "g://1"),
+         e("a", "g://2", "g://1")],
+        TRIPLE_SCHEMA,
+    )
+    df = sparql_select(t, PRE + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p+ ?g } } ORDER BY ?s
+    """)
+    # a->b->g://1 and b->g://1 close within g://1; a->g://2 lands in the
+    # WRONG graph's name and is excluded
+    assert rows(df) == [("g://1", EX + "a"), ("g://1", EX + "b")]
+
+
+def test_optional_disjoint_nonempty_extends(graph):
+    """Disjoint OPTIONAL, non-empty branch: every outer solution is
+    extended by every branch solution (r4 verdict #3a)."""
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?lab WHERE {
+          ?s a ex:Robot .
+          OPTIONAL { ex:alice rdfs:label ?lab }
+        }
+    """)
+    assert rows(df) == [(EX + "carol", "Alice")]
+
+
+def test_optional_disjoint_empty_nullpads(graph):
+    df = sparql_select(graph, PRE + """
+        SELECT ?s ?lab WHERE {
+          ?s a ex:Robot .
+          OPTIONAL { ex:nosuch rdfs:label ?lab }
+        }
+    """)
+    assert rows(df) == [(EX + "carol", None)]
 
 
 # -- extended builtins ------------------------------------------------------------------
