@@ -667,8 +667,14 @@ def run_stream_sparql_view(
     rows; the accumulated triples are never re-scanned (they are never
     even stored: the view IS the state).
 
-    The view query must be delta-decomposable (ivm.count_view raises
-    otherwise — a non-additive view belongs on the recompute path).
+    The view query must be delta-decomposable — single-source
+    (ivm.count_view) or a two-pattern JOIN view maintained by the
+    counting algorithm (ivm.join_count_*: the snapshot then stores the
+    two per-pattern PARTIAL COUNT relations alongside the derived view,
+    and each drain merges the partials and re-derives the view from
+    them alone — the accumulated triples are still never re-scanned).
+    Anything else raises loudly (a non-additive view belongs on the
+    recompute path).
     Versioned view snapshots (v=N) make each write atomic relative to
     the read of the previous version; only the latest is kept. Each
     snapshot records the set of FILES it has applied: foreachBatch is
@@ -684,8 +690,27 @@ def run_stream_sparql_view(
     import os as _os
     import shutil as _shutil
 
-    from rdf2smw_spark.operators.ivm import count_view, maintain_count_view
+    from rdf2smw_spark.operators.ivm import (
+        count_view,
+        is_delta_decomposable,
+        is_join_delta_decomposable,
+        join_count_partials,
+        join_count_view_from_partials,
+        maintain_count_view,
+        maintain_join_count_partials,
+    )
     from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
+    from rdf2smw_spark.sparql import SparqlSyntaxError
+
+    if is_delta_decomposable(view_query):
+        join_mode = False
+    elif is_join_delta_decomposable(view_query):
+        join_mode = True
+    else:
+        raise SparqlSyntaxError(
+            "view is neither single-source nor join-delta-decomposable "
+            "— recompute instead"
+        )
 
     view_dir = _os.path.join(work_dir, "view")
     ckpt_dir = _os.path.join(work_dir, "ckpt")
@@ -713,9 +738,23 @@ def run_stream_sparql_view(
             if _os.path.exists(marker):
                 with open(marker) as fh:
                     applied = set(_json.load(fh)["files"])
-                return spark.read.parquet(vdir), n, applied
+                if join_mode:
+                    snap = (
+                        spark.read.parquet(_os.path.join(vdir, "p1")),
+                        spark.read.parquet(_os.path.join(vdir, "p2")),
+                    )
+                else:
+                    snap = spark.read.parquet(vdir)
+                return snap, n, applied
             _shutil.rmtree(vdir, ignore_errors=True)  # uncommitted remnant
         return None, 0, set()
+
+    def _read_view(vdir: str):
+        """The queryable view of a committed snapshot (join-mode
+        snapshots store it under view/, single-mode at the root)."""
+        return spark.read.parquet(
+            _os.path.join(vdir, "view") if join_mode else vdir
+        )
 
     def _process(batch, batch_id):
         old, n, applied = _latest()
@@ -731,12 +770,33 @@ def run_stream_sparql_view(
         delta = parsed.select(
             "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "src_url"
         ).localCheckpoint()
-        if old is None:
-            new = count_view(delta, view_query)
-        else:
-            new = maintain_count_view(old, view_query, delta_plus=delta)
         vdir = _os.path.join(view_dir, f"v={n + 1}")
-        new.write.mode("overwrite").parquet(vdir)
+        if join_mode:
+            if old is None:
+                partials = join_count_partials(delta, view_query)
+            else:
+                partials = maintain_join_count_partials(
+                    old, view_query, delta_plus=delta
+                )
+            partials[0].write.mode("overwrite").parquet(
+                _os.path.join(vdir, "p1")
+            )
+            partials[1].write.mode("overwrite").parquet(
+                _os.path.join(vdir, "p2")
+            )
+            # re-derive the view from the WRITTEN partials (one slim
+            # partials-join), so the stored view and partials agree
+            join_count_view_from_partials(
+                spark.read.parquet(_os.path.join(vdir, "p1")),
+                spark.read.parquet(_os.path.join(vdir, "p2")),
+                view_query,
+            ).write.mode("overwrite").parquet(_os.path.join(vdir, "view"))
+        else:
+            if old is None:
+                new = count_view(delta, view_query)
+            else:
+                new = maintain_count_view(old, view_query, delta_plus=delta)
+            new.write.mode("overwrite").parquet(vdir)
         with open(_os.path.join(vdir, "_applied.json"), "w") as fh:
             _json.dump({"files": sorted(applied | batch_files)}, fh)
         if old is not None:
@@ -755,8 +815,11 @@ def run_stream_sparql_view(
         .start()
     )
     q.awaitTermination()
-    latest, _n, _applied = _latest()
+    latest, n, _applied = _latest()
+    view_rows = 0
+    if latest is not None:
+        view_rows = _read_view(_os.path.join(view_dir, f"v={n}")).count()
     return {
         "batches": state["batches"],
-        "view_rows": 0 if latest is None else latest.count(),
+        "view_rows": view_rows,
     }

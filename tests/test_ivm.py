@@ -5,6 +5,7 @@ shapes rejected loudly."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rdf2smw_spark.operators.ivm import (
     count_view,
@@ -371,3 +372,51 @@ def test_join_view_global_zero_row(spark, jframes):
     partials = maintain_join_count_partials(partials, gq, delta_minus=jframes)
     view = join_count_view_from_partials(*partials, gq)
     assert [r["n"] for r in view.collect()] == [0]
+
+
+def test_streaming_join_view_across_drains(spark, tmp_path):
+    """JOIN view maintained by the streaming runner: the partial-count
+    snapshots advance per drain and the derived view equals a recompute
+    over everything ingested — with a ckpt-reset replay in between."""
+    import shutil
+
+    from rdf2smw_spark.sparql import sparql_select
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    TY = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    P = f"<{EX}p>"
+    view_q = PRE + """
+        SELECT ?c (COUNT(?s) AS ?n)
+        WHERE { ?s a ?c . ?s ex:p ?o . } GROUP BY ?c
+    """
+
+    (src / "b1.nt").write_text(
+        f"<{EX}a> {TY} <{EX}X> .\n<{EX}a> {P} <{EX}o1> .\n"
+        f"<{EX}b> {TY} <{EX}X> .\n"
+    )
+    res = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res["batches"] == 1
+    v1 = spark.read.parquet(work + "/view/v=1/view")
+    assert as_map(v1) == {EX + "X": 1}  # only a has both patterns
+
+    # second drain: b gains a p-fact (X: 2 via partial merge), new Y
+    (src / "b2.nt").write_text(
+        f"<{EX}b> {P} <{EX}o2> .\n"
+        f"<{EX}c> {TY} <{EX}Y> .\n<{EX}c> {P} <{EX}o3> .\n"
+        f"<{EX}a> {P} <{EX}o4> .\n"
+    )
+    shutil.rmtree(work + "/ckpt")  # ckpt reset: replay must not double-apply b1
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    v2 = spark.read.parquet(work + "/view/v=2/view")
+    assert as_map(v2) == {EX + "X": 3, EX + "Y": 1}  # a:2 facts + b:1, c:1
+
+    # the maintained view equals a recompute over ALL ingested triples
+    from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
+
+    lines = spark.read.text(str(src)).withColumn("src_url", F.lit("all"))
+    allt = parse_ntriples_lines(lines).filter("error IS NULL")
+    re_m = {r["c"]: r["n"] for r in sparql_select(allt, view_q).collect()}
+    assert as_map(v2) == re_m
