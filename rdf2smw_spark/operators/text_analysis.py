@@ -1431,3 +1431,106 @@ def paragraph_dedup_sql(docs_sql: str) -> str:
            COALESCE(r.n_dropped, 0) AS n_dropped
     FROM (SELECT doc_id FROM {docs_sql}) d LEFT JOIN rebuilt r USING (doc_id)
     """
+
+
+# --- DSIR importance weighting -----------------------------------------------------
+
+DSIR_B = 512  # hashed n-gram feature buckets
+# the "target distribution" stand-in: a deterministic source allowlist
+# playing the role of DSIR's high-quality corpus (Wikipedia/books in the
+# paper); callers substitute their own predicate
+DSIR_TARGET = "source IN ('src0', 'src1', 'src2')"
+
+
+def _dsir_bucket(tok_expr: str, b: int, dialect: str) -> str:
+    """Hashed feature id for a token: md5-derived uint32 mod b —
+    identical arithmetic in both engines (the CMS/KMV trick)."""
+    if dialect == "duckdb":
+        return f"({_hex32(f'md5({tok_expr})', 'duckdb')} % {b})"
+    return f"({_hex32(f'md5({tok_expr})', 'spark')} % {b})"
+
+
+def dsir_weights(docs: DataFrame, target: str = DSIR_TARGET,
+                 b: int = DSIR_B) -> DataFrame:
+    """(doc_id, n_tokens, log_weight): Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023) over hashed unigram features.
+    Both the target distribution (docs matching ``target``) and the raw
+    distribution (the whole corpus) are estimated as Laplace-smoothed
+    categorical distributions over ``b`` hashed token buckets; each
+    document's importance log-weight is the sum over its token
+    occurrences of ln p_target(bucket) - ln p_raw(bucket). Resampling
+    the corpus by these weights shifts the training mixture toward the
+    target domain; the weights themselves are the curation signal.
+
+    Determinism: the two smoothed-probability logs are combined into ONE
+    ln-ratio per bucket, evaluated once per bucket (not per token),
+    quantized to BIGINT*1e6 (same policy as unigram_lm_score), and
+    summed exactly — hash-stable at any parallelism.
+
+    Scale shape: one explode -> two feature aggregations over the token
+    stream (b-bounded output, map-side combinable), two bounded scalar
+    totals, one broadcast join (the bucket table is b rows regardless of
+    corpus size), one per-doc aggregation. No shuffle keyed on anything
+    wider than the b-bucket id or doc_id."""
+    toks_e = f"filter({_tokens('text')}, t -> t != '')"
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"CASE WHEN {target} THEN 1 ELSE 0 END").alias("is_tgt"),
+        F.explode(F.expr(toks_e)).alias("tok"),
+    ).withColumn("bkt", F.expr(_dsir_bucket("tok", b, "spark")))
+    from rdf2smw_spark.session import scoped_persist
+
+    toks = scoped_persist(toks)
+    feat = toks.groupBy("bkt").agg(
+        F.count("*").alias("rc"),
+        F.sum("is_tgt").alias("tc"),
+    )
+    totals = toks.groupBy().agg(
+        F.count("*").alias("rt"), F.sum("is_tgt").alias("tt")
+    ).collect()[0]
+    rt, tt = int(totals["rt"]), int(totals["tt"])
+    lr = _lm_quant(
+        f"ln((CAST(tc AS DOUBLE) + 1.0) / CAST({tt + b} AS DOUBLE))"
+        f" - ln((CAST(rc AS DOUBLE) + 1.0) / CAST({rt + b} AS DOUBLE))"
+    )
+    bucket_lw = F.broadcast(feat.select("bkt", F.expr(lr).alias("lw")))
+    return (
+        toks.join(bucket_lw, "bkt")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lw").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            # no ROUND: s is an exact BIGINT, s/1e6 is the same double in
+            # both engines, and rounding would sit exactly on half-way
+            # boundaries (s ends in ...50) where HALF_UP dialects differ
+            F.expr(f"CAST(s AS DOUBLE) / {_LM_Q}").alias("log_weight"),
+        )
+    )
+
+
+def dsir_weights_sql(docs_sql: str, target: str = DSIR_TARGET,
+                     b: int = DSIR_B) -> str:
+    toks = _tokens("text", "duckdb")
+    bkt = _dsir_bucket("tok", b, "duckdb")
+    lr = _lm_quant(
+        f"ln((CAST(tc AS DOUBLE) + 1.0) / CAST(tt + {b} AS DOUBLE))"
+        f" - ln((CAST(rc AS DOUBLE) + 1.0) / CAST(rt + {b} AS DOUBLE))"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, is_tgt, {bkt} AS bkt FROM (
+            SELECT doc_id,
+                   CASE WHEN {target} THEN 1 ELSE 0 END AS is_tgt,
+                   UNNEST(list_filter({toks}, t -> t <> '')) AS tok
+            FROM {docs_sql}
+        )
+    ),
+    feat AS (SELECT bkt, COUNT(*) AS rc, SUM(is_tgt) AS tc FROM toks GROUP BY bkt),
+    tot AS (SELECT COUNT(*) AS rt, SUM(is_tgt) AS tt FROM toks),
+    q AS MATERIALIZED (SELECT bkt, {lr} AS lw FROM feat, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(lw) AS DOUBLE) / {_LM_Q} AS log_weight
+    FROM toks JOIN q USING (bkt)
+    GROUP BY doc_id
+    """

@@ -2964,6 +2964,17 @@ SELECT z.z, n.n, CAST(NULL AS VARCHAR) AS m FROM z CROSS JOIN n
 """
 
 
+def q_ta_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    ln-ratio of a target-source distribution vs the raw corpus, summed
+    per document — the importance-resampling curation signal."""
+    return ta.dsir_weights(_docs(spark, sf_dir))
+
+
+QUERIES["ta_dsir_weights"] = q_ta_dsir_weights
+ORACLES["ta_dsir_weights"] = ta.dsir_weights_sql("documents")
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver oracles the FIRST 50
 # entries of queries() each round; rounds 1-4 always presented the same
@@ -2996,7 +3007,8 @@ _DRIVER_WINDOW = [
     "ann_topk_lsh", "ann_topk_ivf", "ivf_centroids", "link_entity_dict",
     "link_exact", "link_fuzzy", "link_pmi", "dd_containment",
     "dd_incremental", "kg_linked_triples", "kg_communities", "kg_kcore",
-    "web_hits",
+    # round-5 additions (new operators need driver-green evidence most)
+    "ta_dsir_weights",
 ]
 
 

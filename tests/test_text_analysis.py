@@ -129,3 +129,35 @@ def test_paragraph_dedup_keeps_empty_docs(spark):
     assert set(out) == {1, 2, 3}
     assert out[2]["text"] == "" and out[2]["n_kept"] == 0
     assert out[3]["text"] == "" and out[3]["n_dropped"] == 0
+
+
+def test_dsir_weights_shift_toward_target(spark):
+    # target docs speak "wiki" vocabulary; raw web docs speak "spam"
+    # vocabulary; one mixed doc sits between. A doc written in target
+    # vocabulary must out-weigh a doc written in raw-only vocabulary.
+    rows = [
+        (1, "encyclopedia article history science", "src0"),   # target
+        (2, "encyclopedia science reference archive", "src1"), # target
+        (3, "buy cheap pills casino bonus", "src9"),
+        (4, "casino bonus buy cheap pills", "src8"),
+        (5, "encyclopedia science casino pills", "src7"),      # mixed
+        (6, "encyclopedia article science reference", "src6"), # target-like
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in ta.dsir_weights(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # target-vocabulary doc (not itself in the target set) beats spam
+    assert out[6]["log_weight"] > out[3]["log_weight"]
+    assert out[6]["log_weight"] > out[4]["log_weight"]
+    # the mixed doc lands strictly between
+    assert out[3]["log_weight"] < out[5]["log_weight"] < out[6]["log_weight"]
+    assert out[1]["n_tokens"] == 4
+
+
+def test_dsir_weights_deterministic_across_parallelism(spark):
+    rows = [(i, f"token{i % 7} token{i % 3} filler word", f"src{i % 12}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, ta.dsir_weights(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, ta.dsir_weights(docs.repartition(16)).collect()))
+    assert a == b
