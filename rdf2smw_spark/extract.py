@@ -321,3 +321,89 @@ def blocklist_filter_sql(pages_sql: str, blocked_hosts_sql: str) -> str:
     hit AS (SELECT DISTINCT url FROM cand SEMI JOIN blocked USING (sfx))
     SELECT p.* FROM p ANTI JOIN hit USING (url)
     """
+
+
+# --- robots.txt-style crawl gate ----------------------------------------------------
+
+PATH_RE = "https?://[^/?#]+([^?#]*)"
+
+
+def robots_gate(pages: DataFrame, robots: DataFrame) -> DataFrame:
+    """(url, host, matched_prefix, allowed): per-URL robots decision —
+    the crawl-politeness gate of a web-corpus pipeline. `robots` carries
+    one parsed rule per row (host, prefix, allow); the REP subset is
+    literal path prefixes with longest-match-wins and allow-wins-ties
+    (the Robots Exclusion Protocol precedence, RFC 9309 §2.2.2), and a
+    URL whose host has no matching rule — or no rules at all — is
+    allowed. Rules key on the EXACT host (robots.txt is served per
+    host), unlike blocklist_filter's registrable-suffix semantics.
+
+    Scale shape: host/path parse is a map-side regexp; the rule match
+    is one equi-join on host (robots tables are ~#hosts — shuffled,
+    AQE broadcasts when small) followed by a prefix filter and one
+    max(struct) aggregation per url — no window, no per-row Python."""
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", HOST_RE, 1)), "^[^@]*@", ""
+            ),
+            ":[0-9]+$", "",
+        ),
+        r"\.+$", "",
+    )
+    path = F.regexp_extract("url", PATH_RE, 1)
+    parsed = pages.select(
+        "url",
+        host.alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("path"),
+    )
+    rules = robots.select(
+        F.lower("host").alias("host"), F.col("prefix"),
+        F.when(F.col("allow"), 1).otherwise(0).alias("al"),
+    )
+    best = (
+        parsed.join(rules, "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("url")
+        # lexicographic max = longest prefix, then allow over deny;
+        # equal (len, al) implies an identical prefix string
+        .agg(F.max(F.struct(
+            F.length("prefix").alias("ln"), F.col("al"), F.col("prefix")
+        )).alias("b"))
+    )
+    return parsed.join(best, "url", "left").select(
+        "url", "host",
+        F.col("b.prefix").alias("matched_prefix"),
+        (F.col("b.al").isNull() | (F.col("b.al") == 1)).alias("allowed"),
+    )
+
+
+def robots_gate_sql(pages_sql: str, robots_sql: str) -> str:
+    return f"""
+    WITH parsed AS (
+        SELECT url,
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '{HOST_RE}', 1)),
+                   '^[^@]*@', ''), ':[0-9]+$', ''), '\\.+$', '') AS host,
+               CASE WHEN regexp_extract(url, '{PATH_RE}', 1) = '' THEN '/'
+                    ELSE regexp_extract(url, '{PATH_RE}', 1) END AS path
+        FROM {pages_sql}
+    ),
+    rules AS (
+        SELECT lower(host) AS host, prefix,
+               CASE WHEN allow THEN 1 ELSE 0 END AS al
+        FROM {robots_sql}
+    ),
+    m AS (
+        SELECT url, prefix, al,
+               ROW_NUMBER() OVER (
+                   PARTITION BY url
+                   ORDER BY length(prefix) DESC, al DESC, prefix DESC
+               ) AS rn
+        FROM parsed JOIN rules USING (host)
+        WHERE starts_with(path, prefix)
+    )
+    SELECT p.url, p.host, b.prefix AS matched_prefix,
+           (b.al IS NULL OR b.al = 1) AS allowed
+    FROM parsed p LEFT JOIN (SELECT * FROM m WHERE rn = 1) b USING (url)
+    """

@@ -449,3 +449,72 @@ def frame_sample(media: DataFrame, every_ms: int = 250, fake: bool = True) -> Da
             )
 
     return ts.mapInPandas(batches, schema="media_id bigint, frame_ts_ms int, frame binary")
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, kind string, src_w int, src_h int, "
+    "dst_w int, dst_h int, payload binary"
+)
+
+
+def resize_image(
+    media: DataFrame, dst_w: int, dst_h: int, fake: bool = False
+) -> DataFrame:
+    """Image payload → nearest-neighbor resized BMP payload (media_id,
+    kind, src_w, src_h, dst_w, dst_h, payload) via mapInPandas — the
+    thumbnail / model-input normalization stage of a multimodal
+    pipeline. Nearest-neighbor with floor((i + 0.5) * src / dst) index
+    mapping (OpenCV INTER_NEAREST semantics) in pure integer-safe
+    arithmetic, so the output bytes are deterministic across engines,
+    batch shapes, and partitioning; re-encoded as 24-bit BMP (the
+    repo's codec-less interchange format). Real decode path only for
+    BMP/PPM/PNG (decode_image); JPEG etc. raise NotImplementedError
+    from the kernel. fake=True keeps the plumbing testable for opaque
+    formats: a deterministic sha256-derived pixel grid of the target
+    size stands in for the decoded source.
+
+    Scale shape: one Arrow-batched pass, no shuffle; output rows are
+    bounded by dst_w*dst_h*3 bytes regardless of input size."""
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "kind", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sw, sh, out = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                if fake:
+                    w = h = 0
+                    seed = hashlib.sha256(raw).digest()
+                    px = [
+                        tuple(
+                            hashlib.sha256(seed + b"%d" % i).digest()[j]
+                            for j in range(3)
+                        )
+                        for i in range(dst_w * dst_h)
+                    ]
+                else:
+                    w, h, pixels = decode_image(raw)
+                    px = [
+                        pixels[
+                            ((r * 2 + 1) * h // (2 * dst_h)) * w
+                            + ((c * 2 + 1) * w // (2 * dst_w))
+                        ]
+                        for r in range(dst_h)
+                        for c in range(dst_w)
+                    ]
+                sw.append(w)
+                sh.append(h)
+                out.append(encode_bmp(dst_w, dst_h, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "src_w": pd.array(sw, dtype="int32"),
+                    "src_h": pd.array(sh, dtype="int32"),
+                    "dst_w": pd.array([dst_w] * len(out), dtype="int32"),
+                    "dst_h": pd.array([dst_h] * len(out), dtype="int32"),
+                    "payload": out,
+                }
+            )
+
+    return imgs.mapInPandas(batches, schema=RESIZE_SCHEMA)

@@ -325,3 +325,60 @@ def graph_diff_sql(old_sql: str, new_sql: str) -> str:
     UNION ALL
     SELECT 'remove' AS op, * FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
     """
+
+
+# --- blank-node skolemization (RDF 1.1 §3.5) ---------------------------------------
+
+SKOLEM_PREFIX = "https://example.org/.well-known/genid/"
+
+
+def skolemize(triples: DataFrame, prefix: str = SKOLEM_PREFIX) -> DataFrame:
+    """Replace every blank node (subj starting '_:', or a non-IRI
+    NULL-datatype object — the engine's third term kind, turtle.py
+    term model) with a Skolem IRI per RDF 1.1 §3.5 well-known genid:
+    ``<prefix> + md5(src_url ':' label)``. Labels are document-scoped
+    (RDF spec), so the hash keys on (src_url, label) — the same label
+    in two documents yields two IRIs, while every occurrence within a
+    document converges on one. After skolemization the graph is
+    blank-free: joins, sameAs canonicalization, SPARQL and the page
+    pipeline all treat former blanks as ordinary IRIs, and results
+    from different runs/partitions are directly comparable (the whole
+    point of skolemizing before a distributed pipeline).
+
+    Scale shape: pure map-side column expressions — no shuffle, no UDF."""
+
+    def sk(label):
+        return F.concat(
+            F.lit(prefix), F.md5(F.concat_ws(":", F.col("src_url"), label))
+        )
+
+    blank_s = F.col("subj").startswith("_:")
+    blank_o = (
+        (~F.col("obj_is_iri"))
+        & F.col("obj_datatype").isNull()
+        & F.col("obj").startswith("_:")
+    )
+    rewritten = {
+        "subj": F.when(blank_s, sk(F.col("subj"))).otherwise(F.col("subj")),
+        "obj": F.when(blank_o, sk(F.col("obj"))).otherwise(F.col("obj")),
+        "obj_is_iri": F.col("obj_is_iri") | blank_o,
+    }
+    return triples.select(
+        *[rewritten[c].alias(c) if c in rewritten else F.col(c)
+          for c in triples.columns]
+    )
+
+
+def skolemize_sql(triples_sql: str, prefix: str = SKOLEM_PREFIX) -> str:
+    sk = lambda col: f"'{prefix}' || md5(src_url || ':' || {col})"  # noqa: E731
+    return f"""
+    SELECT CASE WHEN starts_with(subj, '_:') THEN {sk('subj')} ELSE subj END AS subj,
+           pred,
+           CASE WHEN NOT obj_is_iri AND obj_datatype IS NULL
+                     AND starts_with(obj, '_:')
+                THEN {sk('obj')} ELSE obj END AS obj,
+           (obj_is_iri OR (NOT obj_is_iri AND obj_datatype IS NULL
+                           AND starts_with(obj, '_:'))) AS obj_is_iri,
+           obj_datatype, src_url
+    FROM {triples_sql}
+    """

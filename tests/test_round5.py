@@ -1,0 +1,155 @@
+"""Round-5 operator semantics on planted fixtures (the oracle gate
+covers corpus-scale behavior; these pin edge cases and precedence)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from rdf2smw_spark.extract import robots_gate
+from rdf2smw_spark.operators import graph as gr
+
+
+def _pages(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_robots_gate_precedence_and_normalization(spark):
+    robots = spark.createDataFrame(
+        [
+            ("src1.example.org", "/doc/", False),
+            ("src1.example.org", "/doc/1", True),   # longest match wins
+            ("src2.example.org", "/doc/3", False),
+            ("src2.example.org", "/doc/3", True),   # tie -> allow wins
+            ("src4.example.org", "/", False),        # blanket deny
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    pages = _pages(spark, [
+        "https://src1.example.org/doc/12",            # allow override
+        "https://src1.example.org/doc/25",            # /doc/ deny
+        "https://tracker.src1.example.org/doc/25",    # exact-host: unruled
+        "https://src2.example.org/doc/33",            # tie -> allowed
+        "https://src4.example.org",                   # empty path -> '/'
+        "https://user@SRC1.example.org:8443/doc/25",  # userinfo/port/case
+        "https://src9.example.org/doc/7?q=1",         # query ignored, unruled
+    ])
+    out = {r["url"]: r for r in robots_gate(pages, robots).collect()}
+    assert out["https://src1.example.org/doc/12"]["allowed"]
+    assert out["https://src1.example.org/doc/12"]["matched_prefix"] == "/doc/1"
+    assert not out["https://src1.example.org/doc/25"]["allowed"]
+    assert out["https://tracker.src1.example.org/doc/25"]["allowed"]
+    assert out["https://tracker.src1.example.org/doc/25"]["matched_prefix"] is None
+    assert out["https://src2.example.org/doc/33"]["allowed"]
+    assert not out["https://src4.example.org"]["allowed"]
+    assert out["https://src4.example.org"]["matched_prefix"] == "/"
+    assert not out["https://user@SRC1.example.org:8443/doc/25"]["allowed"]
+    assert out["https://src9.example.org/doc/7?q=1"]["allowed"]
+
+
+def _triples(spark, edges):
+    rows = [(s, "http://e/p", o, True, None) for s, o in edges]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string",
+    )
+
+
+def test_adamic_adar_scores_and_exclusions(spark):
+    # z is a common neighbor of u, v, w (deg 3); u-v is ALREADY linked
+    # so only (u,w) and (v,w) may be predicted, each scoring 1/ln(3).
+    out = gr.adamic_adar(
+        _triples(spark, [("u", "z"), ("v", "z"), ("w", "z"), ("u", "v")])
+    ).collect()
+    pairs = {(r["u"], r["v"]): r for r in out}
+    assert set(pairs) == {("u", "w"), ("v", "w")}
+    expected = 1.0 / math.log(3.0)
+    for r in pairs.values():
+        assert r["n_common"] == 1
+        assert abs(r["score"] - expected) < 1e-9
+    # deterministic ordering: equal score -> (u, v) lexicographic
+    ranks = {(r["u"], r["v"]): r["rank"] for r in out}
+    assert ranks[("u", "w")] == 1 and ranks[("v", "w")] == 2
+
+
+def test_adamic_adar_hub_cap_prunes_middle(spark):
+    # hub h has degree 4 > cap 3: wedges through it must vanish
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("d", "h")]
+    assert gr.adamic_adar(_triples(spark, edges), hub_cap=3).count() == 0
+    assert gr.adamic_adar(_triples(spark, edges), hub_cap=4).count() == 6
+
+
+def test_adamic_adar_deterministic_across_parallelism(spark):
+    edges = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60) if i != (i * 7) % 23]
+    t = _triples(spark, edges)
+    a = sorted(map(tuple, gr.adamic_adar(t.coalesce(1)).collect()))
+    b = sorted(map(tuple, gr.adamic_adar(t.repartition(16)).collect()))
+    assert a == b
+
+
+def test_resize_image_nearest_exact(spark):
+    from rdf2smw_spark.operators import multimodal as mm
+
+    # 4x4 quadrant image: downsample to 2x2 must pick one pixel per
+    # quadrant (nearest-neighbor index floor((i+0.5)*src/dst) = 1, 3)
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    px = [q[(r // 2) * 2 + (c // 2)] for r in range(4) for c in range(4)]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_bmp(4, 4, px)))],
+        "media_id long, kind string, payload binary",
+    )
+    row = mm.resize_image(media, 2, 2).collect()[0]
+    assert (row["src_w"], row["src_h"], row["dst_w"], row["dst_h"]) == (4, 4, 2, 2)
+    w, h, out_px = mm.decode_image(bytes(row["payload"]))
+    assert (w, h) == (2, 2)
+    assert out_px == q
+
+
+def test_resize_image_upsample_and_determinism(spark):
+    from rdf2smw_spark.operators import multimodal as mm
+
+    px = [(10 * i, 20 * i, 30 * i) for i in range(4)]  # 2x2
+    payload = bytearray(mm.encode_bmp(2, 2, px))
+    media = spark.createDataFrame(
+        [(i, "image", payload) for i in range(8)],
+        "media_id long, kind string, payload binary",
+    )
+    a = {r["media_id"]: bytes(r["payload"])
+         for r in mm.resize_image(media.coalesce(1), 3, 3).collect()}
+    b = {r["media_id"]: bytes(r["payload"])
+         for r in mm.resize_image(media.repartition(8), 3, 3).collect()}
+    assert a == b
+    w, h, out_px = mm.decode_image(a[0])
+    assert (w, h) == (3, 3)
+    # row/col source index for dst 3 from src 2: floor((2i+1)*2/6) = 0,1,1
+    m = [0, 1, 1]
+    assert out_px == [px[m[r] * 2 + m[c]] for r in range(3) for c in range(3)]
+
+
+def test_skolemize_scoping_and_idempotence(spark):
+    from rdf2smw_spark.operators.sameas import SKOLEM_PREFIX, skolemize
+
+    rows = [
+        # same label in the SAME document -> one IRI for both positions
+        ("_:b1", "http://e/p", "x", False, "http://www.w3.org/2001/XMLSchema#string", "doc1"),
+        ("http://e/s", "http://e/q", "_:b1", False, None, "doc1"),
+        # same label in ANOTHER document -> a different IRI
+        ("_:b1", "http://e/p", "y", False, "http://www.w3.org/2001/XMLSchema#string", "doc2"),
+        # plain literal whose text merely LOOKS like a label: untouched
+        ("http://e/s", "http://e/r", "_:b1", False,
+         "http://www.w3.org/2001/XMLSchema#string", "doc1"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_datatype string, src_url string",
+    )
+    out = skolemize(t).collect()
+    subj1 = [r for r in out if r["pred"] == "http://e/p" and r["src_url"] == "doc1"][0]["subj"]
+    obj1 = [r for r in out if r["pred"] == "http://e/q"][0]
+    subj2 = [r for r in out if r["src_url"] == "doc2"][0]["subj"]
+    lit = [r for r in out if r["pred"] == "http://e/r"][0]
+    assert subj1.startswith(SKOLEM_PREFIX) and subj1 == obj1["obj"]
+    assert obj1["obj_is_iri"]                      # former blank is now an IRI
+    assert subj2.startswith(SKOLEM_PREFIX) and subj2 != subj1
+    assert lit["obj"] == "_:b1" and not lit["obj_is_iri"]  # typed literal kept
+    # idempotent: a second pass finds no blanks
+    assert sorted(map(tuple, skolemize(skolemize(t)).collect())) == sorted(map(tuple, out))
