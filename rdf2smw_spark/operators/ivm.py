@@ -169,35 +169,37 @@ def maintain_count_view(
 # JOIN views — the counting algorithm (r4 verdict #3b)
 # --------------------------------------------------------------------------
 #
-# A two-pattern join view   V = γ_keys COUNT(*) (P1 ⋈ P2)   is not
+# An N-pattern join view   V = γ_keys COUNT(*) (P1 ⋈ ... ⋈ PN)   is not
 # single-source decomposable (a delta triple joins against base
 # triples), but it IS maintainable without touching the base via the
 # classic counting algorithm: maintain, per pattern, the PARTIAL COUNT
-# relation   γ_{gi} COUNT(*) (Pi)   where gi = vars(Pi) ∩ (join vars ∪
+# relation   γ_{gi} COUNT(*) (Pi)   where gi = vars(Pi) ∩ (shared vars ∪
 # GROUP BY keys). Each partial is single-source (one pattern = one
 # triple per solution) and therefore count-additive under deltas; the
-# view is re-derived from the two partials alone:
+# view is re-derived from the partials alone:
 #
-#     V(keys) = Σ_{join vars} c1 · c2
+#     V(keys) = Σ_{shared vars} c1 · c2 · ... · cN
 #
-# a join between two AGGREGATED relations whose sizes are bounded by
+# a chain join between AGGREGATED relations whose sizes are bounded by
 # the number of distinct group values — at a 10^12-triple corpus the
 # partials are the slim dimension tables (distinct classes, predicates,
 # entities with the pattern), never the fact stream. Per drain the work
-# is merge(|partial| + |partial(Δ)|) plus one partials-join.
+# is merge(|partial| + |partial(Δ)|) per pattern plus one partials-join.
+# The join graph must be CONNECTED (cartesians rejected) and the chain
+# order is the deterministic greedy order of _join_order.
 
 
 def _join_view_query(query_text: str) -> tuple:
-    """Parse + validate a join-count view. Returns (query, tp1, tp2,
+    """Parse + validate a join-count view. Returns (query, patterns,
     key_cols, count_aliases) or raises SparqlSyntaxError."""
     from rdf2smw_spark.sparql import Iri
 
     q = _view_query(query_text)
     pats = [el for el in q.where.elements if isinstance(el, TriplePattern)]
     others = [el for el in q.where.elements if not isinstance(el, TriplePattern)]
-    if len(pats) != 2 or others:
+    if len(pats) < 2 or others:
         raise SparqlSyntaxError(
-            "join count views support exactly two triple patterns "
+            "join count views support two or more triple patterns "
             "(no filters/unions/optionals)"
         )
     for tp in pats:
@@ -218,71 +220,109 @@ def _join_view_query(query_text: str) -> tuple:
             )
     if not counts:
         raise SparqlSyntaxError("join count views need a COUNT")
-    return q, pats[0], pats[1], keys, counts
+    return q, pats, keys, counts
 
 
 def _pattern_vars(tp) -> set:
     return {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, Var)}
 
 
+def _join_order(pats) -> list[int] | None:
+    """A pattern order in which every pattern (after the first) shares
+    ≥1 variable with the patterns before it — exists iff the join graph
+    is connected (no cartesian anywhere). Deterministic greedy: start
+    at pattern 0, take the lowest-index connectable next."""
+    order = [0]
+    seen = set(_pattern_vars(pats[0]))
+    rest = set(range(1, len(pats)))
+    while rest:
+        nxt = next(
+            (i for i in sorted(rest) if _pattern_vars(pats[i]) & seen), None
+        )
+        if nxt is None:
+            return None
+        order.append(nxt)
+        seen |= _pattern_vars(pats[nxt])
+        rest.discard(nxt)
+    return order
+
+
 def is_join_delta_decomposable(query_text: str) -> bool:
-    """True when the view is a two-pattern join + bare COUNTs that the
-    counting algorithm maintains exactly: ≥1 shared variable (no
-    cartesian), keys ⊆ pattern vars."""
+    """True when the view is an N-pattern (N ≥ 2) join + bare COUNTs
+    that the counting algorithm maintains exactly: connected join graph
+    (no cartesian), keys ⊆ pattern vars."""
     try:
-        _q, tp1, tp2, keys, _counts = _join_view_query(query_text)
+        _q, pats, keys, _counts = _join_view_query(query_text)
     except SparqlSyntaxError:
         return False
-    v1, v2 = _pattern_vars(tp1), _pattern_vars(tp2)
-    return bool(v1 & v2) and set(keys) <= (v1 | v2)
+    all_vars = set().union(*(_pattern_vars(tp) for tp in pats))
+    return _join_order(pats) is not None and set(keys) <= all_vars
 
 
-def _partial_group_cols(tp1, tp2, keys) -> tuple[list, list, list]:
-    """(g1, g2, join_vars): each partial groups by its pattern's vars
-    that the join or the projection still needs; everything else is
-    counted out map-side."""
-    v1, v2 = _pattern_vars(tp1), _pattern_vars(tp2)
-    join_vars = sorted(v1 & v2)
-    need = set(join_vars) | set(keys)
-    return sorted(v1 & need), sorted(v2 & need), join_vars
+def _partial_group_cols(pats, keys) -> tuple[list[list], list]:
+    """(per-pattern group cols, shared vars): each partial groups by
+    its pattern's vars that any OTHER pattern or the projection still
+    needs; everything else is counted out map-side. The factorization
+    is exact because a counted-out var is private to its pattern."""
+    shared = set()
+    for i, tp in enumerate(pats):
+        for j, other in enumerate(pats):
+            if i != j:
+                shared |= _pattern_vars(tp) & _pattern_vars(other)
+    need = shared | set(keys)
+    return [sorted(_pattern_vars(tp) & need) for tp in pats], sorted(shared)
 
 
 def join_count_partials(
     triples: DataFrame, query_text: str
-) -> tuple[DataFrame, DataFrame]:
-    """The two maintained partial-count relations over `triples`
+) -> tuple[DataFrame, ...]:
+    """The N maintained partial-count relations over `triples`
     (columns: the pattern's needed vars + `__c`). Each is one
     pred-filtered scan + one slim groupBy — map-side partial
     aggregation, no join."""
     from rdf2smw_spark.sparql import _pattern_df
 
-    _q, tp1, tp2, keys, _counts = _join_view_query(query_text)
+    _q, pats, keys, _counts = _join_view_query(query_text)
     if not is_join_delta_decomposable(query_text):
         raise SparqlSyntaxError(
             "view is not join-delta-decomposable — recompute instead"
         )
-    g1, g2, _jv = _partial_group_cols(tp1, tp2, keys)
-    p1 = _pattern_df(triples, tp1).groupBy(*g1).agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
+    groups, _shared = _partial_group_cols(pats, keys)
+    return tuple(
+        _pattern_df(triples, tp).groupBy(*g).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        for tp, g in zip(pats, groups)
     )
-    p2 = _pattern_df(triples, tp2).groupBy(*g2).agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
-    return p1, p2
 
 
 def join_count_view_from_partials(
-    p1: DataFrame, p2: DataFrame, query_text: str
+    partials, query_text: str
 ) -> DataFrame:
-    """Re-derive the view from the two partials: join on the shared
-    vars, per-key sum of count products. Exactly equals recomputing the
-    query over the base the partials describe."""
-    _q, tp1, tp2, keys, counts = _join_view_query(query_text)
-    _g1, _g2, join_vars = _partial_group_cols(tp1, tp2, keys)
-    joined = p1.withColumnRenamed("__c", "__c1").join(
-        p2.withColumnRenamed("__c", "__c2"), join_vars
-    )
-    prod = (F.col("__c1") * F.col("__c2")).cast("long")
+    """Re-derive the view from the partials: chain-join them in a
+    connected order on the variables shared so far, then per-key sum of
+    count products. Exactly equals recomputing the query over the base
+    the partials describe — for any assignment of the retained vars the
+    solution count factors across patterns (counted-out vars are
+    pattern-private). `partials` is the sequence join_count_partials
+    returned, in pattern order."""
+    partials = list(partials)
+    _q, pats, keys, counts = _join_view_query(query_text)
+    order = _join_order(pats)
+    groups, _shared = _partial_group_cols(pats, keys)
+    first = order[0]
+    joined = partials[first].withColumnRenamed("__c", f"__c{first}")
+    have = set(groups[first])
+    for i in order[1:]:
+        on = sorted(have & set(groups[i]))
+        joined = joined.join(
+            partials[i].withColumnRenamed("__c", f"__c{i}"), on
+        )
+        have |= set(groups[i])
+    prod = F.col(f"__c{order[0]}")
+    for i in order[1:]:
+        prod = prod * F.col(f"__c{i}")
+    prod = prod.cast("long")
     aggs = [F.coalesce(F.sum(prod), F.lit(0)).cast("long").alias(c)
             for c in counts]
     out = joined.groupBy(*keys).agg(*aggs)
@@ -296,22 +336,22 @@ def join_count_view_from_partials(
 
 
 def maintain_join_count_partials(
-    partials: tuple[DataFrame, DataFrame],
+    partials,
     query_text: str,
     delta_plus: DataFrame | None = None,
     delta_minus: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Advance both partials by a triple delta — each is a plain
+) -> tuple[DataFrame, ...]:
+    """Advance every partial by a triple delta — each is a plain
     count-additive merge (union + groupBy on the slim group cols; zero
     groups drop, they contribute no join matches). The base triples are
     never read; callers then re-derive the view with
     join_count_view_from_partials."""
     from rdf2smw_spark.sparql import _pattern_df
 
-    _q, tp1, tp2, keys, _counts = _join_view_query(query_text)
-    g1, g2, _jv = _partial_group_cols(tp1, tp2, keys)
+    _q, pats, keys, _counts = _join_view_query(query_text)
+    groups, _shared = _partial_group_cols(pats, keys)
     out = []
-    for tp, g, old in ((tp1, g1, partials[0]), (tp2, g2, partials[1])):
+    for tp, g, old in zip(pats, groups, partials):
         parts = [old]
         if delta_plus is not None:
             parts.append(
@@ -332,4 +372,10 @@ def maintain_join_count_partials(
             F.sum("__c").cast("long").alias("__c")
         ).filter(F.col("__c") != 0)
         out.append(merged)
-    return out[0], out[1]
+    return tuple(out)
+
+
+def join_view_pattern_count(query_text: str) -> int:
+    """Number of triple patterns (= partial relations) of a join view —
+    the snapshot layout contract for streaming maintainers."""
+    return len(_join_view_query(query_text)[1])

@@ -116,7 +116,13 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
     entails but the graph does not assert, tagged with the
     lexicographically-first rule that derives each (deterministic at
     any parallelism). Input is the standard triple frame."""
-    base = triples.select("subj", "pred", "obj", "obj_is_iri").distinct()
+    # base feeds five rule branches plus the final anti-join: persist the
+    # PROJECTION, not a distinct() of it — the full-corpus distinct is a
+    # shuffle whose only effect (set semantics) the derived-side groupBy
+    # and the types distinct() re-establish anyway; duplicate asserted
+    # triples merely repeat broadcast-join probes (measured: dropping it
+    # removes one ~|corpus| shuffle from the critical path)
+    base = scoped_persist(triples.select("subj", "pred", "obj", "obj_is_iri"))
 
     def _schema_edges(pred_uri: str) -> DataFrame:
         return triples.filter(
@@ -180,8 +186,24 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
         .groupBy("subj", "pred", "obj", "obj_is_iri")
         .agg(F.min("rule").alias("rule"))
     )
+    # every derived triple's predicate is schema-bounded: rdf:type /
+    # subClassOf / subPropertyOf, or a subp ancestor (rdfs7). Restrict
+    # the anti-join's probe side to those predicates with a broadcast
+    # semi-join so the "already asserted?" check shuffles a schema-sized
+    # slice of the corpus, not all of it.
+    derivable_preds = (
+        subp.select(F.col("anc").alias("pred"))
+        .unionByName(
+            subp.sparkSession.createDataFrame(
+                [(TYPE_PROPERTY_URI,), (SUBCLASS_PROPERTY_URI,), (SUBPROPERTY_URI,)],
+                "pred string",
+            )
+        )
+        .distinct()
+    )
+    asserted = base.join(F.broadcast(derivable_preds), "pred", "semi")
     return derived.join(
-        base.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
+        asserted.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
     )
 
 

@@ -2924,7 +2924,7 @@ def q_kg_sparql_ivm_join(spark, sf_dir):
     base, delta = t.filter(~delta_cond), t.filter(delta_cond)
     partials = join_count_partials(base, view_q)
     partials = maintain_join_count_partials(partials, view_q, delta_plus=delta)
-    return join_count_view_from_partials(*partials, view_q)
+    return join_count_view_from_partials(partials, view_q)
 
 
 QUERIES["kg_sparql_ivm_join"] = q_kg_sparql_ivm_join
@@ -2936,6 +2936,48 @@ FROM (SELECT subj, obj FROM t
 JOIN (SELECT subj, obj FROM t WHERE pred = '{_BGP_TYPE}') ty
   ON ty.subj = ord.obj
 GROUP BY ty.obj
+"""
+
+
+def q_kg_sparql_ivm_join3(spark, sf_dir):
+    """N-pattern IVM (r5): a THREE-pattern star join view maintained by
+    the generalized counting algorithm — per-order status/priority/
+    customer patterns as three partial-count relations over ~⅞ of the
+    graph, advanced with the held-out slice as a crawl delta, view
+    re-derived as the chain join Σ c1·c2·c3. Oracle recomputes over the
+    full graph."""
+    from rdf2smw_spark.operators.ivm import (
+        join_count_partials,
+        join_count_view_from_partials,
+        maintain_join_count_partials,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?st (COUNT(?o) AS ?n)
+        WHERE { ?o ont:customer ?s . ?o ont:orderstatus ?st .
+                ?o ont:priority ?p . } GROUP BY ?st
+    """
+    t = testdata_triples(spark, sf_dir)
+    delta_cond = F.md5(F.concat("subj", "pred", "obj")).startswith("a")
+    base, delta = t.filter(~delta_cond), t.filter(delta_cond)
+    partials = join_count_partials(base, view_q)
+    partials = maintain_join_count_partials(partials, view_q, delta_plus=delta)
+    return join_count_view_from_partials(partials, view_q)
+
+
+QUERIES["kg_sparql_ivm_join3"] = q_kg_sparql_ivm_join3
+ORACLES["kg_sparql_ivm_join3"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT st.obj AS st, COUNT(*) AS n
+FROM (SELECT subj FROM t
+      WHERE pred = 'http://example.org/onto#customer') cust
+JOIN (SELECT subj, obj FROM t
+      WHERE pred = 'http://example.org/onto#orderstatus') st
+  ON st.subj = cust.subj
+JOIN (SELECT subj FROM t
+      WHERE pred = 'http://example.org/onto#priority') pr
+  ON pr.subj = cust.subj
+GROUP BY st.obj
 """
 
 

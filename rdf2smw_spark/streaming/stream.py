@@ -696,6 +696,7 @@ def run_stream_sparql_view(
         is_join_delta_decomposable,
         join_count_partials,
         join_count_view_from_partials,
+        join_view_pattern_count,
         maintain_count_view,
         maintain_join_count_partials,
     )
@@ -704,8 +705,10 @@ def run_stream_sparql_view(
 
     if is_delta_decomposable(view_query):
         join_mode = False
+        n_pats = 0
     elif is_join_delta_decomposable(view_query):
         join_mode = True
+        n_pats = join_view_pattern_count(view_query)
     else:
         raise SparqlSyntaxError(
             "view is neither single-source nor join-delta-decomposable "
@@ -739,9 +742,9 @@ def run_stream_sparql_view(
                 with open(marker) as fh:
                     applied = set(_json.load(fh)["files"])
                 if join_mode:
-                    snap = (
-                        spark.read.parquet(_os.path.join(vdir, "p1")),
-                        spark.read.parquet(_os.path.join(vdir, "p2")),
+                    snap = tuple(
+                        spark.read.parquet(_os.path.join(vdir, f"p{i + 1}"))
+                        for i in range(n_pats)
                     )
                 else:
                     snap = spark.read.parquet(vdir)
@@ -778,17 +781,17 @@ def run_stream_sparql_view(
                 partials = maintain_join_count_partials(
                     old, view_query, delta_plus=delta
                 )
-            partials[0].write.mode("overwrite").parquet(
-                _os.path.join(vdir, "p1")
-            )
-            partials[1].write.mode("overwrite").parquet(
-                _os.path.join(vdir, "p2")
-            )
+            for i, p in enumerate(partials):
+                p.write.mode("overwrite").parquet(
+                    _os.path.join(vdir, f"p{i + 1}")
+                )
             # re-derive the view from the WRITTEN partials (one slim
             # partials-join), so the stored view and partials agree
             join_count_view_from_partials(
-                spark.read.parquet(_os.path.join(vdir, "p1")),
-                spark.read.parquet(_os.path.join(vdir, "p2")),
+                [
+                    spark.read.parquet(_os.path.join(vdir, f"p{i + 1}"))
+                    for i in range(n_pats)
+                ],
                 view_query,
             ).write.mode("overwrite").parquet(_os.path.join(vdir, "view"))
         else:

@@ -307,10 +307,15 @@ def test_join_view_decomposable_classification():
         SELECT ?c (COUNT(?s) AS ?n)
         WHERE { ?s a ?c . ?x ex:p ?o . } GROUP BY ?c
     """)
-    # three patterns rejected
-    assert not is_join_delta_decomposable(PRE + """
+    # three CONNECTED patterns accepted (N-pattern counting algorithm)
+    assert is_join_delta_decomposable(PRE + """
         SELECT ?c (COUNT(?s) AS ?n)
         WHERE { ?s a ?c . ?s ex:p ?o . ?o ex:q ?z . } GROUP BY ?c
+    """)
+    # three patterns with a DISCONNECTED component still rejected
+    assert not is_join_delta_decomposable(PRE + """
+        SELECT ?c (COUNT(?s) AS ?n)
+        WHERE { ?s a ?c . ?s ex:p ?o . ?w ex:q ?z . } GROUP BY ?c
     """)
 
 
@@ -320,8 +325,8 @@ def test_join_view_from_partials_equals_recompute(spark, jframes):
         join_count_view_from_partials,
     )
 
-    p1, p2 = join_count_partials(jframes, JVIEW)
-    view = join_count_view_from_partials(p1, p2, JVIEW)
+    partials = join_count_partials(jframes, JVIEW)
+    view = join_count_view_from_partials(partials, JVIEW)
     got = {r["c"]: r["n"] for r in view.collect()}
     assert got == _recompute(jframes, JVIEW) == {EX + "X": 3, EX + "Y": 1}
 
@@ -341,7 +346,7 @@ def test_join_view_insert_remove_vanish(spark, jframes):
         TRIPLE_SCHEMA,
     )
     partials = maintain_join_count_partials(partials, JVIEW, delta_plus=plus)
-    view = join_count_view_from_partials(*partials, JVIEW)
+    view = join_count_view_from_partials(partials, JVIEW)
     updated = jframes.unionByName(plus)
     got = {r["c"]: r["n"] for r in view.collect()}
     assert got == _recompute(updated, JVIEW) == {EX + "X": 4, EX + "Y": 2}
@@ -351,7 +356,7 @@ def test_join_view_insert_remove_vanish(spark, jframes):
         [jt("c", "a", "Y"), jt("d", "a", "Y")], TRIPLE_SCHEMA
     )
     partials = maintain_join_count_partials(partials, JVIEW, delta_minus=minus)
-    view = join_count_view_from_partials(*partials, JVIEW)
+    view = join_count_view_from_partials(partials, JVIEW)
     remaining = updated.join(
         minus.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
     )
@@ -370,7 +375,7 @@ def test_join_view_global_zero_row(spark, jframes):
     gq = PRE + "SELECT (COUNT(?s) AS ?n) WHERE { ?s a ?c . ?s ex:p ?o . }"
     partials = join_count_partials(jframes, gq)
     partials = maintain_join_count_partials(partials, gq, delta_minus=jframes)
-    view = join_count_view_from_partials(*partials, gq)
+    view = join_count_view_from_partials(partials, gq)
     assert [r["n"] for r in view.collect()] == [0]
 
 
@@ -420,3 +425,87 @@ def test_streaming_join_view_across_drains(spark, tmp_path):
     allt = parse_ntriples_lines(lines).filter("error IS NULL")
     re_m = {r["c"]: r["n"] for r in sparql_select(allt, view_q).collect()}
     assert as_map(v2) == re_m
+
+
+def test_three_pattern_join_view_maintained(spark):
+    """N-pattern counting algorithm: a 3-pattern chain view maintained
+    through insert AND delete equals recompute at every step."""
+    from rdf2smw_spark.operators.ivm import (
+        join_count_partials,
+        join_count_view_from_partials,
+        maintain_join_count_partials,
+    )
+
+    q3 = PRE + """
+        SELECT ?c (COUNT(?s) AS ?n)
+        WHERE { ?s a ?c . ?s ex:p ?o . ?o ex:q ?z . } GROUP BY ?c
+    """
+    base = spark.createDataFrame(
+        [jt("a", "a", "X"), jt("b", "a", "X"), jt("c", "a", "Y"),
+         jt("a", "p", "o1"), jt("b", "p", "o1"), jt("c", "p", "o2"),
+         jt("o1", "q", "z1"), jt("o1", "q", "z2")],
+        TRIPLE_SCHEMA,
+    )
+    partials = join_count_partials(base, q3)
+    view = join_count_view_from_partials(partials, q3)
+    got = {r["c"]: r["n"] for r in view.collect()}
+    # a and b each reach z1+z2 through o1; c's o2 has no q edge
+    assert got == _recompute(base, q3) == {EX + "X": 4}
+
+    # insert: o2 gains a q edge -> Y appears; X gains nothing
+    plus = spark.createDataFrame([jt("o2", "q", "z9")], TRIPLE_SCHEMA)
+    partials = maintain_join_count_partials(partials, q3, delta_plus=plus)
+    view = join_count_view_from_partials(partials, q3)
+    updated = base.unionByName(plus)
+    got = {r["c"]: r["n"] for r in view.collect()}
+    assert got == _recompute(updated, q3) == {EX + "X": 4, EX + "Y": 1}
+
+    # delete: one of o1's q edges halves X's count
+    minus = spark.createDataFrame([jt("o1", "q", "z2")], TRIPLE_SCHEMA)
+    partials = maintain_join_count_partials(partials, q3, delta_minus=minus)
+    view = join_count_view_from_partials(partials, q3)
+    remaining = updated.join(
+        minus.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "anti"
+    )
+    got = {r["c"]: r["n"] for r in view.collect()}
+    assert got == _recompute(remaining, q3) == {EX + "X": 2, EX + "Y": 1}
+
+
+def test_streaming_three_pattern_join_view(spark, tmp_path):
+    """The streaming runner handles N-pattern join views (pN snapshot
+    layout) across drains."""
+    from rdf2smw_spark.sparql import sparql_select
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in3"
+    src.mkdir()
+    work = str(tmp_path / "work3")
+    TY = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    P, Q = f"<{EX}p>", f"<{EX}q>"
+    q3 = PRE + """
+        SELECT ?c (COUNT(?s) AS ?n)
+        WHERE { ?s a ?c . ?s ex:p ?o . ?o ex:q ?z . } GROUP BY ?c
+    """
+    (src / "b1.nt").write_text(
+        f"<{EX}a> {TY} <{EX}X> .\n<{EX}a> {P} <{EX}o1> .\n"
+        f"<{EX}o1> {Q} <{EX}z1> .\n"
+    )
+    run_stream_sparql_view(spark, str(src), work, q3)
+    (src / "b2.nt").write_text(
+        f"<{EX}b> {TY} <{EX}X> .\n<{EX}b> {P} <{EX}o1> .\n"
+        f"<{EX}o1> {Q} <{EX}z2> .\n"
+    )
+    res = run_stream_sparql_view(spark, str(src), work, q3)
+    assert res["view_rows"] == 1
+    import glob
+    import os
+
+    latest = sorted(
+        glob.glob(os.path.join(work, "view", "v=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )[-1]
+    view = spark.read.parquet(os.path.join(latest, "view"))
+    got = {r["c"]: r["n"] for r in view.collect()}
+    # a and b each reach z1 and z2 through o1
+    assert got == {EX + "X": 4}
+    assert os.path.isdir(os.path.join(latest, "p3"))
