@@ -64,10 +64,10 @@ def pagerank(
     1e12, half-away rounded) so the oracle compare is integer-exact.
 
     Dangling-node mass (out-degree 0) redistributes uniformly each
-    iteration — computed as a 1-row exact-integer aggregate collected
-    to the driver (bounded: one scalar per iteration). Ranks stay
-    distributed; the per-iteration localCheckpoint keeps the plan flat
-    at any iteration count (same discipline as ivf_train/CC)."""
+    iteration — a 1-row exact-integer aggregate broadcast INSIDE the
+    plan (no per-iteration driver collect). Ranks stay distributed;
+    the per-iteration localCheckpoint keeps the plan flat at any
+    iteration count (same discipline as ivf_train/CC)."""
     e = scoped_persist(edges.select("src", "dst").distinct())
     nodes = scoped_persist(
         e.select(F.col("src").alias("uri"))
@@ -92,15 +92,16 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("qc").alias("s"))
         )
-        dm_row = (
-            r_od.filter(F.col("od").isNull())
-            .agg(F.sum(F.expr(_quant("rank"))).alias("dm"))
-            .first()
+        # dangling mass stays IN the plan as a 1-row exact-integer
+        # aggregate broadcast to every row (same arithmetic as the old
+        # driver collect: BIGINT sum, /1e12 then /n in doubles) — one
+        # job per iteration instead of two (collect + checkpoint)
+        dm_f = r_od.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum(F.expr(_quant("rank"))), F.lit(0)).alias("__dm")
         )
-        dm = int(dm_row["dm"] or 0)
-        dm_over = dm / float(_Q) / n  # python: /1e12 then /n — mirrored
         new_rank = (
             nodes.join(contrib, nodes.uri == contrib.dst, "left")
+            .crossJoin(F.broadcast(dm_f))
             .select(
                 "uri",
                 (
@@ -109,7 +110,9 @@ def pagerank(
                     * (
                         F.coalesce(F.col("s"), F.lit(0)).cast("double")
                         / F.lit(float(_Q))
-                        + F.lit(dm_over)
+                        + F.col("__dm").cast("double")
+                        / F.lit(float(_Q))
+                        / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
