@@ -485,20 +485,24 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("qh").alias("s"))
         )
-        at = int(aq.agg(F.sum("s")).first()[0] or 1)
-        new_auth = aq.select(
+        # L1 normalizer stays IN the plan as a broadcast 1-row exact-
+        # integer aggregate (same arithmetic as a driver collect would
+        # produce: BIGINT total, one double division) — one job per
+        # half-iteration instead of two
+        at = aq.agg(F.coalesce(F.sum("s"), F.lit(1)).alias("__t"))
+        new_auth = aq.crossJoin(F.broadcast(at)).select(
             F.col("dst").alias("uri"),
-            (F.col("s").cast("double") / F.lit(float(at))).alias("a"),
+            (F.col("s").cast("double") / F.col("__t").cast("double")).alias("a"),
         ).localCheckpoint(eager=True)
         hq = (
             e.join(new_auth.select(F.col("uri").alias("dst"), F.expr(_quant("a")).alias("qa")), "dst")
             .groupBy("src")
             .agg(F.sum("qa").alias("s"))
         )
-        ht = int(hq.agg(F.sum("s")).first()[0] or 1)
-        new_hub = hq.select(
+        ht = hq.agg(F.coalesce(F.sum("s"), F.lit(1)).alias("__t"))
+        new_hub = hq.crossJoin(F.broadcast(ht)).select(
             F.col("src").alias("uri"),
-            (F.col("s").cast("double") / F.lit(float(ht))).alias("h"),
+            (F.col("s").cast("double") / F.col("__t").cast("double")).alias("h"),
         ).localCheckpoint(eager=True)
         for p in prev:
             p.unpersist()

@@ -370,7 +370,9 @@ def skolemize(triples: DataFrame, prefix: str = SKOLEM_PREFIX) -> DataFrame:
 
 
 def skolemize_sql(triples_sql: str, prefix: str = SKOLEM_PREFIX) -> str:
-    sk = lambda col: f"'{prefix}' || md5(src_url || ':' || {col})"  # noqa: E731
+    # concat_ws in BOTH engines: it skips NULL args (a NULL src_url
+    # still yields a deterministic IRI), where '||' would propagate NULL
+    sk = lambda col: f"'{prefix}' || md5(concat_ws(':', src_url, {col}))"  # noqa: E731
     return f"""
     SELECT CASE WHEN starts_with(subj, '_:') THEN {sk('subj')} ELSE subj END AS subj,
            pred,
