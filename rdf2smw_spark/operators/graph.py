@@ -954,3 +954,150 @@ def adamic_adar_sql(triples_sql: str, k: int = AA_TOPK,
     ORDER BY sq DESC, u, v
     LIMIT {k}
     """
+
+
+# --- personalized PageRank ----------------------------------------------------------
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(uri, rank_e12): PageRank personalized to a seed set — the reset
+    mass (and each iteration's dangling mass) returns uniformly to the
+    SEEDS instead of all nodes, so scores measure proximity to the seed
+    entities (the standard entity-relatedness / retrieval-expansion
+    primitive; Jeh & Widom 2003). `seeds` carries one `uri` column.
+
+    Same execution discipline as pagerank: exact scaled-BIGINT
+    contribution sums, the dangling scalar as a broadcast 1-row
+    aggregate inside the plan, per-iteration localCheckpoint. The seed
+    count is the only driver scalar (bounded, computed once)."""
+    e = scoped_persist(edges.select("src", "dst").distinct())
+    nodes = scoped_persist(
+        e.select(F.col("src").alias("uri"))
+        .unionByName(e.select(F.col("dst").alias("uri")))
+        .distinct()
+        .join(
+            seeds.select("uri").distinct().withColumn("__seed", F.lit(True)),
+            "uri",
+            "left",
+        )
+        .select("uri", F.coalesce("__seed", F.lit(False)).alias("is_seed"))
+    )
+    s = nodes.filter("is_seed").count()
+    if s == 0:
+        raise ValueError("personalized_pagerank needs >= 1 seed in the graph")
+    outdeg = scoped_persist(e.groupBy("src").agg(F.count("*").alias("od")))
+    base = (1 - damping) / s  # python IEEE: (1-d) then /s — mirrored in SQL
+    rank = nodes.withColumn(
+        "rank",
+        F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)),
+    ).localCheckpoint(eager=True)
+    prev_ckpt = rank
+    for _ in range(iters):
+        r_od = rank.join(outdeg, rank.uri == outdeg.src, "left")
+        contrib = (
+            e.join(
+                r_od.select(
+                    F.col("src").alias("__src"),
+                    F.expr(_quant("rank / CAST(od AS DOUBLE)")).alias("qc"),
+                ).filter(F.col("__src").isNotNull()),
+                e.src == F.col("__src"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("qc").alias("s"))
+        )
+        dm_f = r_od.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum(F.expr(_quant("rank"))), F.lit(0)).alias("__dm")
+        )
+        new_rank = (
+            nodes.join(contrib, nodes.uri == contrib.dst, "left")
+            .crossJoin(F.broadcast(dm_f))
+            .select(
+                "uri",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(float(_Q))
+                        + F.when(
+                            F.col("is_seed"),
+                            F.col("__dm").cast("double")
+                            / F.lit(float(_Q))
+                            / F.lit(float(s)),
+                        ).otherwise(F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_ckpt.unpersist()
+        prev_ckpt = new_rank
+        rank = new_rank
+    return rank.select("uri", F.expr(_quant("rank")).alias("rank_e12"))
+
+
+def personalized_pagerank_sql(
+    triples_sql: str,
+    seeds_sql: str,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> str:
+    """Unrolled-CTE DuckDB twin of personalized_pagerank — op order
+    mirrors the Spark plan token-for-token (pagerank_sql pattern)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"""e AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {triples_sql}
+        WHERE obj_is_iri AND subj <> obj
+    ),
+    sd AS (SELECT DISTINCT uri FROM {seeds_sql}),
+    nodes AS (
+        SELECT uri, EXISTS (SELECT 1 FROM sd WHERE sd.uri = nn.uri) AS is_seed
+        FROM (SELECT src AS uri FROM e UNION SELECT dst FROM e) nn
+    ),
+    ns AS (SELECT COUNT(*) AS s FROM nodes WHERE is_seed),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    rank_0 AS (
+        SELECT uri, is_seed,
+               CASE WHEN is_seed THEN CAST(1 AS DOUBLE) / (SELECT s FROM ns)
+                    ELSE CAST(0 AS DOUBLE) END AS rank
+        FROM nodes
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"rank_{it - 1}"
+        parts.append(f"""contrib_{it} AS (
+        SELECT e.dst, SUM({_quant('r.rank / CAST(o.od AS DOUBLE)')}) AS s
+        FROM e
+        JOIN {prev} r ON r.uri = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    dang_{it} AS (
+        SELECT COALESCE(SUM({_quant('r.rank')}), 0) AS dm
+        FROM {prev} r LEFT JOIN outdeg o ON o.src = r.uri
+        WHERE o.src IS NULL
+    ),
+    rank_{it} AS (
+        SELECT n.uri, n.is_seed,
+               CASE WHEN n.is_seed
+                    THEN (CAST(1 AS DOUBLE) - {d}) / (SELECT s FROM ns)
+                    ELSE CAST(0 AS DOUBLE) END
+               + {d} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / {_Q}
+                        + CASE WHEN n.is_seed
+                               THEN (CAST((SELECT dm FROM dang_{it}) AS DOUBLE)
+                                     / {_Q}) / (SELECT s FROM ns)
+                               ELSE CAST(0 AS DOUBLE) END) AS rank
+        FROM nodes n LEFT JOIN contrib_{it} c ON c.dst = n.uri
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT uri, {_quant('rank')} AS rank_e12 FROM rank_{iters}
+    """

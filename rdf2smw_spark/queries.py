@@ -3077,6 +3077,30 @@ ORACLES["kg_adamic_adar"] = (
     f" SELECT * FROM ({gr.adamic_adar_sql('triples')})"
 )
 
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank from the region entities as the seed set —
+    entity relatedness to the seeds (reset AND dangling mass return to
+    seeds only); exact scaled-BIGINT sums vs the unrolled-CTE oracle."""
+    from rdf2smw_spark.sources.testdata import REGION as _R
+
+    t = testdata_triples(spark, sf_dir)
+    seeds = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.concat(F.lit(_R), F.col("r_regionkey").cast("string")).alias("uri")
+    )
+    return gr.personalized_pagerank(gr.link_edges(t), seeds)
+
+
+QUERIES["kg_ppr"] = q_kg_ppr
+ORACLES["kg_ppr"] = (
+    f"WITH triples AS {TRIPLES_SQL} SELECT * FROM ("
+    + gr.personalized_pagerank_sql(
+        "triples",
+        "(SELECT 'http://example.org/region/' || r_regionkey AS uri FROM region)",
+    )
+    + ")"
+)
+
+
 # blank-ification rule shared by the Spark fixture and its SQL mirror:
 # every term whose md5 starts 0-3 (≈ a quarter of the graph) becomes a
 # document-scoped blank label, exercising subject AND object blanks

@@ -153,3 +153,26 @@ def test_skolemize_scoping_and_idempotence(spark):
     assert lit["obj"] == "_:b1" and not lit["obj_is_iri"]  # typed literal kept
     # idempotent: a second pass finds no blanks
     assert sorted(map(tuple, skolemize(skolemize(t)).collect())) == sorted(map(tuple, out))
+
+
+def test_personalized_pagerank_locality(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "uri string")
+    out = {r["uri"]: r["rank_e12"] for r in
+           gr.personalized_pagerank(edges, seeds).collect()}
+    # mass flows a -> b -> c; the disconnected d->e component gets none
+    assert out["a"] > out["b"] > out["c"] > 0
+    assert out["d"] == 0 and out["e"] == 0
+    # total mass stays ~1 (dangling c returns to the seed)
+    assert abs(sum(out.values()) - 10 ** 12) < 10
+
+
+def test_personalized_pagerank_requires_seed_in_graph(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zzz",)], "uri string")
+    with _pytest.raises(ValueError):
+        gr.personalized_pagerank(edges, seeds)
