@@ -2375,6 +2375,45 @@ GROUP BY cls HAVING COUNT(m) >= 5
 """
 
 
+def q_kg_sparql_minus_bind(spark, sf_dir):
+    """MINUS + BIND + SAMPLE + OFFSET from query text — the four §8/§15
+    features no other registered query exercises. Per nation: members
+    that survive a MINUS of negative-balance holders (left-anti join on
+    the shared ?cust key, sparql.py compile_group Minus_ arm), with a
+    BIND-computed uppercase name aggregated via SAMPLE (pinned to MIN so
+    any parallelism returns the same row). OFFSET 3 is applied after the
+    ORDER BY and before LIMIT per §15.1 — deterministic because the sort
+    key is the group key (unique per row)."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?nation (SAMPLE(?uname) AS ?sample_name) (COUNT(?cust) AS ?n_kept)
+        WHERE {
+          ?cust a ?nation .
+          FILTER (STRSTARTS(?nation, "http://example.org/nation/"))
+          ?cust ont:name ?nm .
+          BIND (UCASE(?nm) AS ?uname)
+          MINUS { ?cust ont:acctbal ?bal . FILTER (xsd:double(?bal) < 0) }
+        } GROUP BY ?nation ORDER BY ?nation OFFSET 3 LIMIT 20
+    """)
+
+
+QUERIES["kg_sparql_minus_bind"] = q_kg_sparql_minus_bind
+ORACLES["kg_sparql_minus_bind"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+typ AS (SELECT subj AS cust, obj AS nation FROM t
+        WHERE pred = '{_BGP_TYPE}' AND obj_is_iri
+          AND obj LIKE 'http://example.org/nation/%'),
+nm AS (SELECT subj AS cust, obj AS nm FROM t WHERE pred = '{_BGP_ONT}name'),
+neg AS (SELECT DISTINCT subj AS cust FROM t
+        WHERE pred = '{_BGP_ONT}acctbal' AND TRY_CAST(obj AS DOUBLE) < 0)
+SELECT nation, MIN(UPPER(nm)) AS sample_name, COUNT(cust) AS n_kept
+FROM typ JOIN nm USING (cust) ANTI JOIN neg USING (cust)
+GROUP BY nation ORDER BY nation OFFSET 3 LIMIT 20
+"""
+
+
 def q_kg_sparql_path_values(spark, sf_dir):
     """VALUES-seeded path BGP + ORDER BY/LIMIT from query text: orders
     of customers in two pinned nations. The VALUES table is a broadcast

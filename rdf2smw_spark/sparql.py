@@ -575,10 +575,14 @@ class _Parser:
                     break
             if not order_by:
                 raise SparqlSyntaxError("ORDER BY needs at least one key")
-        if self.accept("KW", "LIMIT"):
-            limit = int(self.expect("NUMBER"))
-        if self.accept("KW", "OFFSET"):
-            offset = int(self.expect("NUMBER"))
+        # §15 LimitOffsetClauses: one LIMIT and one OFFSET, either order
+        while True:
+            if limit is None and self.accept("KW", "LIMIT"):
+                limit = int(self.expect("NUMBER"))
+            elif offset is None and self.accept("KW", "OFFSET"):
+                offset = int(self.expect("NUMBER"))
+            else:
+                break
         return SelectQuery(distinct, items, star, where, group_by, having,
                            order_by, limit, offset)
 

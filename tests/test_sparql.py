@@ -223,6 +223,15 @@ def test_select_star_distinct_offset(graph):
     assert rows(df) == [(EX + "Robot",)]
 
 
+def test_offset_before_limit(graph):
+    # §15 LimitOffsetClauses admits either order; both must parse and
+    # slice identically (OFFSET applied first regardless of spelling)
+    a = sparql_select(graph, PRE + """
+        SELECT DISTINCT ?c WHERE { ?s a ?c . } ORDER BY ?c OFFSET 1 LIMIT 10
+    """)
+    assert rows(a) == [(EX + "Robot",)]
+
+
 def test_order_limit_is_take_ordered(graph):
     df = sparql_select(graph, PRE + """
         SELECT ?s ?o WHERE { ?s ex:knows ?o . } ORDER BY ?s ?o LIMIT 2
