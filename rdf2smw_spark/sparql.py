@@ -41,9 +41,12 @@ raises SparqlSyntaxError rather than mis-executing):
 - ``FILTER [NOT] EXISTS { ... }`` (as the whole filter constraint);
 - builtins ``STR STRLEN STRSTARTS STRENDS CONTAINS UCASE LCASE REGEX
   BOUND COALESCE CONCAT SUBSTR REPLACE STRBEFORE STRAFTER IF ABS ROUND
-  CEIL FLOOR DATATYPE ISIRI ISLITERAL`` and casts
+  CEIL FLOOR DATATYPE ISIRI ISLITERAL ISBLANK ISNUMERIC SAMETERM
+  MD5 SHA1 SHA256 ENCODE_FOR_URI`` and casts
   ``xsd:integer/xsd:double/xsd:string``; arithmetic ``+ - * /``,
-  comparisons, ``&& || !``;
+  comparisons, ``&& || !``, ``[NOT] IN (...)`` (sugar for an
+  equality disjunction, §17.4.1.9; LANG/LANGMATCHES are out of scope
+  because the triple model collapses tags to rdf:langString);
 - solution modifiers ``GROUP BY``, ``HAVING``, ``ORDER BY [ASC|DESC]``
   (keys may reference non-projected variables), ``LIMIT``, ``OFFSET``.
 
@@ -99,6 +102,19 @@ from pyspark.sql import functions as F
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+# the numeric XSD datatypes the ingest paths can emit (N-Triples keeps
+# the written datatype; Turtle numeric shorthand produces
+# integer/decimal/double — sources/turtle.py:62-64) plus the common
+# sub/super types a foreign .nt file may carry, for ISNUMERIC (§17.4.2.4)
+_NUMERIC_DTS = frozenset(
+    XSD + t for t in (
+        "integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+)
 
 
 def _lit_datatype(lit: "Lit") -> str:
@@ -324,7 +340,7 @@ _KEYWORDS = {
     "WHERE", "OPTIONAL", "UNION", "MINUS", "FILTER", "BIND", "VALUES",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
-    "INSERT", "DELETE", "DATA",
+    "INSERT", "DELETE", "DATA", "IN",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -332,21 +348,24 @@ _BUILTIN_FNS = {
     "STR", "STRLEN", "STRSTARTS", "STRENDS", "CONTAINS", "UCASE", "LCASE",
     "REGEX", "BOUND", "COALESCE", "CONCAT", "SUBSTR", "REPLACE",
     "STRBEFORE", "STRAFTER", "IF", "ABS", "ROUND", "CEIL", "FLOOR",
-    "DATATYPE", "ISIRI", "ISLITERAL",
+    "DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
+    "SAMETERM", "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
 }
 
 # builtins that read a variable's term METADATA (kind/datatype) — their
 # Var arguments are pre-registered in the compiler's capture set so the
 # binding pattern emits companion columns (same machinery CONSTRUCT uses)
-_META_FNS = {"DATATYPE", "ISIRI", "ISLITERAL"}
+_META_FNS = {"DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "ISNUMERIC"}
 
 
 def _meta_vars(node) -> set:
-    """Variable names appearing under DATATYPE/ISIRI/ISLITERAL calls."""
+    """Variable names appearing under term-metadata builtin calls."""
     out: set = set()
     if isinstance(node, Call):
         if node.fn in _META_FNS and node.args and isinstance(node.args[0], Var):
             out.add(node.args[0].name)
+        if node.fn == "SAMETERM":  # full term identity: both sides' metadata
+            out |= {a.name for a in node.args if isinstance(a, Var)}
         for a in node.args:
             if a != "*":
                 out |= _meta_vars(a)
@@ -848,7 +867,25 @@ class _Parser:
         if k == "OP" and v in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
             e = BinOp(v, e, self.parse_add())
+        elif k == "KW" and v == "IN":
+            self.next()
+            e = Call("IN", (e, *self._parse_in_list()))
+        elif k == "KW" and v == "NOT" and self.peek(1) == ("KW", "IN"):
+            self.next()
+            self.next()
+            e = Not(Call("IN", (e, *self._parse_in_list())))
         return e
+
+    def _parse_in_list(self) -> tuple:
+        """§17.4.1.9 ExpressionList: '(' [expr (',' expr)*] ')'."""
+        self.expect("OP", "(")
+        items: list = []
+        if not self.accept("OP", ")"):
+            items.append(self.parse_expr())
+            while self.accept("OP", ","):
+                items.append(self.parse_expr())
+            self.expect("OP", ")")
+        return tuple(items)
 
     def parse_add(self):
         e = self.parse_mul()
@@ -1545,25 +1582,118 @@ class _Compiler:
             return args[0].cast("double")
         if c.fn == "CAST_STRING":
             return args[0].cast("string")
+        if c.fn == "MD5":
+            return F.md5(args[0].cast("string"))
+        if c.fn == "SHA1":
+            return F.sha1(args[0].cast("string"))
+        if c.fn == "SHA256":
+            return F.sha2(args[0].cast("string"), 256)
+        if c.fn == "ENCODE_FOR_URI":
+            # url_encode is application/x-www-form-urlencoded (Java
+            # URLEncoder): space->'+', '~'->%7E, '*' kept.  §17.4.2.8
+            # wants RFC 3986 unreserved (ALPHA DIGIT - . _ ~) kept and
+            # everything else percent-encoded, so fix the three deltas:
+            # any '+' in the output IS an encoded space ('+' itself
+            # arrives as %2B), %7E only arises from '~', and a literal
+            # '*' survives only unencoded.
+            enc = F.url_encode(args[0].cast("string"))
+            return F.replace(
+                F.replace(F.replace(enc, F.lit("+"), F.lit("%20")),
+                          F.lit("%7E"), F.lit("~")),
+                F.lit("*"), F.lit("%2A"),
+            )
+        if c.fn == "IN":
+            # §17.4.1.9: sugar for (x = e1 || x = e2 || ...); empty
+            # list is FALSE
+            if len(args) == 1:
+                return F.lit(False)
+            out = args[0] == args[1]
+            for a in args[2:]:
+                out = out | (args[0] == a)
+            return out
+        if c.fn == "SAMETERM":
+            return self._same_term(c, df)
         if c.fn in _META_FNS:
             if not c.args or not isinstance(c.args[0], Var):
                 raise SparqlSyntaxError(f"{c.fn} takes a variable argument")
-            name = c.args[0].name
-            comp_i = f"__isiri_{name}"
-            # no companion => the var was bound in subject/predicate
-            # position, an IRI by the triple model
-            is_iri = F.col(comp_i) if comp_i in df.columns else F.lit(True)
-            if c.fn == "ISIRI":
-                return is_iri
-            if c.fn == "ISLITERAL":
-                return ~is_iri
-            comp_d = f"__dt_{name}"
+            return self._term_meta(c.fn, c.args[0].name, df)
+        raise SparqlSyntaxError(f"unsupported function {c.fn}")
+
+    def _term_meta(self, fn: str, name: str, df: DataFrame) -> Column:
+        """Term-kind builtins over the engine's 3-kind model: an IRI has
+        is_iri=true; a literal is_iri=false with a NON-NULL datatype
+        (every source defaults plain literals to xsd:string —
+        sources/turtle.py:24); a blank node is_iri=false with a NULL
+        datatype. Variables bound in subject/predicate position carry no
+        companion columns — there the lexical form decides (the triple
+        model admits only IRIs and ``_:`` blanks in those positions)."""
+        comp_i, comp_d = f"__isiri_{name}", f"__dt_{name}"
+        if comp_i in df.columns:
+            is_iri = F.col(comp_i)
             dt = (F.col(comp_d) if comp_d in df.columns
                   else F.lit(None).cast("string"))
-            # DATATYPE: simple literals default to xsd:string (§17.4.2.7);
-            # IRIs have no datatype -> NULL (SPARQL: type error/unbound)
-            return F.when(~is_iri, F.coalesce(dt, F.lit(XSD + "string")))
-        raise SparqlSyntaxError(f"unsupported function {c.fn}")
+            if fn == "ISIRI":
+                return is_iri
+            if fn == "ISBLANK":
+                return ~is_iri & dt.isNull()
+            if fn == "ISLITERAL":
+                return ~is_iri & dt.isNotNull()
+            if fn == "ISNUMERIC":
+                return ~is_iri & dt.isin(list(_NUMERIC_DTS))
+            # DATATYPE: literals only (§17.4.2.7); IRI/blank -> NULL
+            # (SPARQL type error = unbound)
+            return F.when(~is_iri, dt)
+        blank = F.col(name).startswith("_:")
+        if fn == "ISIRI":
+            return ~blank
+        if fn == "ISBLANK":
+            return blank
+        if fn in ("ISLITERAL", "ISNUMERIC"):
+            return F.lit(False)
+        return F.lit(None).cast("string")  # DATATYPE of an IRI/blank
+
+    def _same_term(self, c: Call, df: DataFrame) -> Column:
+        """§17.4.1.8 sameTerm: lexical forms equal AND term kinds/
+        datatypes equal. Var args compare their companion metadata
+        null-safely; positional (subject/predicate) bindings have no
+        companions and need none — lexical equality separates IRIs from
+        ``_:`` blanks by prefix, and literals never bind there."""
+        if len(c.args) != 2:
+            raise SparqlSyntaxError("SAMETERM takes two arguments")
+
+        def lex(a) -> Column:
+            """Lexical form AS A STRING — a numeric-typed literal must
+            NOT take the numeric-comparison opt-in here (that path
+            casts the other side and sameTerm is defined on lexical
+            identity, not value equality)."""
+            if isinstance(a, Var):
+                return F.col(a.name)
+            if isinstance(a, Iri):
+                return F.lit(a.value)
+            if isinstance(a, Lit):
+                return F.lit(str(a.value))
+            raise SparqlSyntaxError("SAMETERM takes terms (var/iri/literal)")
+        out = lex(c.args[0]) == lex(c.args[1])
+
+        def meta(a) -> tuple[Column, Column]:
+            """(is_iri, datatype) of one argument term."""
+            if isinstance(a, Var):
+                if f"__isiri_{a.name}" in df.columns:
+                    dt = (F.col(f"__dt_{a.name}")
+                          if f"__dt_{a.name}" in df.columns
+                          else F.lit(None).cast("string"))
+                    return F.col(f"__isiri_{a.name}"), dt
+                # positional binding: IRI or blank, never a literal
+                blank = F.col(a.name).startswith("_:")
+                return ~blank, F.lit(None).cast("string")
+            if isinstance(a, Iri):
+                return F.lit(True), F.lit(None).cast("string")
+            if isinstance(a, Lit):
+                return F.lit(False), F.lit(a.datatype or XSD + "string")
+            raise SparqlSyntaxError("SAMETERM takes terms (var/iri/literal)")
+        iri_l, dt_l = meta(c.args[0])
+        iri_r, dt_r = meta(c.args[1])
+        return out & iri_l.eqNullSafe(iri_r) & dt_l.eqNullSafe(dt_r)
 
     # -- full query -------------------------------------------------------------
     def compile_query(self, q: SelectQuery) -> DataFrame:

@@ -176,3 +176,126 @@ def test_personalized_pagerank_requires_seed_in_graph(spark):
     seeds = spark.createDataFrame([("zzz",)], "uri string")
     with _pytest.raises(ValueError):
         gr.personalized_pagerank(edges, seeds)
+
+
+# --- round-5 SPARQL builtin widening (sparql.py) ---------------------------
+
+_BUILTIN_NT = [
+    # (subj, pred, obj, obj_is_iri, obj_datatype)
+    ("http://e/a", "http://e/p", "5", False,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://e/a", "http://e/p", "hello world~*", False,
+     "http://www.w3.org/2001/XMLSchema#string"),
+    ("http://e/a", "http://e/p", "http://e/x", True, None),
+    ("http://e/a", "http://e/p", "_:b1", False, None),   # blank object
+    ("_:b2", "http://e/p", "lit", False,
+     "http://www.w3.org/2001/XMLSchema#string"),
+    ("http://e/a", "http://e/q", "5", False,
+     "http://www.w3.org/2001/XMLSchema#string"),
+]
+
+
+def _btriples(spark):
+    rows = [t + ("src://t",) for t in _BUILTIN_NT]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, src_url string",
+    )
+
+
+def _sel(spark, q):
+    from rdf2smw_spark.sparql import sparql_select
+
+    return sparql_select(_btriples(spark), q)
+
+
+def test_term_kind_builtins_three_kind_model(spark):
+    """ISLITERAL must NOT claim blank objects (is_iri=false, dt=NULL);
+    ISBLANK separates them; ISNUMERIC reads the datatype companion."""
+    rows = _sel(spark, """
+        SELECT ?o ?num ?bl ?lit ?iri WHERE {
+          ?s <http://e/p> ?o .
+          BIND (ISNUMERIC(?o) AS ?num) BIND (ISBLANK(?o) AS ?bl)
+          BIND (ISLITERAL(?o) AS ?lit) BIND (ISIRI(?o) AS ?iri)
+        }
+    """).collect()
+    by = {r["o"]: r for r in rows}
+    assert by["5"]["num"] and by["5"]["lit"] and not by["5"]["bl"]
+    assert by["_:b1"]["bl"] and not by["_:b1"]["lit"] and not by["_:b1"]["iri"]
+    assert by["http://e/x"]["iri"] and not by["http://e/x"]["lit"]
+    assert not by["hello world~*"]["num"]
+
+
+def test_subject_position_blank_detection(spark):
+    rows = _sel(spark, """
+        SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER ISBLANK(?s) }
+    """).collect()
+    assert [r["s"] for r in rows] == ["_:b2"]
+    rows = _sel(spark, """
+        SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER (ISIRI(?s) && ISLITERAL(?o)) }
+    """).collect()
+    # ISIRI on a subject var excludes _:b2; blank object excluded by ISLITERAL
+    assert sorted(set(r["s"] for r in rows)) == ["http://e/a"]
+
+
+def test_hash_and_encode_builtins(spark):
+    import hashlib
+    import urllib.parse
+
+    rows = _sel(spark, """
+        SELECT ?o (MD5(?o) AS ?h1) (SHA1(?o) AS ?h2) (SHA256(?o) AS ?h3)
+               (ENCODE_FOR_URI(?o) AS ?enc)
+        WHERE { ?s <http://e/p> ?o . FILTER ISLITERAL(?o) }
+    """).collect()
+    for r in rows:
+        b = r["o"].encode()
+        assert r["h1"] == hashlib.md5(b).hexdigest()
+        assert r["h2"] == hashlib.sha1(b).hexdigest()
+        assert r["h3"] == hashlib.sha256(b).hexdigest()
+        # §17.4.2.8 == RFC 3986 full percent-encoding (Python quote safe='')
+        assert r["enc"] == urllib.parse.quote(r["o"], safe="")
+
+
+def test_in_and_not_in(spark):
+    rows = _sel(spark, """
+        SELECT ?s ?o WHERE { ?s <http://e/p> ?o . FILTER (?o IN ("5", "lit")) }
+    """).collect()
+    assert sorted((r["s"], r["o"]) for r in rows) == [
+        ("_:b2", "lit"), ("http://e/a", "5")]
+    rows = _sel(spark, """
+        SELECT ?s WHERE {
+          ?s <http://e/p> ?o .
+          FILTER (?o NOT IN ("5", "lit", "hello world~*", "_:b1"))
+        }
+    """).collect()
+    assert [r["o" if "o" in r else "s"] for r in rows] == ["http://e/a"]
+    # IRI terms inside the list compare on the lexical form
+    rows = _sel(spark, """
+        SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER (?o IN (<http://e/x>)) }
+    """).collect()
+    assert [r["s"] for r in rows] == ["http://e/a"]
+
+
+def test_sameterm_full_identity(spark):
+    # lexical "5" as integer vs as plain string: NOT the same term
+    assert _sel(spark, """
+        SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER SAMETERM(?o, "5") }
+    """).count() == 0
+    assert _sel(spark, """
+        SELECT ?s WHERE {
+          ?s <http://e/p> ?o .
+          FILTER SAMETERM(?o, "5"^^<http://www.w3.org/2001/XMLSchema#integer>)
+        }
+    """).count() == 1
+    # var-var: p-side "5"^^integer vs q-side "5"^^string differ
+    assert _sel(spark, """
+        SELECT ?s WHERE {
+          ?s <http://e/p> ?o . ?s <http://e/q> ?o2 . FILTER SAMETERM(?o, ?o2)
+        }
+    """).count() == 0
+    # IRI object vs IRI constant
+    rows = _sel(spark, """
+        SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER SAMETERM(?o, <http://e/x>) }
+    """).collect()
+    assert [r["s"] for r in rows] == ["http://e/a"]
