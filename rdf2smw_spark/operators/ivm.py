@@ -45,12 +45,27 @@ from rdf2smw_spark.sparql import (
 )
 
 
+def _has_exists(e) -> bool:
+    """True when an expression tree contains a [NOT] EXISTS probe."""
+    from rdf2smw_spark.sparql import BinOp, ExistsExpr, Not
+
+    if isinstance(e, ExistsExpr):
+        return True
+    if isinstance(e, Call):
+        return any(a != "*" and _has_exists(a) for a in e.args)
+    if isinstance(e, BinOp):
+        return _has_exists(e.left) or _has_exists(e.right)
+    if isinstance(e, Not):
+        return _has_exists(e.arg)
+    return False
+
+
 def _single_source_group(g: Group) -> bool:
     """True when the group has exactly ONE solution-producing element
     (a non-path triple pattern, or a UNION whose branches are all
-    single-source) plus row-local filters — i.e. every solution comes
-    from one triple."""
-    from rdf2smw_spark.sparql import ExistsExpr, Iri
+    single-source) plus row-local filters/BINDs — i.e. every solution
+    comes from one triple."""
+    from rdf2smw_spark.sparql import Bind_, ExistsExpr, Iri
 
     producers = 0
     for el in g.elements:
@@ -60,6 +75,9 @@ def _single_source_group(g: Group) -> bool:
             producers += 1
         elif isinstance(el, Filter_):
             if isinstance(el.expr, ExistsExpr):
+                return False  # EXISTS probes the base, not row-local
+        elif isinstance(el, Bind_):
+            if _has_exists(el.expr):
                 return False  # EXISTS probes the base, not row-local
         elif isinstance(el, Union_):
             if not all(_single_source_group(b) for b in el.branches):
@@ -379,3 +397,138 @@ def join_view_pattern_count(query_text: str) -> int:
     """Number of triple patterns (= partial relations) of a join view —
     the snapshot layout contract for streaming maintainers."""
     return len(_join_view_query(query_text)[1])
+
+
+# --------------------------------------------------------------------------
+# SUM views — count-supported additive aggregates (round 5)
+# --------------------------------------------------------------------------
+#
+# A single-source SUM is delta-additive exactly like COUNT (sums add
+# under inserts and subtract under deletes), but two things COUNT gets
+# for free need explicit support state:
+#
+#   * group vanishing — a group disappears from the recomputed view
+#     when its solution multiplicity reaches 0, which a SUM alone
+#     cannot detect (a zero sum can be a real non-empty group), so the
+#     maintained view carries a hidden ``__n`` = COUNT(*) column;
+#   * NULL sums — the engine's SUM is Spark's (SUM over only-NULL
+#     values is NULL, and under the session's ANSI mode any non-NULL
+#     binding that materialized without erroring is castable), so each
+#     SUM alias carries a hidden ``__nn_<alias>`` = COUNT(?v) and the
+#     maintained sum snaps to NULL when it reaches 0 — matching
+#     recompute when deletes drain every non-NULL contributor.
+#
+# With those two supports the maintained view equals recomputing the
+# query over the updated base (modulo float addition order; the
+# engine's SUM casts to double). Scale shape is the count-view one: the
+# merge shuffles |V| + |V(Δ)| slim rows, never the base.
+
+_HIDDEN_N = "__n"
+
+
+def _sum_view_query(query_text: str) -> tuple:
+    """Parse + validate a sum view: single-source group, projections
+    are keys / bare COUNTs / bare SUM(?v)s, at least one SUM. Returns
+    (query, keys, count_aliases, [(sum_alias, var_name)])."""
+    q = _view_query(query_text)
+    if not _single_source_group(q.where):
+        raise SparqlSyntaxError("sum views must be single-source")
+    if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
+        raise SparqlSyntaxError("slicing/dedup is not additive")
+    keys, counts, sums = [], [], []
+    for it in q.items:
+        if isinstance(it.expr, Var):
+            keys.append(it.alias)
+            continue
+        if isinstance(it.expr, Call) and not it.expr.distinct:
+            if it.expr.fn == "COUNT":
+                counts.append(it.alias)
+                continue
+            if (it.expr.fn == "SUM" and len(it.expr.args) == 1
+                    and isinstance(it.expr.args[0], Var)):
+                sums.append((it.alias, it.expr.args[0].name))
+                continue
+        raise SparqlSyntaxError(
+            "sum views project keys, bare COUNTs, and bare SUM(?v)s only"
+        )
+    if not sums:
+        raise SparqlSyntaxError("no SUM — use count_view")
+    return q, keys, counts, sums
+
+
+def is_sum_delta_decomposable(query_text: str) -> bool:
+    """True when maintain_sum_view can keep this view exact."""
+    try:
+        _sum_view_query(query_text)
+        return True
+    except SparqlSyntaxError:
+        return False
+
+
+def sum_view(triples: DataFrame, query_text: str) -> DataFrame:
+    """Materialize the view WITH its hidden support columns (``__n``
+    plus one ``__nn_<alias>`` per SUM) — callers publish
+    ``read_sum_view`` and persist this frame. One compiled query: the
+    supports are extra aggregates in the same groupBy."""
+    import dataclasses
+
+    from rdf2smw_spark.sparql import _Compiler
+
+    q, _keys, _counts, sums = _sum_view_query(query_text)
+    extra = [SelectItem(Call("COUNT", ("*",)), _HIDDEN_N)]
+    extra += [
+        SelectItem(Call("COUNT", (Var(v),)), f"__nn_{alias}")
+        for alias, v in sums
+    ]
+    q2 = dataclasses.replace(q, items=[*q.items, *extra])
+    return _Compiler(triples).compile_query(q2)
+
+
+def read_sum_view(view: DataFrame) -> DataFrame:
+    """The publishable projection: hidden support columns dropped."""
+    return view.drop(_HIDDEN_N, *[c for c in view.columns if c.startswith("__nn_")])
+
+
+def maintain_sum_view(
+    old_view: DataFrame,
+    query_text: str,
+    delta_plus: DataFrame | None = None,
+    delta_minus: DataFrame | None = None,
+) -> DataFrame:
+    """Merge a materialized sum view (the sum_view frame, WITH hidden
+    supports) with added/removed triples. Equal to sum_view over the
+    updated base: groups vanish when __n hits 0, a sum snaps to NULL
+    when its __nn hits 0 (all non-NULL contributors removed), and a
+    global (no GROUP BY) view keeps its single row at any count."""
+    q, keys, counts, sums = _sum_view_query(query_text)
+    sum_cols = [alias for alias, _v in sums]
+    nn_cols = [f"__nn_{alias}" for alias in sum_cols]
+    add_cols = counts + sum_cols + [_HIDDEN_N] + nn_cols
+    parts = [old_view]
+    if delta_plus is not None:
+        parts.append(sum_view(delta_plus, query_text))
+    if delta_minus is not None:
+        neg = sum_view(delta_minus, query_text)
+        parts.append(neg.select(
+            *keys, *[(-F.col(c)).alias(c) for c in add_cols]
+        ))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    long_cols = set(counts) | {_HIDDEN_N} | set(nn_cols)
+    out = merged.groupBy(*keys).agg(*[
+        (F.sum(c).cast("long") if c in long_cols else F.sum(c)).alias(c)
+        for c in add_cols
+    ])
+    # a drained sum is NULL, not 0.0 (recompute: SUM over no non-NULL
+    # values) — F.sum already yields NULL when every merged part was
+    # NULL, but old(5.0) + delta(-5.0) leaves 0.0, so snap on __nn
+    for alias in sum_cols:
+        out = out.withColumn(
+            alias,
+            F.when(F.col(f"__nn_{alias}") > 0, F.col(alias)),
+        )
+    out = out.select(*old_view.columns)  # keep the sum_view column order
+    if not keys:
+        return out  # global view: the single row stays even at __n = 0
+    return out.filter(F.col(_HIDDEN_N) > 0)

@@ -3073,6 +3073,53 @@ GROUP BY st.obj
 """
 
 
+def q_kg_sparql_ivm_sum(spark, sf_dir):
+    """Incremental maintenance of a SUM view (r5 — operators/ivm.py
+    sum_view): per-predicate total literal length, materialized over
+    ~⅞ of the graph, advanced with the held-out slice as an INSERT
+    delta, then a sub-slice is DELETED again — so both merge
+    directions run, plus the hidden supports (__n for group vanish,
+    __nn per sum for NULL snapping). The oracle recomputes the view
+    over full-graph-minus-the-deleted-slice; a green row proves
+    maintained == recomputed through add AND remove. The summed value
+    is the BIND-derived STRLEN — integer-valued, so every partial sum
+    is exact in the engine's double SUM and the merge is
+    addition-order independent (a raw float column would drift past
+    the comparator's 6dp at corpus magnitudes; same discipline as the
+    graph suite's scaled-BIGINT ranks)."""
+    from rdf2smw_spark.operators.ivm import (
+        maintain_sum_view,
+        read_sum_view,
+        sum_view,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?p (SUM(?len) AS ?total_len) (COUNT(?len) AS ?n_vals)
+        WHERE { ?s ?p ?v . FILTER ISLITERAL(?v)
+                BIND (STRLEN(?v) AS ?len) } GROUP BY ?p
+    """
+    t = testdata_triples(spark, sf_dir)
+    h = F.md5(F.concat("subj", "pred", "obj"))
+    base, delta = t.filter(~h.startswith("a")), t.filter(h.startswith("a"))
+    removed = t.filter(h.startswith("ab"))  # ⊂ delta: present when removed
+    view = sum_view(base, view_q)
+    view = maintain_sum_view(view, view_q, delta_plus=delta)
+    view = maintain_sum_view(view, view_q, delta_minus=removed)
+    return read_sum_view(view)
+
+
+QUERIES["kg_sparql_ivm_sum"] = q_kg_sparql_ivm_sum
+ORACLES["kg_sparql_ivm_sum"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT pred AS p, CAST(SUM(LENGTH(obj)) AS DOUBLE) AS total_len,
+       COUNT(obj) AS n_vals
+FROM t
+WHERE NOT obj_is_iri AND obj_datatype IS NOT NULL
+  AND NOT starts_with(md5(subj || pred || obj), 'ab')
+GROUP BY pred
+"""
+
+
 def q_kg_sparql_path_graph(spark, sf_dir):
     """OneOrMorePath INSIDE GRAPH ?var (r4 verdict #4): src_url rides
     the pair key through the closure fixpoint, so each named graph's

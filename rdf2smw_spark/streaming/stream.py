@@ -668,9 +668,11 @@ def run_stream_sparql_view(
     even stored: the view IS the state).
 
     The view query must be delta-decomposable — single-source
-    (ivm.count_view) or a two-pattern JOIN view maintained by the
+    (ivm.count_view), a single-source SUM view (ivm.sum_view: the
+    snapshot stores the hidden __n/__nn supports and readers get the
+    published projection), or an N-pattern JOIN view maintained by the
     counting algorithm (ivm.join_count_*: the snapshot then stores the
-    two per-pattern PARTIAL COUNT relations alongside the derived view,
+    per-pattern PARTIAL COUNT relations alongside the derived view,
     and each drain merges the partials and re-derives the view from
     them alone — the accumulated triples are still never re-scanned).
     Anything else raises loudly (a non-additive view belongs on the
@@ -694,25 +696,34 @@ def run_stream_sparql_view(
         count_view,
         is_delta_decomposable,
         is_join_delta_decomposable,
+        is_sum_delta_decomposable,
         join_count_partials,
         join_count_view_from_partials,
         join_view_pattern_count,
         maintain_count_view,
         maintain_join_count_partials,
+        maintain_sum_view,
+        read_sum_view,
+        sum_view,
     )
     from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
     from rdf2smw_spark.sparql import SparqlSyntaxError
 
+    join_mode = sum_mode = False
+    n_pats = 0
     if is_delta_decomposable(view_query):
-        join_mode = False
-        n_pats = 0
+        pass
+    elif is_sum_delta_decomposable(view_query):
+        # snapshots carry the hidden __n/__nn supports; readers get
+        # read_sum_view's projection
+        sum_mode = True
     elif is_join_delta_decomposable(view_query):
         join_mode = True
         n_pats = join_view_pattern_count(view_query)
     else:
         raise SparqlSyntaxError(
-            "view is neither single-source nor join-delta-decomposable "
-            "— recompute instead"
+            "view is neither single-source (count or sum) nor "
+            "join-delta-decomposable — recompute instead"
         )
 
     view_dir = _os.path.join(work_dir, "view")
@@ -754,10 +765,12 @@ def run_stream_sparql_view(
 
     def _read_view(vdir: str):
         """The queryable view of a committed snapshot (join-mode
-        snapshots store it under view/, single-mode at the root)."""
-        return spark.read.parquet(
+        snapshots store it under view/, single/sum-mode at the root;
+        sum snapshots drop their hidden support columns)."""
+        df = spark.read.parquet(
             _os.path.join(vdir, "view") if join_mode else vdir
         )
+        return read_sum_view(df) if sum_mode else df
 
     def _process(batch, batch_id):
         old, n, applied = _latest()
@@ -794,6 +807,12 @@ def run_stream_sparql_view(
                 ],
                 view_query,
             ).write.mode("overwrite").parquet(_os.path.join(vdir, "view"))
+        elif sum_mode:
+            if old is None:
+                new = sum_view(delta, view_query)
+            else:
+                new = maintain_sum_view(old, view_query, delta_plus=delta)
+            new.write.mode("overwrite").parquet(vdir)
         else:
             if old is None:
                 new = count_view(delta, view_query)

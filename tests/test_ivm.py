@@ -509,3 +509,163 @@ def test_streaming_three_pattern_join_view(spark, tmp_path):
     # a and b each reach z1 and z2 through o1
     assert got == {EX + "X": 4}
     assert os.path.isdir(os.path.join(latest, "p3"))
+
+
+# --- SUM views (round 5): count-supported additive aggregates ---------------
+
+SUMVIEW = PRE + """
+SELECT ?s (SUM(?v) AS ?total) (COUNT(?v) AS ?n) WHERE {
+  ?s ex:amt ?v .
+} GROUP BY ?s
+"""
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def amt(s, v):
+    return (EX + s, EX + "amt", v, False, _XSD_INT, "test://g")
+
+
+def _sv(spark, rows):
+    return spark.createDataFrame([amt(*r) for r in rows], TRIPLE_SCHEMA)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sum_view_maintained_equals_recomputed(spark):
+    from rdf2smw_spark.operators.ivm import (
+        maintain_sum_view, read_sum_view, sum_view,
+    )
+
+    base = _sv(spark, [("a", "1.5"), ("a", "2.25"), ("b", "4")])
+    plus = _sv(spark, [("a", "0.25"), ("c", "7")])
+    minus = _sv(spark, [("b", "4")])  # drains b: the group must vanish
+    v = maintain_sum_view(sum_view(base, SUMVIEW), SUMVIEW, plus, minus)
+    upd = _sv(spark, [("a", "1.5"), ("a", "2.25"), ("a", "0.25"), ("c", "7")])
+    assert _rows(read_sum_view(v)) == _rows(read_sum_view(sum_view(upd, SUMVIEW)))
+    got = {r["s"]: (r["total"], r["n"]) for r in read_sum_view(v).collect()}
+    assert got == {EX + "a": (4.0, 3), EX + "c": (7.0, 1)}
+
+
+def test_sum_view_null_snap_on_drained_contributors(spark):
+    """Deleting every non-NULL contributor must leave SUM NULL (what a
+    recompute yields), not 0.0 — the __nn support decides."""
+    from rdf2smw_spark.operators.ivm import (
+        maintain_sum_view, read_sum_view, sum_view,
+    )
+
+    # UNION view: ?v only binds in the first branch, so ex:tag rows
+    # keep the group alive with ?v unbound (NULL)
+    view_q = PRE + """
+    SELECT ?s (SUM(?v) AS ?total) (COUNT(?s) AS ?n) WHERE {
+      { ?s ex:amt ?v . } UNION { ?s ex:tag ?t . }
+    } GROUP BY ?s
+    """
+    tag = (EX + "a", EX + "tag", "x", False,
+           "http://www.w3.org/2001/XMLSchema#string", "test://g")
+    base = spark.createDataFrame([amt("a", "5"), tag], TRIPLE_SCHEMA)
+    minus = _sv(spark, [("a", "5")])
+    v = maintain_sum_view(sum_view(base, view_q), view_q, delta_minus=minus)
+    out = read_sum_view(v).collect()
+    assert len(out) == 1 and out[0]["total"] is None and out[0]["n"] == 1
+    recomputed = read_sum_view(
+        sum_view(spark.createDataFrame([tag], TRIPLE_SCHEMA), view_q)
+    ).collect()
+    assert _rows(read_sum_view(v)) == sorted(tuple(r) for r in recomputed)
+
+
+def test_sum_view_global_keeps_row_at_drain(spark):
+    from rdf2smw_spark.operators.ivm import (
+        maintain_sum_view, read_sum_view, sum_view,
+    )
+
+    gq = PRE + "SELECT (SUM(?v) AS ?total) WHERE { ?s ex:amt ?v . }"
+    base = _sv(spark, [("a", "3"), ("b", "4")])
+    v = maintain_sum_view(sum_view(base, gq), gq, delta_minus=base)
+    out = read_sum_view(v).collect()
+    assert len(out) == 1 and out[0]["total"] is None
+
+
+def test_sum_view_shape_rejections(spark):
+    from rdf2smw_spark.operators.ivm import (
+        is_sum_delta_decomposable, sum_view,
+    )
+
+    # two patterns: not single-source
+    assert not is_sum_delta_decomposable(PRE + """
+      SELECT ?c (SUM(?v) AS ?t) WHERE { ?s ex:amt ?v . ?s a ?c . } GROUP BY ?c
+    """)
+    # AVG does not subtract
+    assert not is_sum_delta_decomposable(PRE + """
+      SELECT ?s (AVG(?v) AS ?t) WHERE { ?s ex:amt ?v . } GROUP BY ?s
+    """)
+    # SUM(DISTINCT) needs the value set
+    assert not is_sum_delta_decomposable(PRE + """
+      SELECT ?s (SUM(DISTINCT ?v) AS ?t) WHERE { ?s ex:amt ?v . } GROUP BY ?s
+    """)
+    # no SUM at all -> count_view's job
+    assert not is_sum_delta_decomposable(VIEW)
+    # BIND of EXISTS probes the base: not row-local
+    assert not is_sum_delta_decomposable(PRE + """
+      SELECT ?s (SUM(?v) AS ?t) WHERE {
+        ?s ex:amt ?v . BIND (EXISTS { ?s a ?c } AS ?e)
+      } GROUP BY ?s
+    """)
+    with pytest.raises(SparqlSyntaxError):
+        sum_view(_sv(spark, [("a", "1")]), VIEW)
+
+
+def test_sum_view_bind_derived_value(spark):
+    """Row-local BIND values are additive: SUM(STRLEN(?v)) is the
+    integer-exact shape the registry query uses."""
+    from rdf2smw_spark.operators.ivm import (
+        is_sum_delta_decomposable, maintain_sum_view, read_sum_view, sum_view,
+    )
+
+    view_q = PRE + """
+    SELECT ?s (SUM(?len) AS ?total_len) WHERE {
+      ?s ex:amt ?v . BIND (STRLEN(?v) AS ?len)
+    } GROUP BY ?s
+    """
+    assert is_sum_delta_decomposable(view_q)
+    base = _sv(spark, [("a", "123"), ("a", "45")])
+    plus = _sv(spark, [("a", "6789")])
+    v = maintain_sum_view(sum_view(base, view_q), view_q, delta_plus=plus)
+    out = read_sum_view(v).collect()
+    assert len(out) == 1 and out[0]["total_len"] == 9.0
+
+
+def test_streaming_sum_view_across_drains(spark, tmp_path):
+    """The standing-view runner routes a SUM view to ivm.sum_view and
+    maintains it across drains; snapshots keep the hidden supports but
+    view_rows/readers see the published projection."""
+    from rdf2smw_spark.operators.ivm import read_sum_view
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    AMT = f"<{EX}amt>"
+    INT = "<http://www.w3.org/2001/XMLSchema#integer>"
+
+    view_q = PRE + """
+    SELECT ?s (SUM(?v) AS ?total) WHERE { ?s ex:amt ?v . } GROUP BY ?s
+    """
+
+    (src / "b1.nt").write_text(
+        f'<{EX}a> {AMT} "3"^^{INT} .\n<{EX}a> {AMT} "4"^^{INT} .\n'
+    )
+    res = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res["batches"] == 1 and res["view_rows"] == 1
+    snap = spark.read.parquet(work + "/view/v=1")
+    assert "__n" in snap.columns and "__nn_total" in snap.columns
+    pub = read_sum_view(snap).collect()
+    assert pub[0]["s"] == EX + "a" and pub[0]["total"] == 7.0
+
+    (src / "b2.nt").write_text(f'<{EX}b> {AMT} "10"^^{INT} .\n')
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    got = {r["s"]: r["total"]
+           for r in read_sum_view(spark.read.parquet(work + "/view/v=2")).collect()}
+    assert got == {EX + "a": 7.0, EX + "b": 10.0}
