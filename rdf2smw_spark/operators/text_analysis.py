@@ -257,6 +257,155 @@ def decontaminate_sql(train_sql: str, benchmark_sql: str, n: int = NGRAM_N) -> s
     """
 
 
+# --- span-level decontamination ---------------------------------------------------
+#
+# decontaminate() answers "is this doc contaminated"; span-level
+# decontamination answers "WHICH token ranges overlap the benchmark"
+# — the shape used when contaminated spans are cut out rather than the
+# whole document dropped (GPT-3 appendix C / Lee et al. 2022 exact-
+# substring treatment). Matched n-gram START POSITIONS are merged into
+# maximal contiguous contaminated ranges with one gaps-and-islands
+# pass: a window partitioned BY DOC (never global — partition size is
+# bounded by document length), island breaks where a match starts past
+# the running max end + 1.
+
+
+def contamination_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = NGRAM_N,
+    broadcast_limit: int = BM_NGRAM_BROADCAST_LIMIT,
+) -> DataFrame:
+    """(doc_id, n_toks, n_spans, contam_tokens, contam_frac): maximal
+    contaminated token ranges per training doc, where a token is
+    contaminated when any benchmark-matching n-gram covers it.
+
+    Scale shape: same probe join as decontaminate() (benchmark grams
+    broadcast, shuffle-join fallback past broadcast_limit), then ONE
+    doc-keyed shuffle shared by both window passes and the span
+    groupBy (same partitioning — Catalyst reuses the exchange), then
+    a per-doc rollup. Only MATCHED positions enter the window, so the
+    per-doc window input is bounded by the doc's hit count, not its
+    length."""
+    from pyspark.sql import Window
+
+    from rdf2smw_spark.session import maybe_broadcast, scoped_persist
+
+    bm = benchmark.select("text").distinct()
+    bm_ngrams = scoped_persist(
+        _token_ngrams(bm.withColumn("doc_id", F.lit(0)), n).select("ngram").distinct()
+    )
+    probe = maybe_broadcast(bm_ngrams, broadcast_limit)
+    toks = train.select(
+        "doc_id",
+        F.expr(f"filter({_tokens('text')}, t -> t <> '')").alias("toks"),
+    )
+    doc_len = toks.select("doc_id", F.size("toks").alias("n_toks"))
+    grams = (
+        toks.filter(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" concat_ws(' ', slice(toks, i, {n})) AS ngram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.ngram").alias("ngram"))
+    )
+    matched = grams.join(probe, "ngram").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + (n - 1)).over(w_prev)
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = matched.select(
+        "doc_id", "pos", F.sum(brk).over(w_run).alias("island")
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (n - 1)).alias("e"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam_tokens"),
+    )
+    return (
+        doc_len.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("contam_tokens", F.lit(0)).alias("contam_tokens"),
+            F.round(
+                F.coalesce("contam_tokens", F.lit(0))
+                / F.greatest(F.col("n_toks"), F.lit(1)),
+                4,
+            ).alias("contam_frac"),
+        )
+    )
+
+
+def _pos_ngrams_sql(docs_sql: str, n: int = NGRAM_N) -> str:
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    return f"""(
+    SELECT doc_id, pos, array_to_string(toks[pos:pos+{n - 1}], ' ') AS ngram
+    FROM (
+        SELECT doc_id, toks,
+               UNNEST(generate_series(1, len(toks) - {n - 1})) AS pos
+        FROM (SELECT doc_id, {toks} AS toks FROM {docs_sql})
+        WHERE len(toks) >= {n}
+    )
+)"""
+
+
+def contamination_spans_sql(
+    train_sql: str, benchmark_sql: str, n: int = NGRAM_N
+) -> str:
+    bm_docs = (
+        f"(SELECT 0 AS doc_id, text FROM"
+        f" (SELECT DISTINCT text FROM {benchmark_sql}))"
+    )
+    toks = f"list_filter({_tokens('text', 'duckdb')}, t -> t <> '')"
+    return f"""
+    WITH bm AS (SELECT DISTINCT ngram FROM {_token_ngrams_sql(bm_docs, n)}),
+    m AS (SELECT doc_id, pos FROM {_pos_ngrams_sql(train_sql, n)}
+          JOIN bm USING (ngram)),
+    x AS (SELECT doc_id, pos,
+                 MAX(pos + {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM m),
+    y AS (SELECT doc_id, pos,
+                 SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM x),
+    sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+           FROM y GROUP BY doc_id, island),
+    pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+                  CAST(SUM(e - s + 1) AS BIGINT) AS contam_tokens
+           FROM sp GROUP BY doc_id),
+    dl AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_toks
+           FROM {train_sql})
+    SELECT dl.doc_id, dl.n_toks,
+           COALESCE(pd.n_spans, 0) AS n_spans,
+           COALESCE(pd.contam_tokens, 0) AS contam_tokens,
+           ROUND(COALESCE(pd.contam_tokens, 0)
+                 / GREATEST(dl.n_toks, 1), 4) AS contam_frac
+    FROM dl LEFT JOIN pd USING (doc_id)
+    """
+
+
 # --- repetition signals (Gopher/C4-style) ------------------------------------------
 
 

@@ -405,6 +405,19 @@ def q_ta_decontam(spark, sf_dir):
     return ta.decontaminate(train, benchmark)
 
 
+def q_ta_contam_spans(spark, sf_dir):
+    """Span-level decontamination (r5): WHICH token ranges of each
+    training doc overlap the benchmark — matched n-gram start
+    positions merged into maximal contiguous ranges by one per-doc
+    gaps-and-islands window (cut-the-span treatment instead of
+    drop-the-doc). Same planted train/benchmark split as ta_decontam
+    so hits are non-vacuous at any SF."""
+    docs = _docs(spark, sf_dir)
+    train = dd.near_dup_corpus(docs).filter(F.col("doc_id") % 37 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    return ta.contamination_spans(train, benchmark)
+
+
 # --- dedup ----------------------------------------------------------------------
 
 def q_dd_exact(spark, sf_dir):
@@ -1576,6 +1589,11 @@ def q_web_asof_snapshot(spark, sf_dir):
 QUERIES["kg_skew_profile"] = q_kg_skew_profile
 QUERIES["search_phrase"] = q_search_phrase
 QUERIES["link_salience"] = q_link_salience
+QUERIES["ta_contam_spans"] = q_ta_contam_spans
+ORACLES["ta_contam_spans"] = ta.contamination_spans_sql(
+    f"(SELECT doc_id, text FROM {DOCS_ND_SQL} WHERE (doc_id % 37) <> 0)",
+    "(SELECT doc_id, text FROM documents WHERE (doc_id % 37) = 0)",
+)
 QUERIES["web_asof_snapshot"] = q_web_asof_snapshot
 
 from rdf2smw_spark.operators.profile import key_skew_profile_sql as _skew_sql  # noqa: E402

@@ -299,3 +299,33 @@ def test_sameterm_full_identity(spark):
         SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER SAMETERM(?o, <http://e/x>) }
     """).collect()
     assert [r["s"] for r in rows] == ["http://e/a"]
+
+
+# --- span-level decontamination (text_analysis.contamination_spans) ---------
+
+def test_contamination_spans_islands(spark):
+    from rdf2smw_spark.operators import text_analysis as ta
+
+    p1 = " ".join(f"alpha{i}" for i in range(10))    # 10-token passage
+    p2 = " ".join(f"beta{i}" for i in range(8))      # 8-token passage
+    gap = " ".join(f"gap{i}" for i in range(5))
+    train = spark.createDataFrame(
+        [
+            (1, f"{p1} {gap} {p2}"),   # two separate islands
+            (2, f"{p1} {p2}"),          # adjacent -> one merged island
+            (3, gap),                    # clean (and shorter than n)
+            (4, " ".join(f"clean{i}" for i in range(12))),  # clean, long
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(101, p1), (102, p2)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ta.contamination_spans(train, benchmark).collect()}
+    # doc 1: matches at positions 1..3 (p1) cover tokens 1..10; p2 match
+    # at 16 covers 16..23 -> two islands, 18 contaminated of 23 tokens
+    assert (out[1]["n_spans"], out[1]["contam_tokens"], out[1]["n_toks"]) == (2, 18, 23)
+    assert out[1]["contam_frac"] == round(18 / 23, 4)
+    # doc 2: p2 starts at 11 <= prev_end(10) + 1 -> merged single span 1..18
+    assert (out[2]["n_spans"], out[2]["contam_tokens"]) == (1, 18)
+    # clean docs: zero spans, zero fraction, token counts still reported
+    assert (out[3]["n_spans"], out[3]["contam_tokens"], out[3]["n_toks"]) == (0, 0, 5)
+    assert (out[4]["n_spans"], out[4]["contam_frac"]) == (0, 0.0)
