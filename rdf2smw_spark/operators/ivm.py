@@ -427,15 +427,18 @@ _HIDDEN_N = "__n"
 
 
 def _sum_view_query(query_text: str) -> tuple:
-    """Parse + validate a sum view: single-source group, projections
-    are keys / bare COUNTs / bare SUM(?v)s, at least one SUM. Returns
-    (query, keys, count_aliases, [(sum_alias, var_name)])."""
+    """Parse + validate a sum/avg view: single-source group,
+    projections are keys / bare COUNTs / bare SUM(?v)s / bare AVG(?v)s,
+    at least one SUM or AVG. Returns (query, keys, count_aliases,
+    [(sum_alias, var)], [(avg_alias, var)]) — an AVG is maintained as
+    its (SUM, COUNT) pair in hidden supports and re-derived after each
+    merge (AVG itself does not subtract; its components do)."""
     q = _view_query(query_text)
     if not _single_source_group(q.where):
         raise SparqlSyntaxError("sum views must be single-source")
     if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
         raise SparqlSyntaxError("slicing/dedup is not additive")
-    keys, counts, sums = [], [], []
+    keys, counts, sums, avgs = [], [], [], []
     for it in q.items:
         if isinstance(it.expr, Var):
             keys.append(it.alias)
@@ -444,16 +447,19 @@ def _sum_view_query(query_text: str) -> tuple:
             if it.expr.fn == "COUNT":
                 counts.append(it.alias)
                 continue
-            if (it.expr.fn == "SUM" and len(it.expr.args) == 1
+            if (it.expr.fn in ("SUM", "AVG") and len(it.expr.args) == 1
                     and isinstance(it.expr.args[0], Var)):
-                sums.append((it.alias, it.expr.args[0].name))
+                (sums if it.expr.fn == "SUM" else avgs).append(
+                    (it.alias, it.expr.args[0].name)
+                )
                 continue
         raise SparqlSyntaxError(
-            "sum views project keys, bare COUNTs, and bare SUM(?v)s only"
+            "sum views project keys, bare COUNTs, and bare "
+            "SUM(?v)/AVG(?v)s only"
         )
-    if not sums:
-        raise SparqlSyntaxError("no SUM — use count_view")
-    return q, keys, counts, sums
+    if not sums and not avgs:
+        raise SparqlSyntaxError("no SUM/AVG — use count_view")
+    return q, keys, counts, sums, avgs
 
 
 def is_sum_delta_decomposable(query_text: str) -> bool:
@@ -466,19 +472,24 @@ def is_sum_delta_decomposable(query_text: str) -> bool:
 
 
 def sum_view(triples: DataFrame, query_text: str) -> DataFrame:
-    """Materialize the view WITH its hidden support columns (``__n``
-    plus one ``__nn_<alias>`` per SUM) — callers publish
-    ``read_sum_view`` and persist this frame. One compiled query: the
-    supports are extra aggregates in the same groupBy."""
+    """Materialize the view WITH its hidden support columns (``__n``,
+    one ``__nn_<alias>`` per SUM/AVG, one ``__s_<alias>`` per AVG) —
+    callers publish ``read_sum_view`` and persist this frame. One
+    compiled query: the supports are extra aggregates in the same
+    groupBy."""
     import dataclasses
 
     from rdf2smw_spark.sparql import _Compiler
 
-    q, _keys, _counts, sums = _sum_view_query(query_text)
+    q, _keys, _counts, sums, avgs = _sum_view_query(query_text)
     extra = [SelectItem(Call("COUNT", ("*",)), _HIDDEN_N)]
     extra += [
         SelectItem(Call("COUNT", (Var(v),)), f"__nn_{alias}")
-        for alias, v in sums
+        for alias, v in [*sums, *avgs]
+    ]
+    extra += [
+        SelectItem(Call("SUM", (Var(v),)), f"__s_{alias}")
+        for alias, v in avgs
     ]
     q2 = dataclasses.replace(q, items=[*q.items, *extra])
     return _Compiler(triples).compile_query(q2)
@@ -486,7 +497,10 @@ def sum_view(triples: DataFrame, query_text: str) -> DataFrame:
 
 def read_sum_view(view: DataFrame) -> DataFrame:
     """The publishable projection: hidden support columns dropped."""
-    return view.drop(_HIDDEN_N, *[c for c in view.columns if c.startswith("__nn_")])
+    return view.drop(_HIDDEN_N, *[
+        c for c in view.columns
+        if c.startswith("__nn_") or c.startswith("__s_")
+    ])
 
 
 def maintain_sum_view(
@@ -498,15 +512,20 @@ def maintain_sum_view(
     """Merge a materialized sum view (the sum_view frame, WITH hidden
     supports) with added/removed triples. Equal to sum_view over the
     updated base: groups vanish when __n hits 0, a sum snaps to NULL
-    when its __nn hits 0 (all non-NULL contributors removed), and a
-    global (no GROUP BY) view keeps its single row at any count."""
-    q, keys, counts, sums = _sum_view_query(query_text)
+    when its __nn hits 0 (all non-NULL contributors removed), an AVG is
+    re-derived from its maintained (__s, __nn) pair, and a global (no
+    GROUP BY) view keeps its single row at any count."""
+    q, keys, counts, sums, avgs = _sum_view_query(query_text)
     sum_cols = [alias for alias, _v in sums]
-    nn_cols = [f"__nn_{alias}" for alias in sum_cols]
-    add_cols = counts + sum_cols + [_HIDDEN_N] + nn_cols
-    parts = [old_view]
+    avg_cols = [alias for alias, _v in avgs]
+    s_cols = [f"__s_{alias}" for alias in avg_cols]
+    nn_cols = [f"__nn_{alias}" for alias in sum_cols + avg_cols]
+    add_cols = counts + sum_cols + s_cols + [_HIDDEN_N] + nn_cols
+    # the visible AVG column is not additive — drop it from the merge
+    # and re-derive it from the merged (__s, __nn) supports afterwards
+    parts = [old_view.drop(*avg_cols)]
     if delta_plus is not None:
-        parts.append(sum_view(delta_plus, query_text))
+        parts.append(sum_view(delta_plus, query_text).drop(*avg_cols))
     if delta_minus is not None:
         neg = sum_view(delta_minus, query_text)
         parts.append(neg.select(
@@ -527,6 +546,14 @@ def maintain_sum_view(
         out = out.withColumn(
             alias,
             F.when(F.col(f"__nn_{alias}") > 0, F.col(alias)),
+        )
+    for alias in avg_cols:
+        out = out.withColumn(
+            alias,
+            F.when(
+                F.col(f"__nn_{alias}") > 0,
+                F.col(f"__s_{alias}") / F.col(f"__nn_{alias}"),
+            ),
         )
     out = out.select(*old_view.columns)  # keep the sum_view column order
     if not keys:

@@ -3138,6 +3138,49 @@ GROUP BY pred
 """
 
 
+def q_kg_sparql_ivm_avg(spark, sf_dir):
+    """Incremental maintenance of an AVG view (r5 — operators/ivm.py):
+    AVG is not itself subtractable, so the view maintains its hidden
+    (__s_<alias> SUM, __nn_<alias> COUNT) support pair additively and
+    re-derives mean = __s/__nn after every merge — the standard
+    counting-algorithm treatment of derived aggregates. Same
+    add-then-remove protocol as kg_sparql_ivm_sum; the averaged value
+    is integer STRLEN so the maintained sum is exact in double and the
+    final division is bit-identical to a recompute (and to DuckDB's
+    AVG, which is the same exact-sum / count division here)."""
+    from rdf2smw_spark.operators.ivm import (
+        maintain_sum_view,
+        read_sum_view,
+        sum_view,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?p (AVG(?len) AS ?mean_len) (COUNT(?len) AS ?n_vals)
+        WHERE { ?s ?p ?v . FILTER ISLITERAL(?v)
+                BIND (STRLEN(?v) AS ?len) } GROUP BY ?p
+    """
+    t = testdata_triples(spark, sf_dir)
+    h = F.md5(F.concat("subj", "pred", "obj"))
+    base, delta = t.filter(~h.startswith("a")), t.filter(h.startswith("a"))
+    removed = t.filter(h.startswith("ab"))  # ⊂ delta: present when removed
+    view = sum_view(base, view_q)
+    view = maintain_sum_view(view, view_q, delta_plus=delta)
+    view = maintain_sum_view(view, view_q, delta_minus=removed)
+    return read_sum_view(view)
+
+
+QUERIES["kg_sparql_ivm_avg"] = q_kg_sparql_ivm_avg
+ORACLES["kg_sparql_ivm_avg"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT pred AS p, CAST(AVG(LENGTH(obj)) AS DOUBLE) AS mean_len,
+       COUNT(obj) AS n_vals
+FROM t
+WHERE NOT obj_is_iri AND obj_datatype IS NOT NULL
+  AND NOT starts_with(md5(subj || pred || obj), 'ab')
+GROUP BY pred
+"""
+
+
 def q_kg_sparql_path_graph(spark, sf_dir):
     """OneOrMorePath INSIDE GRAPH ?var (r4 verdict #4): src_url rides
     the pair key through the closure fixpoint, so each named graph's

@@ -597,9 +597,10 @@ def test_sum_view_shape_rejections(spark):
     assert not is_sum_delta_decomposable(PRE + """
       SELECT ?c (SUM(?v) AS ?t) WHERE { ?s ex:amt ?v . ?s a ?c . } GROUP BY ?c
     """)
-    # AVG does not subtract
+    # AVG(DISTINCT) needs the value set (plain AVG is accepted: it is
+    # maintained through its additive (SUM, COUNT) supports)
     assert not is_sum_delta_decomposable(PRE + """
-      SELECT ?s (AVG(?v) AS ?t) WHERE { ?s ex:amt ?v . } GROUP BY ?s
+      SELECT ?s (AVG(DISTINCT ?v) AS ?t) WHERE { ?s ex:amt ?v . } GROUP BY ?s
     """)
     # SUM(DISTINCT) needs the value set
     assert not is_sum_delta_decomposable(PRE + """
@@ -615,6 +616,54 @@ def test_sum_view_shape_rejections(spark):
     """)
     with pytest.raises(SparqlSyntaxError):
         sum_view(_sv(spark, [("a", "1")]), VIEW)
+
+
+def test_avg_view_maintained_equals_recomputed(spark):
+    """AVG rides its hidden (SUM, COUNT) supports: inserts and deletes
+    both land exactly, matching a recompute over the updated base."""
+    from rdf2smw_spark.operators.ivm import (
+        is_sum_delta_decomposable, maintain_sum_view, read_sum_view, sum_view,
+    )
+
+    view_q = PRE + """
+    SELECT ?s (AVG(?v) AS ?mean) (SUM(?v) AS ?total) WHERE {
+      ?s ex:amt ?v .
+    } GROUP BY ?s
+    """
+    assert is_sum_delta_decomposable(view_q)
+    base = _sv(spark, [("a", "1"), ("a", "3"), ("b", "10")])
+    plus = _sv(spark, [("a", "8"), ("c", "5")])
+    minus = _sv(spark, [("a", "1"), ("b", "10")])  # drains b
+    v = maintain_sum_view(sum_view(base, view_q), view_q, plus, minus)
+    upd = _sv(spark, [("a", "3"), ("a", "8"), ("c", "5")])
+    assert _rows(read_sum_view(v)) == _rows(read_sum_view(sum_view(upd, view_q)))
+    got = {r["s"]: (r["mean"], r["total"]) for r in read_sum_view(v).collect()}
+    assert got == {EX + "a": (5.5, 11.0), EX + "c": (5.0, 5.0)}
+
+
+def test_avg_view_null_snap_on_drained_contributors(spark):
+    """Deleting every non-NULL contributor leaves AVG NULL (recompute
+    semantics), while the group survives on its other branch."""
+    from rdf2smw_spark.operators.ivm import (
+        maintain_sum_view, read_sum_view, sum_view,
+    )
+
+    view_q = PRE + """
+    SELECT ?s (AVG(?v) AS ?mean) (COUNT(?s) AS ?n) WHERE {
+      { ?s ex:amt ?v . } UNION { ?s ex:tag ?t . }
+    } GROUP BY ?s
+    """
+    tag = (EX + "a", EX + "tag", "x", False,
+           "http://www.w3.org/2001/XMLSchema#string", "test://g")
+    base = spark.createDataFrame([amt("a", "5"), tag], TRIPLE_SCHEMA)
+    minus = _sv(spark, [("a", "5")])
+    v = maintain_sum_view(sum_view(base, view_q), view_q, delta_minus=minus)
+    out = read_sum_view(v).collect()
+    assert len(out) == 1 and out[0]["mean"] is None and out[0]["n"] == 1
+    recomputed = read_sum_view(
+        sum_view(spark.createDataFrame([tag], TRIPLE_SCHEMA), view_q)
+    )
+    assert _rows(read_sum_view(v)) == _rows(recomputed)
 
 
 def test_sum_view_bind_derived_value(spark):
