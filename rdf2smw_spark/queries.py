@@ -3181,6 +3181,39 @@ GROUP BY pred
 """
 
 
+def q_kg_sparql_blank(spark, sf_dir):
+    """Blank nodes in query patterns (r5 — sparql.py §19.6): the
+    labeled blank ``_:o`` is an existential joining two patterns (the
+    order never projects), and the property list ``[ ont:name ?name ]``
+    is an anonymous existential with a nested pattern (the customer
+    never projects). Both compile to ordinary join variables with
+    reserved names that SELECT * and projection can't leak. Oracle:
+    the same two joins with the existentials as plain join keys."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?name (COUNT(?st) AS ?n_orders) WHERE {
+          _:o ont:customer [ ont:name ?name ] .
+          _:o ont:orderstatus ?st .
+        } GROUP BY ?name
+    """)
+
+
+QUERIES["kg_sparql_blank"] = q_kg_sparql_blank
+ORACLES["kg_sparql_blank"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+cust AS (SELECT subj, obj AS name FROM t WHERE pred = '{_BGP_ONT}name'),
+oc AS (SELECT subj AS ord, obj AS c FROM t
+       WHERE pred = '{_BGP_ONT}customer'),
+st AS (SELECT subj AS ord, obj AS st FROM t
+       WHERE pred = '{_BGP_ONT}orderstatus')
+SELECT cust.name AS name, COUNT(st.st) AS n_orders
+FROM oc JOIN cust ON oc.c = cust.subj JOIN st ON st.ord = oc.ord
+GROUP BY cust.name
+"""
+
+
 def q_kg_sparql_path_graph(spark, sf_dir):
     """OneOrMorePath INSIDE GRAPH ?var (r4 verdict #4): src_url rides
     the pair key through the closure fixpoint, so each named graph's

@@ -22,7 +22,11 @@ raises SparqlSyntaxError rather than mis-executing):
   (sparql_update returns updated/inserted/deleted frames for the
   incremental maintainers);
 - ``PREFIX`` declarations, ``a`` for rdf:type, ``;``/``,`` predicate and
-  object lists;
+  object lists; blank nodes in patterns — ``_:label`` (an existential:
+  a non-projectable variable, leniently unified query-wide), ``[]``,
+  and property lists ``[ p o ; ... ]`` (fresh existentials with nested
+  patterns); blank labels in CONSTRUCT templates mint §16.2 fresh
+  blanks, one per distinct solution;
 - ``SELECT [DISTINCT] ?v ... | *`` with ``(expr AS ?alias)`` projections
   and aggregates ``COUNT(*) | COUNT([DISTINCT] ?v) | SUM/AVG/MIN/MAX |
   GROUP_CONCAT(...; SEPARATOR="..") | SAMPLE`` (GROUP_CONCAT order and
@@ -327,10 +331,11 @@ _TOKEN_RE = re.compile(
     | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<STRING>"(?:[^"\\]|\\.)*")
     | (?P<NUMBER>[0-9]+(?:\.[0-9]+)?)
+    | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-]+(?:\.[A-Za-z0-9_\-]+)*)?)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().;,*+\-/=<>!|^?])
+    | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}()\[\].;,*+\-/=<>!|^?])
     """,
     re.VERBOSE,
 )
@@ -436,6 +441,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._anon_n = 0  # fresh-variable counter for '[]' blank nodes
 
     # -- token helpers -----------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -476,6 +482,14 @@ class _Parser:
         k, v = self.next()
         if k == "VAR":
             return Var(v[1:])
+        if k == "BLANK":
+            # a blank node label in a query pattern is an existential:
+            # it behaves as a variable that cannot be projected (§19.6).
+            # The label is scoped query-wide (lenient: SPARQL forbids
+            # reusing a label across separate basic graph patterns; we
+            # unify instead of erroring, which only narrows solutions
+            # the strict reading would reject as a syntax error).
+            return Var("__bn_" + v[2:])
         if k == "IRIREF":
             return self._iri(v)
         if k == "PNAME":
@@ -809,22 +823,45 @@ class _Parser:
         raise SparqlSyntaxError(f"expected path element, got {v!r}")
 
     def parse_triples_block(self) -> list[TriplePattern]:
-        out = []
-        subj = self.parse_term(allow_literal=False)
+        out: list[TriplePattern] = []
+        was_bnpl = self.peek() == ("OP", "[")
+        subj = self._term_or_bnpl(out, allow_literal=False)
+        # '[ p o ] .' — a blank property list is a complete subject
+        # with an empty following property list (Turtle/SPARQL grammar)
+        if was_bnpl and self.peek() in (("OP", "."), ("OP", "}")):
+            return out
+        self._parse_pred_obj_list(subj, out)
+        return out
+
+    def _parse_pred_obj_list(self, subj, out: list) -> None:
+        """pred obj (',' obj)* (';' ...)* appended to ``out``."""
         while True:
             pred = self.parse_path()
             if isinstance(pred, Lit):
                 raise SparqlSyntaxError("literal in predicate position")
             while True:
-                obj = self.parse_term()
+                obj = self._term_or_bnpl(out)
                 out.append(TriplePattern(subj, pred, obj))
                 if not self.accept("OP", ","):
                     break
             if not self.accept("OP", ";"):
                 break
-            if self.peek() in (("OP", "."), ("OP", "}")):  # trailing ';'
-                break
-        return out
+            if self.peek() in (("OP", "."), ("OP", "}"), ("OP", "]")):
+                break  # trailing ';'
+        return
+
+    def _term_or_bnpl(self, out: list, allow_literal: bool = True):
+        """A term, or a blank node '[]' / property list '[ p o ; ... ]'
+        — both stand for a fresh existential variable; a property
+        list's nested patterns are appended to ``out``."""
+        if self.accept("OP", "["):
+            var = Var(f"__anon_{self._anon_n}")
+            self._anon_n += 1
+            if not self.accept("OP", "]"):
+                self._parse_pred_obj_list(var, out)
+                self.expect("OP", "]")
+            return var
+        return self.parse_term(allow_literal)
 
     # -- expressions ---------------------------------------------------------
     def parse_constraint(self):
@@ -1762,8 +1799,11 @@ class _Compiler:
                 for it in q.items
             ])
         else:
+            # SELECT * excludes companions AND blank-node existentials
+            # (§19.6: blank labels are not projectable variables)
             df = df.drop(*[c for c in df.columns
-                           if c.startswith("__isiri_") or c.startswith("__dt_")])
+                           if c.startswith("__isiri_") or c.startswith("__dt_")
+                           or c.startswith("__bn_") or c.startswith("__anon_")])
         if q.distinct:
             df = df.distinct()
             if q.order_by:
@@ -1805,6 +1845,28 @@ class _Compiler:
             if isinstance(term, Var)
         }
         df = self.compile_group(q.where)
+        # blank labels in the TEMPLATE that the WHERE never binds are
+        # §16.2 fresh blanks: minted once per (distinct) solution —
+        # same label, same solution -> same blank; different solutions
+        # -> different blanks. The engine's output is a distinct-triple
+        # graph, so duplicate solutions sharing a blank is
+        # graph-equivalent to the spec's per-solution-instance blanks.
+        minted = {
+            term.name
+            for t in q.template
+            for term in (t.s, t.p, t.o)
+            if isinstance(term, Var) and term.name not in df.columns
+            and (term.name.startswith("__bn_")
+                 or term.name.startswith("__anon_"))
+        }
+        if minted:
+            sol = (F.md5(F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in df.columns]
+            )) if df.columns else F.lit("0"))
+            for n in sorted(minted):
+                df = df.withColumn(
+                    n, F.concat(F.lit("_:"), F.md5(F.concat(F.lit(n), sol)))
+                )
         all_vars = set(df.columns)
         for t in q.template:
             for term in (t.s, t.p, t.o):
@@ -1831,9 +1893,15 @@ class _Compiler:
             if isinstance(t.o, Var):
                 obj = F.col(t.o.name)
                 comp_i, comp_d = f"__isiri_{t.o.name}", f"__dt_{t.o.name}"
-                is_iri = (F.col(comp_i) if comp_i in df.columns
-                          else F.lit(True))  # bound as subj/pred -> IRI
+                if t.o.name in minted:  # fresh blank: third term kind
+                    is_iri = F.lit(False)
+                elif comp_i in df.columns:
+                    is_iri = F.col(comp_i)
+                else:
+                    # bound as subj/pred: IRI or data blank, by prefix
+                    is_iri = ~obj.startswith("_:")
                 dt = (F.col(comp_d) if comp_d in df.columns
+                      and t.o.name not in minted
                       else F.lit(None).cast("string"))
             elif isinstance(t.o, Iri):
                 obj, is_iri, dt = F.lit(t.o.value), F.lit(True), F.lit(None).cast("string")

@@ -950,3 +950,57 @@ def test_replace_flags(graph):
                           BIND (REPLACE(?lab, "ALICE", "x", "i") AS ?r) }
     """)
     assert rows(df) == [("x",)]
+
+
+# -- blank nodes in patterns (r5) ---------------------------------------------
+
+def test_blank_label_is_existential(graph):
+    """_:b joins like a variable but never projects."""
+    got = sorted(r["o"] for r in sparql_select(graph, PRE + """
+        SELECT ?o WHERE { _:b a ex:Person . _:b ex:knows ?o . }
+    """).collect())
+    assert got == [EX + "bob", EX + "carol", EX + "carol"]
+
+
+def test_anon_blank_and_property_list(graph):
+    # [] as object: anyone knowing anything
+    assert sparql_select(graph, PRE + """
+        SELECT DISTINCT ?s WHERE { ?s ex:knows [] . }
+    """).count() == 2
+    # property list in object position
+    got = sorted(r["n"] for r in sparql_select(graph, PRE + """
+        SELECT ?n WHERE {
+          ?s ex:knows [ rdfs:label ?n ] .
+        }
+    """).collect())
+    assert got == ["Bob"]
+    # property list as subject with nested list + trailing block
+    got = sorted(r["a"] for r in sparql_select(graph, PRE + """
+        SELECT ?a WHERE { [ ex:knows [ rdfs:label "Bob" ] ; ex:age ?a ] . }
+    """).collect())
+    assert got == ["31"]
+
+
+def test_select_star_excludes_blank_existentials(graph):
+    df = sparql_select(graph, PRE + "SELECT * WHERE { _:b rdfs:label ?n . }")
+    assert df.columns == ["n"]
+
+
+def test_construct_mints_fresh_blanks_per_solution(graph):
+    """§16.2: a template blank mints one fresh blank per solution,
+    shared across template triples within the solution."""
+    from rdf2smw_spark.sparql import sparql_construct
+
+    g = sparql_construct(graph, PRE + """
+        CONSTRUCT { ?s ex:linkedTo _:n . _:n ex:via "knows" . }
+        WHERE { ?s ex:knows ?o . }
+    """)
+    out = g.collect()
+    links = {(r.subj, r.obj) for r in out if r.pred == EX + "linkedTo"}
+    vias = {r.subj for r in out if r.pred == EX + "via"}
+    # 3 solutions -> 3 distinct blanks, each with its via triple
+    blanks = {o for _s, o in links}
+    assert len(links) == 3 and len(blanks) == 3 and blanks == vias
+    assert all(b.startswith("_:") for b in blanks)
+    meta = {(r.obj_is_iri, r.obj_datatype) for r in out if r.pred == EX + "linkedTo"}
+    assert meta == {(False, None)}  # blank object: 3rd term kind
