@@ -46,7 +46,9 @@ raises SparqlSyntaxError rather than mis-executing):
 - builtins ``STR STRLEN STRSTARTS STRENDS CONTAINS UCASE LCASE REGEX
   BOUND COALESCE CONCAT SUBSTR REPLACE STRBEFORE STRAFTER IF ABS ROUND
   CEIL FLOOR DATATYPE ISIRI ISLITERAL ISBLANK ISNUMERIC SAMETERM
-  MD5 SHA1 SHA256 ENCODE_FOR_URI`` and casts
+  MD5 SHA1 SHA256 SHA384 SHA512 ENCODE_FOR_URI IRI/URI (identity: no
+  base IRI in the model) YEAR MONTH DAY HOURS MINUTES SECONDS (over
+  ISO lexical forms; non-dates are type errors -> unbound)`` and casts
   ``xsd:integer/xsd:double/xsd:string``; arithmetic ``+ - * /``,
   comparisons, ``&& || !``, ``[NOT] IN (...)`` (sugar for an
   equality disjunction, §17.4.1.9; LANG/LANGMATCHES are out of scope
@@ -354,7 +356,9 @@ _BUILTIN_FNS = {
     "REGEX", "BOUND", "COALESCE", "CONCAT", "SUBSTR", "REPLACE",
     "STRBEFORE", "STRAFTER", "IF", "ABS", "ROUND", "CEIL", "FLOOR",
     "DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
-    "SAMETERM", "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
+    "SAMETERM", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "ENCODE_FOR_URI", "IRI", "URI",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
 }
 
 # builtins that read a variable's term METADATA (kind/datatype) — their
@@ -1625,6 +1629,25 @@ class _Compiler:
             return F.sha1(args[0].cast("string"))
         if c.fn == "SHA256":
             return F.sha2(args[0].cast("string"), 256)
+        if c.fn in ("SHA384", "SHA512"):
+            return F.sha2(args[0].cast("string"), int(c.fn[3:]))
+        if c.fn in ("IRI", "URI"):
+            # §17.4.2.6 with no base IRI: the engine's IRI is its
+            # lexical form, so IRI(str) is the string itself (relative
+            # IRI resolution needs a base the data model doesn't carry)
+            return args[0].cast("string")
+        if c.fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # §17.4.5 date/time accessors over the literal's lexical
+            # form: ISO xsd:date/xsd:dateTime (with or without 'T'/'Z')
+            # parse; anything else is a SPARQL type error -> unbound
+            # (NULL). SECONDS returns whole seconds (xsd:decimal
+            # fractions are not preserved by the timestamp parse).
+            ts = F.try_to_timestamp(args[0].cast("string"))
+            accessor = {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+            }[c.fn]
+            return accessor(ts).cast("long")
         if c.fn == "ENCODE_FOR_URI":
             # url_encode is application/x-www-form-urlencoded (Java
             # URLEncoder): space->'+', '~'->%7E, '*' kept.  §17.4.2.8

@@ -1004,3 +1004,27 @@ def test_construct_mints_fresh_blanks_per_solution(graph):
     assert all(b.startswith("_:") for b in blanks)
     meta = {(r.obj_is_iri, r.obj_datatype) for r in out if r.pred == EX + "linkedTo"}
     assert meta == {(False, None)}  # blank object: 3rd term kind
+
+
+def test_datetime_accessors_and_hashes(graph):
+    """YEAR/MONTH/DAY/HOURS over ISO lexical forms; non-dates are type
+    errors (unbound); SHA384/512 and IRI identity."""
+    got = sparql_select(graph, PRE + """
+        SELECT ?y ?m ?d ?h ?bad ?iri ?h384 WHERE {
+          ex:alice ex:age ?a .
+          BIND (YEAR("1996-03-02T10:30:05Z") AS ?y)
+          BIND (MONTH("1996-03-02") AS ?m)
+          BIND (DAY("1996-03-02") AS ?d)
+          BIND (HOURS("1996-03-02T10:30:05") AS ?h)
+          BIND (YEAR(?a) AS ?bad)
+          BIND (IRI("http://e/x") AS ?iri)
+          BIND (SHA384("abc") AS ?h384)
+        }
+    """).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["y"], r["m"], r["d"], r["h"]) == (1996, 3, 2, 10)
+    assert r["bad"] is None  # "31" is not a date: unbound
+    assert r["iri"] == "http://e/x"
+    import hashlib
+    assert r["h384"] == hashlib.sha384(b"abc").hexdigest()
