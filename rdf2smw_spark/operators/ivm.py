@@ -105,6 +105,13 @@ def is_delta_decomposable(query_text: str) -> bool:
         return False
     if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
         return False  # slicing/dedup is not additive
+    if q.having is not None:
+        # a HAVING view drops sub-threshold groups from the
+        # materialization — their partial counts are LOST, so a later
+        # delta cannot re-derive the true total (a group crossing the
+        # threshold would surface with only its delta count). Not
+        # maintainable from the view alone; route to recompute.
+        return False
     has_count = False
     for it in q.items:
         if isinstance(it.expr, Var):
@@ -225,6 +232,11 @@ def _join_view_query(query_text: str) -> tuple:
             raise SparqlSyntaxError("property paths are not maintainable")
     if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
         raise SparqlSyntaxError("slicing/dedup is not additive")
+    if q.having is not None:
+        raise SparqlSyntaxError(
+            "HAVING drops groups from the materialization — not "
+            "maintainable; recompute instead"
+        )
     keys, counts = [], []
     for it in q.items:
         if isinstance(it.expr, Var):
@@ -438,6 +450,12 @@ def _sum_view_query(query_text: str) -> tuple:
         raise SparqlSyntaxError("sum views must be single-source")
     if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
         raise SparqlSyntaxError("slicing/dedup is not additive")
+    if q.having is not None:
+        raise SparqlSyntaxError(
+            "HAVING drops groups from the materialization — their "
+            "partial aggregates are lost, so the view is not "
+            "maintainable; recompute instead"
+        )
     keys, counts, sums, avgs = [], [], [], []
     for it in q.items:
         if isinstance(it.expr, Var):
@@ -559,3 +577,205 @@ def maintain_sum_view(
     if not keys:
         return out  # global view: the single row stays even at __n = 0
     return out.filter(F.col(_HIDDEN_N) > 0)
+
+
+# --------------------------------------------------------------------------
+# MIN/MAX views — merge-on-insert, extremum-touch rescan on delete (r5)
+# --------------------------------------------------------------------------
+#
+# MIN/MAX add under inserts (min(old, Δmin) / max(old, Δmax)) but do
+# not subtract: deleting the current extremum needs the runner-up,
+# which the view does not carry. The classic treatment (DBSP /
+# materialized-view literature) is a partial recompute: a delete only
+# disturbs a group when the deleted multiset CONTAINS the group's
+# current extremum (Δ ⊆ base ⟹ min(Δ_g) ≥ min(base_g), so "touches"
+# is the equality min(Δ_g) = view.min_g), and only the touched groups
+# rescan. At scale the merge arm is the count-view shuffle (|V| +
+# |V(Δ)| slim rows) and the rescan arm re-aggregates base solutions
+# for the touched keys only — a semi-join pushed below the aggregation,
+# typically a broadcast (extremum deletes are rare).
+
+def _minmax_view_query(query_text: str) -> tuple:
+    """Parse + validate a min/max view: single-source group,
+    projections are keys / bare COUNTs / bare MIN(?v)/MAX(?v), at
+    least one MIN or MAX, no slicing/HAVING. Returns
+    (query, keys, [(count_alias, var_or_star)], [(min_alias, var)],
+    [(max_alias, var)])."""
+    q = _view_query(query_text)
+    if not _single_source_group(q.where):
+        raise SparqlSyntaxError("min/max views must be single-source")
+    if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
+        raise SparqlSyntaxError("slicing/dedup is not additive")
+    if q.having is not None:
+        raise SparqlSyntaxError(
+            "HAVING drops groups from the materialization — not "
+            "maintainable; recompute instead"
+        )
+    keys, counts, mins, maxs = [], [], [], []
+    for it in q.items:
+        if isinstance(it.expr, Var):
+            keys.append(it.alias)
+            continue
+        if isinstance(it.expr, Call) and not it.expr.distinct:
+            if it.expr.fn == "COUNT":
+                arg = it.expr.args[0] if it.expr.args else "*"
+                counts.append(
+                    (it.alias, arg.name if isinstance(arg, Var) else "*")
+                )
+                continue
+            if (it.expr.fn in ("MIN", "MAX") and len(it.expr.args) == 1
+                    and isinstance(it.expr.args[0], Var)):
+                (mins if it.expr.fn == "MIN" else maxs).append(
+                    (it.alias, it.expr.args[0].name)
+                )
+                continue
+        raise SparqlSyntaxError(
+            "min/max views project keys, bare COUNTs, and bare "
+            "MIN(?v)/MAX(?v)s only"
+        )
+    if not mins and not maxs:
+        raise SparqlSyntaxError("no MIN/MAX — use count_view/sum_view")
+    return q, keys, counts, mins, maxs
+
+
+def is_minmax_delta_decomposable(query_text: str) -> bool:
+    """True when maintain_minmax_view can keep this view exact (given
+    the updated base for extremum rescans)."""
+    try:
+        _minmax_view_query(query_text)
+        return True
+    except SparqlSyntaxError:
+        return False
+
+
+def minmax_view(triples: DataFrame, query_text: str) -> DataFrame:
+    """Materialize the view WITH its hidden ``__n`` = COUNT(*) support
+    (group-vanish detection) — callers publish ``read_minmax_view``."""
+    import dataclasses
+
+    from rdf2smw_spark.sparql import _Compiler
+
+    q = _minmax_view_query(query_text)[0]
+    extra = [SelectItem(Call("COUNT", ("*",)), _HIDDEN_N)]
+    q2 = dataclasses.replace(q, items=[*q.items, *extra])
+    return _Compiler(triples).compile_query(q2)
+
+
+def read_minmax_view(view: DataFrame) -> DataFrame:
+    """The publishable projection: the hidden support dropped."""
+    return view.drop(_HIDDEN_N)
+
+
+def _minmax_flat(base: DataFrame, q, keys, counts, mins, maxs) -> DataFrame:
+    """The view's pre-aggregation solutions over ``base``: key columns
+    plus one ``__v_<var>`` column per aggregated variable — the frame
+    the touched-group rescan semi-joins and re-aggregates."""
+    import dataclasses
+
+    from rdf2smw_spark.sparql import _Compiler
+
+    proj: dict[str, str] = {}
+    for _alias, v in [*mins, *maxs]:
+        proj.setdefault(v, f"__v_{v}")
+    for _alias, v in counts:
+        if v != "*":
+            proj.setdefault(v, f"__v_{v}")
+    items = [SelectItem(Var(k), k) for k in keys]
+    items += [SelectItem(Var(v), a) for v, a in sorted(proj.items())]
+    q_flat = dataclasses.replace(
+        q, items=items, group_by=[], having=None, distinct=False,
+    )
+    return _Compiler(base).compile_query(q_flat)
+
+
+def _minmax_agg_exprs(counts, mins, maxs) -> list:
+    """The view's aggregate expressions over a flat solutions frame."""
+    aggs = []
+    for alias, v in counts:
+        col = F.lit(1) if v == "*" else F.col(f"__v_{v}")
+        aggs.append(F.count(col).alias(alias))
+    aggs += [F.min(f"__v_{v}").alias(a) for a, v in mins]
+    aggs += [F.max(f"__v_{v}").alias(a) for a, v in maxs]
+    aggs.append(F.count(F.lit(1)).alias(_HIDDEN_N))
+    return aggs
+
+
+def maintain_minmax_view(
+    old_view: DataFrame,
+    query_text: str,
+    base: DataFrame,
+    delta_plus: DataFrame | None = None,
+    delta_minus: DataFrame | None = None,
+) -> DataFrame:
+    """Merge a materialized min/max view (the minmax_view frame, WITH
+    the hidden support) with added/removed triples. ``base`` is the
+    UPDATED base (after the deltas applied) — read ONLY to rescan the
+    groups whose extremum a delete touched; pure-insert maintenance
+    never scans it. ``delta_minus`` must be a sub-bag of the
+    pre-update base (standard IVM contract). Equal to minmax_view over
+    the updated base."""
+    q, keys, counts, mins, maxs = _minmax_view_query(query_text)
+    count_cols = [alias for alias, _v in counts]
+    agg_cols = count_cols + [a for a, _ in mins] + [a for a, _ in maxs]
+    cur = old_view
+    if delta_minus is not None:
+        dmv = minmax_view(delta_minus, query_text)
+        d_cols = {c: f"__d_{c}" for c in agg_cols + [_HIDDEN_N]}
+        dmv = dmv.select(
+            *keys, *[F.col(c).alias(a) for c, a in d_cols.items()]
+        )
+        joined = cur.join(dmv, on=keys, how="left") if keys else (
+            cur.crossJoin(dmv) if dmv.limit(1).count() else cur.select(
+                "*", *[F.lit(None).alias(a) for a in d_cols.values()]
+            )
+        )
+        touched = F.lit(False)
+        for a, _v in mins:
+            touched = touched | (F.col(f"__d_{a}") <= F.col(a))
+        for a, _v in maxs:
+            touched = touched | (F.col(f"__d_{a}") >= F.col(a))
+        # NULL comparisons are NULL -> not touched (a delete of only
+        # unbound-?v solutions can't move an extremum); count-only
+        # drains of a group WITHOUT touching its extremum cannot empty
+        # it (the extremum row is still there), so vanish only happens
+        # through the touched arm's empty rescan
+        untouched = joined.filter(~F.coalesce(touched, F.lit(False)))
+        kept = untouched.select(
+            *keys,
+            *[(F.col(c) - F.coalesce(F.col(f"__d_{c}"), F.lit(0)))
+              .cast("long").alias(c) for c in count_cols],
+            *[F.col(a) for a, _ in [*mins, *maxs]],
+            (F.col(_HIDDEN_N) - F.coalesce(F.col(f"__d_{_HIDDEN_N}"), F.lit(0)))
+            .cast("long").alias(_HIDDEN_N),
+        )
+        flat = _minmax_flat(base, q, keys, counts, mins, maxs)
+        if keys:
+            touched_keys = joined.filter(
+                F.coalesce(touched, F.lit(False))
+            ).select(*keys)
+            rescan = (
+                flat.join(F.broadcast(touched_keys), on=keys, how="semi")
+                .groupBy(*keys)
+                .agg(*_minmax_agg_exprs(counts, mins, maxs))
+            )
+            cur = kept.unionByName(rescan)
+        else:
+            # global view: any touch rescans the single row (and a
+            # drained base recomputes to the NULL-extremum zero row)
+            probe = joined.filter(
+                F.coalesce(touched, F.lit(False))
+            ).limit(1).count()
+            cur = (flat.groupBy().agg(*_minmax_agg_exprs(counts, mins, maxs))
+                   if probe else kept)
+    if delta_plus is not None:
+        dpv = minmax_view(delta_plus, query_text)
+        merged = cur.unionByName(dpv)
+        aggs = [F.sum(c).cast("long").alias(c) for c in count_cols]
+        aggs += [F.min(a).alias(a) for a, _ in mins]
+        aggs += [F.max(a).alias(a) for a, _ in maxs]
+        aggs.append(F.sum(_HIDDEN_N).cast("long").alias(_HIDDEN_N))
+        cur = merged.groupBy(*keys).agg(*aggs)
+    cur = cur.select(*old_view.columns)
+    if not keys:
+        return cur  # global view: the single row stays even at __n = 0
+    return cur.filter(F.col(_HIDDEN_N) > 0)

@@ -3214,6 +3214,54 @@ GROUP BY cust.name
 """
 
 
+def q_kg_sparql_ivm_minmax(spark, sf_dir):
+    """Incremental maintenance of a MIN/MAX view (r5 —
+    operators/ivm.py minmax_view): extrema add under inserts but do
+    not subtract, so deletes use the extremum-touch rule — a group
+    rescans only when the deleted multiset contains its current
+    extremum (Δ ⊆ base ⟹ the touch test is equality on the per-group
+    delta extremum), everything else takes the slim count-subtract
+    merge. The rescan is a broadcast semi-join of the touched keys
+    pushed below a re-aggregation of the updated base. Same
+    add-then-remove protocol as kg_sparql_ivm_sum; integer STRLEN
+    values keep the comparison total-order identical to the oracle's
+    BIGINT LENGTH."""
+    from rdf2smw_spark.operators.ivm import (
+        maintain_minmax_view,
+        minmax_view,
+        read_minmax_view,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?p (MIN(?len) AS ?min_len) (MAX(?len) AS ?max_len)
+               (COUNT(?len) AS ?n_vals)
+        WHERE { ?s ?p ?v . FILTER ISLITERAL(?v)
+                BIND (STRLEN(?v) AS ?len) } GROUP BY ?p
+    """
+    t = testdata_triples(spark, sf_dir)
+    h = F.md5(F.concat("subj", "pred", "obj"))
+    base, delta = t.filter(~h.startswith("a")), t.filter(h.startswith("a"))
+    removed = t.filter(h.startswith("ab"))  # ⊂ delta: present when removed
+    after_insert = t  # base ⊎ delta
+    final = t.filter(~h.startswith("ab"))
+    view = minmax_view(base, view_q)
+    view = maintain_minmax_view(view, view_q, after_insert, delta_plus=delta)
+    view = maintain_minmax_view(view, view_q, final, delta_minus=removed)
+    return read_minmax_view(view)
+
+
+QUERIES["kg_sparql_ivm_minmax"] = q_kg_sparql_ivm_minmax
+ORACLES["kg_sparql_ivm_minmax"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT pred AS p, MIN(LENGTH(obj)) AS min_len, MAX(LENGTH(obj)) AS max_len,
+       COUNT(obj) AS n_vals
+FROM t
+WHERE NOT obj_is_iri AND obj_datatype IS NOT NULL
+  AND NOT starts_with(md5(subj || pred || obj), 'ab')
+GROUP BY pred
+"""
+
+
 def q_kg_sparql_path_graph(spark, sf_dir):
     """OneOrMorePath INSIDE GRAPH ?var (r4 verdict #4): src_url rides
     the pair key through the closure fixpoint, so each named graph's

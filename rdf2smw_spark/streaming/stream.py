@@ -668,9 +668,12 @@ def run_stream_sparql_view(
     even stored: the view IS the state).
 
     The view query must be delta-decomposable — single-source
-    (ivm.count_view), a single-source SUM view (ivm.sum_view: the
-    snapshot stores the hidden __n/__nn supports and readers get the
-    published projection), or an N-pattern JOIN view maintained by the
+    (ivm.count_view), a single-source SUM/AVG view (ivm.sum_view: the
+    snapshot stores the hidden __n/__nn/__s supports and readers get
+    the published projection), a single-source MIN/MAX view
+    (ivm.minmax_view — the stream is append-only, and extrema are
+    exactly maintainable under pure inserts without ever reading the
+    accumulated base), or an N-pattern JOIN view maintained by the
     counting algorithm (ivm.join_count_*: the snapshot then stores the
     per-pattern PARTIAL COUNT relations alongside the derived view,
     and each drain merges the partials and re-derives the view from
@@ -696,20 +699,24 @@ def run_stream_sparql_view(
         count_view,
         is_delta_decomposable,
         is_join_delta_decomposable,
+        is_minmax_delta_decomposable,
         is_sum_delta_decomposable,
         join_count_partials,
         join_count_view_from_partials,
         join_view_pattern_count,
         maintain_count_view,
         maintain_join_count_partials,
+        maintain_minmax_view,
         maintain_sum_view,
+        minmax_view,
+        read_minmax_view,
         read_sum_view,
         sum_view,
     )
     from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
     from rdf2smw_spark.sparql import SparqlSyntaxError
 
-    join_mode = sum_mode = False
+    join_mode = sum_mode = minmax_mode = False
     n_pats = 0
     if is_delta_decomposable(view_query):
         pass
@@ -717,6 +724,10 @@ def run_stream_sparql_view(
         # snapshots carry the hidden __n/__nn supports; readers get
         # read_sum_view's projection
         sum_mode = True
+    elif is_minmax_delta_decomposable(view_query):
+        # append-only stream: pure-insert extrema merge exactly and
+        # never read the accumulated base (no delete path here)
+        minmax_mode = True
     elif is_join_delta_decomposable(view_query):
         join_mode = True
         n_pats = join_view_pattern_count(view_query)
@@ -770,7 +781,11 @@ def run_stream_sparql_view(
         df = spark.read.parquet(
             _os.path.join(vdir, "view") if join_mode else vdir
         )
-        return read_sum_view(df) if sum_mode else df
+        if sum_mode:
+            return read_sum_view(df)
+        if minmax_mode:
+            return read_minmax_view(df)
+        return df
 
     def _process(batch, batch_id):
         old, n, applied = _latest()
@@ -812,6 +827,16 @@ def run_stream_sparql_view(
                 new = sum_view(delta, view_query)
             else:
                 new = maintain_sum_view(old, view_query, delta_plus=delta)
+            new.write.mode("overwrite").parquet(vdir)
+        elif minmax_mode:
+            if old is None:
+                new = minmax_view(delta, view_query)
+            else:
+                # insert-only: the base argument is never read (no
+                # delta_minus) — pass the delta as a placeholder
+                new = maintain_minmax_view(
+                    old, view_query, delta, delta_plus=delta
+                )
             new.write.mode("overwrite").parquet(vdir)
         else:
             if old is None:

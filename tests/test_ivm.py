@@ -718,3 +718,141 @@ def test_streaming_sum_view_across_drains(spark, tmp_path):
     got = {r["s"]: r["total"]
            for r in read_sum_view(spark.read.parquet(work + "/view/v=2")).collect()}
     assert got == {EX + "a": 7.0, EX + "b": 10.0}
+
+
+# --- MIN/MAX views (r5): merge-on-insert, extremum-touch rescan on delete ----
+
+def _mm(spark, rows):
+    return spark.createDataFrame([amt(*r) for r in rows], TRIPLE_SCHEMA)
+
+
+MMVIEW = PRE + """
+SELECT ?s (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (COUNT(?v) AS ?n) WHERE {
+  ?s ex:amt ?v .
+} GROUP BY ?s
+"""
+
+
+def test_minmax_view_insert_only_never_scans_base(spark):
+    from rdf2smw_spark.operators.ivm import (
+        maintain_minmax_view, minmax_view, read_minmax_view,
+    )
+
+    base = _mm(spark, [("a", "3"), ("a", "7"), ("b", "5")])
+    plus = _mm(spark, [("a", "1"), ("c", "9")])
+    upd = _mm(spark, [("a", "3"), ("a", "7"), ("b", "5"), ("a", "1"), ("c", "9")])
+    # base arg deliberately poisoned: insert-only maintenance must not read it
+    poisoned = _mm(spark, [("z", "0")])
+    v = maintain_minmax_view(minmax_view(base, MMVIEW), MMVIEW, poisoned,
+                             delta_plus=plus)
+    assert _rows(read_minmax_view(v)) == _rows(
+        read_minmax_view(minmax_view(upd, MMVIEW))
+    )
+    got = {r["s"]: (r["lo"], r["hi"], r["n"])
+           for r in read_minmax_view(v).collect()}
+    assert got[EX + "a"] == ("1", "7", 3)
+
+
+def test_minmax_view_delete_touching_and_untouched(spark):
+    from rdf2smw_spark.operators.ivm import (
+        maintain_minmax_view, minmax_view, read_minmax_view,
+    )
+
+    base = _mm(spark, [("a", "3"), ("a", "5"), ("a", "7"),
+                       ("b", "2"), ("b", "4"), ("b", "8"), ("c", "6")])
+    # a: delete the MIN (touch -> rescan); b: delete a mid value (no
+    # touch -> slim merge); c: delete everything (group vanishes)
+    minus = _mm(spark, [("a", "3"), ("b", "4"), ("c", "6")])
+    upd = _mm(spark, [("a", "5"), ("a", "7"), ("b", "2"), ("b", "8")])
+    v = maintain_minmax_view(minmax_view(base, MMVIEW), MMVIEW, upd,
+                             delta_minus=minus)
+    assert _rows(read_minmax_view(v)) == _rows(
+        read_minmax_view(minmax_view(upd, MMVIEW))
+    )
+    got = {r["s"]: (r["lo"], r["hi"], r["n"])
+           for r in read_minmax_view(v).collect()}
+    assert got == {EX + "a": ("5", "7", 2), EX + "b": ("2", "8", 2)}
+
+
+def test_minmax_view_both_deltas_and_global(spark):
+    from rdf2smw_spark.operators.ivm import (
+        maintain_minmax_view, minmax_view, read_minmax_view,
+    )
+
+    base = _mm(spark, [("a", "3"), ("b", "9")])
+    plus = _mm(spark, [("c", "1")])
+    minus = _mm(spark, [("b", "9")])
+    upd = _mm(spark, [("a", "3"), ("c", "1")])
+    gq = PRE + "SELECT (MIN(?v) AS ?lo) (COUNT(?v) AS ?n) WHERE { ?s ex:amt ?v . }"
+    v = maintain_minmax_view(minmax_view(base, gq), gq, upd,
+                             delta_plus=plus, delta_minus=minus)
+    out = read_minmax_view(v).collect()
+    assert len(out) == 1 and out[0]["lo"] == "1" and out[0]["n"] == 2
+    # drain the global view entirely: the row stays with NULL extremum
+    v2 = maintain_minmax_view(minmax_view(base, gq), gq,
+                              _mm(spark, []), delta_minus=base)
+    out2 = read_minmax_view(v2).collect()
+    assert len(out2) == 1 and out2[0]["lo"] is None and out2[0]["n"] == 0
+
+
+def test_minmax_shape_and_having_rejections(spark):
+    from rdf2smw_spark.operators.ivm import (
+        is_delta_decomposable, is_minmax_delta_decomposable,
+        is_sum_delta_decomposable,
+    )
+
+    assert is_minmax_delta_decomposable(MMVIEW)
+    # joins are not single-source
+    assert not is_minmax_delta_decomposable(PRE + """
+      SELECT ?c (MIN(?v) AS ?lo) WHERE { ?s ex:amt ?v . ?s a ?c . } GROUP BY ?c
+    """)
+    # HAVING drops groups from the materialization: rejected EVERYWHERE
+    assert not is_minmax_delta_decomposable(PRE + """
+      SELECT ?s (MIN(?v) AS ?lo) WHERE { ?s ex:amt ?v . }
+      GROUP BY ?s HAVING (COUNT(?v) > 1)
+    """)
+    assert not is_delta_decomposable(PRE + """
+      SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s ex:amt ?v . }
+      GROUP BY ?s HAVING (COUNT(?v) > 1)
+    """)
+    assert not is_sum_delta_decomposable(PRE + """
+      SELECT ?s (SUM(?v) AS ?t) WHERE { ?s ex:amt ?v . }
+      GROUP BY ?s HAVING (SUM(?v) > 1)
+    """)
+
+
+def test_streaming_minmax_view_across_drains(spark, tmp_path):
+    """The standing-view runner routes a MIN/MAX view to
+    ivm.minmax_view: append-only drains merge extrema exactly without
+    ever reading the accumulated base."""
+    from rdf2smw_spark.operators.ivm import read_minmax_view
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    AMT = f"<{EX}amt>"
+
+    view_q = PRE + """
+    SELECT ?s (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE {
+      ?s ex:amt ?v .
+    } GROUP BY ?s
+    """
+
+    (src / "b1.nt").write_text(
+        f'<{EX}a> {AMT} "3" .\n<{EX}a> {AMT} "7" .\n'
+    )
+    res = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res["batches"] == 1 and res["view_rows"] == 1
+    snap = spark.read.parquet(work + "/view/v=1")
+    assert "__n" in snap.columns
+    pub = read_minmax_view(snap).collect()
+    assert (pub[0]["lo"], pub[0]["hi"]) == ("3", "7")
+
+    (src / "b2.nt").write_text(
+        f'<{EX}a> {AMT} "1" .\n<{EX}b> {AMT} "5" .\n'
+    )
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    got = {r["s"]: (r["lo"], r["hi"]) for r in read_minmax_view(
+        spark.read.parquet(work + "/view/v=2")).collect()}
+    assert got == {EX + "a": ("1", "7"), EX + "b": ("5", "5")}
