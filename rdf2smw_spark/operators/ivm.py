@@ -779,3 +779,167 @@ def maintain_minmax_view(
     if not keys:
         return cur  # global view: the single row stays even at __n = 0
     return cur.filter(F.col(_HIDDEN_N) > 0)
+
+
+# --------------------------------------------------------------------------
+# DISTINCT-aggregate views — the per-group value-frequency support (r5)
+# --------------------------------------------------------------------------
+#
+# COUNT(DISTINCT ?v) / SUM(DISTINCT ?v) are not additive over the view
+# alone (merging distinct counts double-counts shared values), but they
+# ARE exactly maintainable through the textbook support relation
+#
+#     S = γ_{keys, ?v} COUNT(*)          (keys, __v, __c)
+#
+# — the per-group value frequency table. S is itself a single-source
+# COUNT view, hence count-additive under both deltas (merge = one slim
+# union + groupBy, rows whose __c hits 0 vanish), and every aggregate
+# of the view derives from S alone: COUNT(DISTINCT ?v) = #non-NULL
+# support rows, SUM(DISTINCT ?v) = Σ __v, COUNT(?v) = Σ __c over
+# non-NULL rows, COUNT(*) = Σ __c. Scale shape: |S| is bounded by the
+# number of DISTINCT (group, value) pairs — the same cardinality any
+# exact distinct-count must touch — and the per-delta merge shuffles
+# |S| + |S(Δ)| slim rows, never the base.
+
+def _distinct_view_query(query_text: str) -> tuple:
+    """Parse + validate a distinct-aggregate view: single-source
+    group, projections are keys / COUNT(DISTINCT ?v) / SUM(DISTINCT
+    ?v) / bare COUNT(?v)/COUNT(*) — all aggregates over the SAME
+    variable — with at least one DISTINCT aggregate. Returns
+    (query, keys, var, specs) where specs is [(alias, kind)] in
+    projection order, kind ∈ {key, cdist, sdist, count_v, count_star}."""
+    q = _view_query(query_text)
+    if not _single_source_group(q.where):
+        raise SparqlSyntaxError("distinct views must be single-source")
+    if q.order_by or q.limit is not None or q.offset is not None or q.distinct:
+        raise SparqlSyntaxError("slicing/dedup is not additive")
+    if q.having is not None:
+        raise SparqlSyntaxError(
+            "HAVING drops groups from the materialization — not "
+            "maintainable; recompute instead"
+        )
+    keys, specs, var, has_distinct = [], [], None, False
+
+    def _use(v: str):
+        nonlocal var
+        if var is None:
+            var = v
+        elif var != v:
+            raise SparqlSyntaxError(
+                "all aggregates of a distinct view must share one "
+                "variable (one support relation)"
+            )
+
+    for it in q.items:
+        if isinstance(it.expr, Var):
+            keys.append(it.alias)
+            specs.append((it.alias, "key"))
+            continue
+        if isinstance(it.expr, Call):
+            c = it.expr
+            if (c.fn in ("COUNT", "SUM") and c.distinct
+                    and len(c.args) == 1 and isinstance(c.args[0], Var)):
+                _use(c.args[0].name)
+                has_distinct = True
+                specs.append((it.alias, "cdist" if c.fn == "COUNT" else "sdist"))
+                continue
+            if c.fn == "COUNT" and not c.distinct:
+                if c.args == ("*",) or not c.args:
+                    specs.append((it.alias, "count_star"))
+                    continue
+                if len(c.args) == 1 and isinstance(c.args[0], Var):
+                    _use(c.args[0].name)
+                    specs.append((it.alias, "count_v"))
+                    continue
+        raise SparqlSyntaxError(
+            "distinct views project keys, COUNT/SUM(DISTINCT ?v), and "
+            "bare COUNT(?v)/COUNT(*) only"
+        )
+    if not has_distinct:
+        raise SparqlSyntaxError("no DISTINCT aggregate — use count_view")
+    return q, keys, var, specs
+
+
+def is_distinct_delta_decomposable(query_text: str) -> bool:
+    """True when maintain_distinct_view can keep this view exact."""
+    try:
+        _distinct_view_query(query_text)
+        return True
+    except SparqlSyntaxError:
+        return False
+
+
+def distinct_view(triples: DataFrame, query_text: str) -> DataFrame:
+    """Materialize the SUPPORT relation (keys, __v, __c) — callers
+    persist this frame and publish ``read_distinct_view``."""
+    import dataclasses
+
+    from rdf2smw_spark.sparql import _Compiler
+
+    q, keys, var, _specs = _distinct_view_query(query_text)
+    items = [it for it in q.items if isinstance(it.expr, Var)]
+    items += [
+        SelectItem(Var(var), "__v"),
+        SelectItem(Call("COUNT", ("*",)), "__c"),
+    ]
+    q2 = dataclasses.replace(
+        q, items=items, group_by=[*keys, var], having=None,
+    )
+    return _Compiler(triples).compile_query(q2)
+
+
+def read_distinct_view(support: DataFrame, query_text: str) -> DataFrame:
+    """Derive the published view from the support relation."""
+    _q, keys, _var, specs = _distinct_view_query(query_text)
+    nn = F.col("__v").isNotNull()
+    cols = []
+    for alias, kind in specs:
+        if kind == "key":
+            cols.append(F.first(alias).alias(alias))  # placeholder, replaced
+        elif kind == "cdist":
+            cols.append(F.count(F.when(nn, F.col("__v"))).alias(alias))
+        elif kind == "sdist":
+            # the engine's SUM casts to double (sparql.py §17.4 SUM)
+            cols.append(
+                F.sum(F.when(nn, F.col("__v").cast("double"))).alias(alias)
+            )
+        elif kind == "count_v":
+            cols.append(F.coalesce(
+                F.sum(F.when(nn, F.col("__c")).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias(alias))
+        else:  # count_star
+            cols.append(
+                F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias(alias)
+            )
+    aggs = [c for (_a, k), c in zip(specs, cols) if k != "key"]
+    gdf = support.groupBy(*keys) if keys else support.groupBy()
+    out = gdf.agg(*aggs)
+    return out.select(*[a for a, _k in specs])
+
+
+def maintain_distinct_view(
+    support: DataFrame,
+    query_text: str,
+    delta_plus: DataFrame | None = None,
+    delta_minus: DataFrame | None = None,
+) -> DataFrame:
+    """Merge the SUPPORT relation with added/removed triples — the
+    support is a single-source count view over (keys, ?v), so the
+    merge is exactly maintain_count_view's shape: union + groupBy,
+    rows whose __c falls to 0 vanish (and with them, vanished groups).
+    ``read_distinct_view`` of the result equals recomputing over the
+    updated base."""
+    keys = _distinct_view_query(query_text)[1]
+    parts = [support]
+    if delta_plus is not None:
+        parts.append(distinct_view(delta_plus, query_text))
+    if delta_minus is not None:
+        neg = distinct_view(delta_minus, query_text)
+        parts.append(neg.select(*keys, "__v", (-F.col("__c")).alias("__c")))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    out = merged.groupBy(*keys, "__v").agg(
+        F.sum("__c").cast("long").alias("__c")
+    )
+    return out.filter(F.col("__c") > 0).select(*support.columns)

@@ -3262,6 +3262,53 @@ GROUP BY pred
 """
 
 
+def q_kg_sparql_ivm_distinct(spark, sf_dir):
+    """Incremental maintenance of a DISTINCT-aggregate view (r5 —
+    operators/ivm.py distinct_view): COUNT/SUM(DISTINCT ?v) are not
+    additive over the view alone, so the maintained state is the
+    textbook support relation γ_{keys,v} COUNT(*) — itself a
+    count-additive single-source view — and every published aggregate
+    derives from it (distinct count = #support rows, distinct sum =
+    Σ values, plain counts = Σ frequencies). Same add-then-remove
+    protocol as the sibling IVM queries; deletes that drain one copy
+    of a duplicated value leave the distinct set intact, deletes that
+    drain the last copy shrink it — both arms exercised by the 'ab'
+    slice. Oracle recomputes over the final base."""
+    from rdf2smw_spark.operators.ivm import (
+        distinct_view,
+        maintain_distinct_view,
+        read_distinct_view,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?p (COUNT(DISTINCT ?len) AS ?n_distinct)
+               (SUM(DISTINCT ?len) AS ?sum_distinct) (COUNT(?len) AS ?n_rows)
+        WHERE { ?s ?p ?v . FILTER ISLITERAL(?v)
+                BIND (STRLEN(?v) AS ?len) } GROUP BY ?p
+    """
+    t = testdata_triples(spark, sf_dir)
+    h = F.md5(F.concat("subj", "pred", "obj"))
+    base, delta = t.filter(~h.startswith("a")), t.filter(h.startswith("a"))
+    removed = t.filter(h.startswith("ab"))  # ⊂ delta: present when removed
+    s = distinct_view(base, view_q)
+    s = maintain_distinct_view(s, view_q, delta_plus=delta)
+    s = maintain_distinct_view(s, view_q, delta_minus=removed)
+    return read_distinct_view(s, view_q)
+
+
+QUERIES["kg_sparql_ivm_distinct"] = q_kg_sparql_ivm_distinct
+ORACLES["kg_sparql_ivm_distinct"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT pred AS p, COUNT(DISTINCT LENGTH(obj)) AS n_distinct,
+       CAST(SUM(DISTINCT LENGTH(obj)) AS DOUBLE) AS sum_distinct,
+       COUNT(obj) AS n_rows
+FROM t
+WHERE NOT obj_is_iri AND obj_datatype IS NOT NULL
+  AND NOT starts_with(md5(subj || pred || obj), 'ab')
+GROUP BY pred
+"""
+
+
 def q_kg_sparql_path_graph(spark, sf_dir):
     """OneOrMorePath INSIDE GRAPH ?var (r4 verdict #4): src_url rides
     the pair key through the closure fixpoint, so each named graph's

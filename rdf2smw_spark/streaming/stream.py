@@ -673,8 +673,10 @@ def run_stream_sparql_view(
     the published projection), a single-source MIN/MAX view
     (ivm.minmax_view — the stream is append-only, and extrema are
     exactly maintainable under pure inserts without ever reading the
-    accumulated base), or an N-pattern JOIN view maintained by the
-    counting algorithm (ivm.join_count_*: the snapshot then stores the
+    accumulated base), a DISTINCT-aggregate view (ivm.distinct_view:
+    the snapshot stores the per-group value-frequency support and
+    readers derive COUNT/SUM(DISTINCT) from it), or an N-pattern JOIN
+    view maintained by the counting algorithm (ivm.join_count_*: the snapshot then stores the
     per-pattern PARTIAL COUNT relations alongside the derived view,
     and each drain merges the partials and re-derives the view from
     them alone — the accumulated triples are still never re-scanned).
@@ -697,7 +699,9 @@ def run_stream_sparql_view(
 
     from rdf2smw_spark.operators.ivm import (
         count_view,
+        distinct_view,
         is_delta_decomposable,
+        is_distinct_delta_decomposable,
         is_join_delta_decomposable,
         is_minmax_delta_decomposable,
         is_sum_delta_decomposable,
@@ -705,10 +709,12 @@ def run_stream_sparql_view(
         join_count_view_from_partials,
         join_view_pattern_count,
         maintain_count_view,
+        maintain_distinct_view,
         maintain_join_count_partials,
         maintain_minmax_view,
         maintain_sum_view,
         minmax_view,
+        read_distinct_view,
         read_minmax_view,
         read_sum_view,
         sum_view,
@@ -716,7 +722,7 @@ def run_stream_sparql_view(
     from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
     from rdf2smw_spark.sparql import SparqlSyntaxError
 
-    join_mode = sum_mode = minmax_mode = False
+    join_mode = sum_mode = minmax_mode = distinct_mode = False
     n_pats = 0
     if is_delta_decomposable(view_query):
         pass
@@ -728,6 +734,10 @@ def run_stream_sparql_view(
         # append-only stream: pure-insert extrema merge exactly and
         # never read the accumulated base (no delete path here)
         minmax_mode = True
+    elif is_distinct_delta_decomposable(view_query):
+        # snapshots store the (keys, __v, __c) value-frequency
+        # support; readers derive the published aggregates from it
+        distinct_mode = True
     elif is_join_delta_decomposable(view_query):
         join_mode = True
         n_pats = join_view_pattern_count(view_query)
@@ -785,6 +795,8 @@ def run_stream_sparql_view(
             return read_sum_view(df)
         if minmax_mode:
             return read_minmax_view(df)
+        if distinct_mode:
+            return read_distinct_view(df, view_query)
         return df
 
     def _process(batch, batch_id):
@@ -837,6 +849,12 @@ def run_stream_sparql_view(
                 new = maintain_minmax_view(
                     old, view_query, delta, delta_plus=delta
                 )
+            new.write.mode("overwrite").parquet(vdir)
+        elif distinct_mode:
+            if old is None:
+                new = distinct_view(delta, view_query)
+            else:
+                new = maintain_distinct_view(old, view_query, delta_plus=delta)
             new.write.mode("overwrite").parquet(vdir)
         else:
             if old is None:

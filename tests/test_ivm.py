@@ -856,3 +856,115 @@ def test_streaming_minmax_view_across_drains(spark, tmp_path):
     got = {r["s"]: (r["lo"], r["hi"]) for r in read_minmax_view(
         spark.read.parquet(work + "/view/v=2")).collect()}
     assert got == {EX + "a": ("1", "7"), EX + "b": ("5", "5")}
+
+
+# --- DISTINCT-aggregate views (r5): value-frequency support relation --------
+
+DVIEW = PRE + """
+SELECT ?s (COUNT(DISTINCT ?v) AS ?n_vals) (SUM(DISTINCT ?v) AS ?tot)
+       (COUNT(?v) AS ?n_rows) WHERE {
+  ?s ex:amt ?v .
+} GROUP BY ?s
+"""
+
+
+def test_distinct_view_maintained_equals_recomputed(spark):
+    from rdf2smw_spark.operators.ivm import (
+        distinct_view, is_distinct_delta_decomposable,
+        maintain_distinct_view, read_distinct_view,
+    )
+
+    assert is_distinct_delta_decomposable(DVIEW)
+    # a has duplicate value 3 (distinct collapses it), b vanishes
+    base = _mm(spark, [("a", "3"), ("a", "3"), ("a", "5"), ("b", "9")])
+    plus = _mm(spark, [("a", "3"), ("a", "7"), ("c", "2")])
+    minus = _mm(spark, [("a", "3"), ("b", "9")])  # a still holds two 3s
+    upd = _mm(spark, [("a", "3"), ("a", "3"), ("a", "5"),
+                      ("a", "7"), ("c", "2")])
+    s = distinct_view(base, DVIEW)
+    s = maintain_distinct_view(s, DVIEW, delta_plus=plus, delta_minus=minus)
+    got = read_distinct_view(s, DVIEW)
+    assert _rows(got) == _rows(read_distinct_view(distinct_view(upd, DVIEW), DVIEW))
+    m = {r["s"]: (r["n_vals"], r["tot"], r["n_rows"]) for r in got.collect()}
+    assert m == {EX + "a": (3, 15.0, 4), EX + "c": (1, 2.0, 1)}
+
+
+def test_distinct_view_value_drain_and_shapes(spark):
+    from rdf2smw_spark.operators.ivm import (
+        distinct_view, is_distinct_delta_decomposable,
+        maintain_distinct_view, read_distinct_view,
+    )
+
+    # deleting BOTH 3s drops the value from the distinct set
+    base = _mm(spark, [("a", "3"), ("a", "3"), ("a", "5")])
+    minus = _mm(spark, [("a", "3"), ("a", "3")])
+    s = maintain_distinct_view(
+        distinct_view(base, DVIEW), DVIEW, delta_minus=minus
+    )
+    m = {r["s"]: (r["n_vals"], r["tot"]) for r in read_distinct_view(s, DVIEW).collect()}
+    assert m == {EX + "a": (1, 5.0)}
+    # shapes: two different distinct vars need two supports -> rejected
+    assert not is_distinct_delta_decomposable(PRE + """
+      SELECT ?s (COUNT(DISTINCT ?v) AS ?a) (SUM(DISTINCT ?w) AS ?b)
+      WHERE { ?s ex:amt ?v . } GROUP BY ?s
+    """)
+    # no DISTINCT aggregate -> count_view's job
+    assert not is_distinct_delta_decomposable(PRE + """
+      SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s ex:amt ?v . } GROUP BY ?s
+    """)
+    # joins are not single-source
+    assert not is_distinct_delta_decomposable(PRE + """
+      SELECT ?c (COUNT(DISTINCT ?s) AS ?n)
+      WHERE { ?s ex:amt ?v . ?s a ?c . } GROUP BY ?c
+    """)
+
+
+def test_distinct_view_global_drain_keeps_zero_row(spark):
+    from rdf2smw_spark.operators.ivm import (
+        distinct_view, maintain_distinct_view, read_distinct_view,
+    )
+
+    gq = PRE + "SELECT (COUNT(DISTINCT ?v) AS ?n) WHERE { ?s ex:amt ?v . }"
+    base = _mm(spark, [("a", "3"), ("b", "3")])
+    s = maintain_distinct_view(
+        distinct_view(base, gq), gq, delta_minus=base
+    )
+    out = read_distinct_view(s, gq).collect()
+    assert len(out) == 1 and out[0]["n"] == 0
+
+
+def test_streaming_distinct_view_across_drains(spark, tmp_path):
+    """The standing-view runner routes a DISTINCT-aggregate view to
+    ivm.distinct_view: the snapshot stores the value-frequency support
+    and the published projection derives from it per drain."""
+    from rdf2smw_spark.operators.ivm import read_distinct_view
+    from rdf2smw_spark.streaming.stream import run_stream_sparql_view
+
+    src = tmp_path / "in"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    AMT = f"<{EX}amt>"
+
+    view_q = PRE + """
+    SELECT ?s (COUNT(DISTINCT ?v) AS ?n_vals) WHERE {
+      ?s ex:amt ?v .
+    } GROUP BY ?s
+    """
+
+    (src / "b1.nt").write_text(
+        f'<{EX}a> {AMT} "3" .\n<{EX}a> {AMT} "3" .\n<{EX}a> {AMT} "5" .\n'
+    )
+    res = run_stream_sparql_view(spark, str(src), work, view_q)
+    assert res["batches"] == 1 and res["view_rows"] == 1
+    snap = spark.read.parquet(work + "/view/v=1")
+    assert {"__v", "__c"} <= set(snap.columns)
+    pub = read_distinct_view(snap, view_q).collect()
+    assert pub[0]["n_vals"] == 2  # the duplicate "3" collapses
+
+    (src / "b2.nt").write_text(
+        f'<{EX}a> {AMT} "3" .\n<{EX}b> {AMT} "9" .\n'
+    )
+    run_stream_sparql_view(spark, str(src), work, view_q)
+    got = {r["s"]: r["n_vals"] for r in read_distinct_view(
+        spark.read.parquet(work + "/view/v=2"), view_q).collect()}
+    assert got == {EX + "a": 2, EX + "b": 1}  # re-seen "3" adds nothing
