@@ -2931,6 +2931,39 @@ FROM del
 """
 
 
+def q_kg_sparql_update_graph(spark, sf_dir):
+    """Graph-targeted SPARQL Update (r5 — sparql.py §3.1.3): WITH
+    scopes the WHERE and the DELETE template to the orders graph, and
+    the INSERT template's GRAPH block writes the renamed facts into a
+    NEW named graph (src_url = the target IRI) with quad-store
+    per-graph dedup. The oracle applies the same graph-scoped
+    delete/insert in SQL over the src_url provenance column."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    t = testdata_triples(spark, sf_dir)
+    res = sparql_update(t, _SPARQL_PRE + """
+        WITH <testdata://orders>
+        DELETE { ?o ont:priority ?p }
+        INSERT { GRAPH <testdata://derived> { ?o ont:importance ?p } }
+        WHERE { ?o ont:priority ?p }
+    """)
+    return res["updated"]
+
+
+QUERIES["kg_sparql_update_graph"] = q_kg_sparql_update_graph
+ORACLES["kg_sparql_update_graph"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL}),
+del AS (SELECT * FROM t
+        WHERE pred = '{_BGP_ONT}priority' AND src_url = 'testdata://orders')
+SELECT * FROM t
+WHERE NOT (pred = '{_BGP_ONT}priority' AND src_url = 'testdata://orders')
+UNION ALL
+SELECT DISTINCT subj, '{_BGP_ONT}importance' AS pred, obj,
+       obj_is_iri, obj_datatype, 'testdata://derived' AS src_url
+FROM del
+"""
+
+
 def q_kg_class_rollup(spark, sf_dir):
     """Hierarchy-aware member rollup: per class, the count of DISTINCT
     members including every subclass's members — the OLAP cube a KG

@@ -20,7 +20,10 @@ raises SparqlSyntaxError rather than mis-executing):
   ``DELETE {} INSERT {} WHERE {}`` — deltas derive like CONSTRUCT
   graphs and apply with set semantics on full term identity
   (sparql_update returns updated/inserted/deleted frames for the
-  incremental maintainers);
+  incremental maintainers); ``GRAPH <g> { ... }`` template blocks and
+  ``WITH <g>`` target one named graph (the src_url column) with
+  quad-store per-graph dedup/delete scoping, and WITH also scopes the
+  WHERE to GRAPH g (§3.1.3);
 - ``PREFIX`` declarations, ``a`` for rdf:type, ``;``/``,`` predicate and
   object lists; blank nodes in patterns — ``_:label`` (an existential:
   a non-projectable variable, leniently unified query-wide), ``[]``,
@@ -37,7 +40,9 @@ raises SparqlSyntaxError rather than mis-executing):
   ``GRAPH <g>|?g {}`` (over the src_url provenance column), and
   ``{ SELECT ... }`` subqueries (§12);
 - property paths (§9): sequence ``p1/p2``, alternation ``p1|p2``,
-  inverse ``^p``, grouping ``(...)``, negated sets ``!(...)``, and
+  inverse ``^p``, grouping ``(...)``, negated sets ``!(...)`` with
+  forward AND inverse members (``!(p|^q)``, §18.2.2.3 alt/inv
+  translation), and
   ``p+ | p* | p?`` — closures are distributed frontier fixpoints over
   term-pair SETS (§9.3), with both endpoints carrying IRI/datatype
   metadata so same-lexical IRI-vs-literal terms never conflate
@@ -192,7 +197,8 @@ class PathMod:
 
 @dataclass(frozen=True)
 class PathNeg:
-    preds: tuple       # !iri or !(iri|iri|...) — forward IRIs only
+    preds: tuple           # forward members of !(...)
+    inv_preds: tuple = ()  # ^iri members of !(...) (§9.1)
 
 
 @dataclass(frozen=True)
@@ -310,10 +316,14 @@ class AskQuery:
 class UpdateQuery:
     """SPARQL 1.1 Update (§3): INSERT/DELETE DATA (ground triples,
     where=None) or DELETE/INSERT ... WHERE (templates instantiated per
-    solution). Both templates may be present (a MODIFY)."""
-    delete_template: list   # [TriplePattern] (ground for DATA forms)
+    solution). Both templates may be present (a MODIFY). Template
+    entries are (graph, TriplePattern) pairs — graph is the IRI of a
+    ``GRAPH <g> { ... }`` template block (or the ``WITH <g>`` scope),
+    None for the provenance-blind default behavior."""
+    delete_template: list   # [(graph | None, TriplePattern)]
     insert_template: list
     where: Group | None
+    with_graph: str | None = None
 
 
 @dataclass
@@ -347,7 +357,7 @@ _KEYWORDS = {
     "WHERE", "OPTIONAL", "UNION", "MINUS", "FILTER", "BIND", "VALUES",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
-    "INSERT", "DELETE", "DATA", "IN",
+    "INSERT", "DELETE", "DATA", "IN", "WITH",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -525,7 +535,7 @@ class _Parser:
             self.prefixes[ns] = iri[1:-1]
         if self.accept("KW", "CONSTRUCT"):
             return self._parse_construct()
-        if self.peek()[1] in ("INSERT", "DELETE"):
+        if self.peek()[1] in ("INSERT", "DELETE", "WITH"):
             return self._parse_update()
         if self.accept("KW", "ASK"):
             g = self.parse_group()
@@ -623,52 +633,86 @@ class _Parser:
         return SelectQuery(distinct, items, star, where, group_by, having,
                            order_by, limit, offset)
 
-    def _parse_template_block(self) -> list:
+    def _parse_template_block(self, with_g: str | None = None) -> list:
+        """An update template: triples and/or ``GRAPH <g> { triples }``
+        blocks. Returns [(graph | None, TriplePattern)] — plain triples
+        carry the ``WITH`` scope (None without one)."""
         self.expect("OP", "{")
-        out: list[TriplePattern] = []
+        out: list[tuple[str | None, TriplePattern]] = []
         while not self.accept("OP", "}"):
-            out.extend(self.parse_triples_block())
+            if self.accept("KW", "GRAPH"):
+                term = self.parse_term(allow_literal=False)
+                if not isinstance(term, Iri):
+                    raise SparqlSyntaxError(
+                        "update templates take GRAPH <iri> blocks only "
+                        "(a GRAPH ?var target is not supported)"
+                    )
+                self.expect("OP", "{")
+                while not self.accept("OP", "}"):
+                    out.extend(
+                        (term.value, tp) for tp in self.parse_triples_block()
+                    )
+                    self.accept("OP", ".")
+            else:
+                out.extend((with_g, tp) for tp in self.parse_triples_block())
             self.accept("OP", ".")
         return out
 
     def _parse_update(self) -> UpdateQuery:
-        """INSERT DATA {..} | DELETE DATA {..} | DELETE WHERE {..} |
-        DELETE {..} [INSERT {..}] WHERE {..} | INSERT {..} WHERE {..}"""
+        """[WITH <g>] INSERT DATA {..} | DELETE DATA {..} |
+        DELETE WHERE {..} | DELETE {..} [INSERT {..}] WHERE {..} |
+        INSERT {..} WHERE {..} — ``WITH <g>`` scopes the WHERE to
+        GRAPH g and targets plain template triples at g (§3.1.3);
+        DATA forms take no WITH (spec: WITH applies to modify forms)."""
+        with_g: str | None = None
+        if self.accept("KW", "WITH"):
+            term = self.parse_term(allow_literal=False)
+            if not isinstance(term, Iri):
+                raise SparqlSyntaxError("WITH takes a graph IRI")
+            with_g = term.value
         delete_t: list = []
         insert_t: list = []
         where: Group | None = None
         if self.accept("KW", "DELETE"):
             if self.accept("KW", "DATA"):
+                if with_g is not None:
+                    raise SparqlSyntaxError("WITH applies to modify forms only")
                 delete_t = self._parse_template_block()
                 self._require_ground(delete_t, "DELETE DATA")
             elif self.accept("KW", "WHERE"):
                 where = self.parse_group()
                 delete_t = [
-                    el for el in where.elements if isinstance(el, TriplePattern)
+                    (with_g, el) for el in where.elements
+                    if isinstance(el, TriplePattern)
                 ]
                 if not delete_t:
                     raise SparqlSyntaxError("DELETE WHERE needs triple patterns")
             else:
-                delete_t = self._parse_template_block()
+                delete_t = self._parse_template_block(with_g)
                 if self.accept("KW", "INSERT"):
-                    insert_t = self._parse_template_block()
+                    insert_t = self._parse_template_block(with_g)
                 self.expect("KW", "WHERE")
                 where = self.parse_group()
         else:
             self.expect("KW", "INSERT")
             if self.accept("KW", "DATA"):
+                if with_g is not None:
+                    raise SparqlSyntaxError("WITH applies to modify forms only")
                 insert_t = self._parse_template_block()
                 self._require_ground(insert_t, "INSERT DATA")
             else:
-                insert_t = self._parse_template_block()
+                insert_t = self._parse_template_block(with_g)
                 self.expect("KW", "WHERE")
                 where = self.parse_group()
         self.expect("EOF")
-        return UpdateQuery(delete_t, insert_t, where)
+        if with_g is not None and where is not None:
+            # §3.1.3: WITH also scopes the WHERE evaluation to graph g
+            where = Group([GraphPattern(Iri(with_g), where)])
+        return UpdateQuery(delete_t, insert_t, where, with_g)
 
     @staticmethod
     def _require_ground(template: list, form: str) -> None:
-        for t in template:
+        for _g, t in template:
             for term in (t.s, t.p, t.o):
                 if isinstance(term, Var):
                     raise SparqlSyntaxError(f"{form} takes ground triples only")
@@ -800,13 +844,22 @@ class _Parser:
 
     def _parse_path_prim(self):
         if self.accept("OP", "!"):
-            # negated property set: !iri or !(iri|iri|...), forward only
+            # negated property set (§9.1): !iri, !^iri, or
+            # !(iri|^iri|...) — forward and inverse members negate
+            # their own direction (§18.2.2.3 alt/inv translation)
             if self.accept("OP", "("):
-                preds = [self._parse_path_iri()]
-                while self.accept("OP", "|"):
-                    preds.append(self._parse_path_iri())
+                fwd, inv = [], []
+                while True:
+                    if self.accept("OP", "^"):
+                        inv.append(self._parse_path_iri().value)
+                    else:
+                        fwd.append(self._parse_path_iri().value)
+                    if not self.accept("OP", "|"):
+                        break
                 self.expect("OP", ")")
-                return PathNeg(tuple(p.value for p in preds))
+                return PathNeg(tuple(fwd), tuple(inv))
+            if self.accept("OP", "^"):
+                return PathNeg((), (self._parse_path_iri().value,))
             return PathNeg((self._parse_path_iri().value,))
         if self.accept("OP", "^"):
             return PathInv(self._parse_path_prim())
@@ -1133,14 +1186,35 @@ def _path_rel(triples: DataFrame, path, with_g: bool = False) -> DataFrame:
             F.col("obj_datatype").alias("o_dt"), *gsel,
         )
     if isinstance(path, PathNeg):
-        # negated property set (§9.1): any predicate OUTSIDE the set —
-        # still a pushable scan filter (NOT IN on the pred column)
-        return triples.filter(~F.col("pred").isin(*path.preds)).select(
-            F.col("subj").alias("s"), F.lit(True).alias("s_iri"),
-            F.lit(None).cast("string").alias("s_dt"),
-            F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_iri"),
-            F.col("obj_datatype").alias("o_dt"), *gsel,
-        )
+        # negated property set (§9.1): forward members exclude
+        # predicates on forward edges, inverse members on inverted
+        # edges (§18.2.2.3: alt(NPS(F), inv(NPS(I)))) — each side stays
+        # a pushable NOT-IN scan filter on the pred column
+        parts = []
+        if path.preds:
+            parts.append(
+                triples.filter(~F.col("pred").isin(*path.preds)).select(
+                    F.col("subj").alias("s"), F.lit(True).alias("s_iri"),
+                    F.lit(None).cast("string").alias("s_dt"),
+                    F.col("obj").alias("o"),
+                    F.col("obj_is_iri").alias("o_iri"),
+                    F.col("obj_datatype").alias("o_dt"), *gsel,
+                )
+            )
+        if path.inv_preds:
+            parts.append(
+                triples.filter(~F.col("pred").isin(*path.inv_preds)).select(
+                    F.col("obj").alias("s"),
+                    F.col("obj_is_iri").alias("s_iri"),
+                    F.col("obj_datatype").alias("s_dt"),
+                    F.col("subj").alias("o"), F.lit(True).alias("o_iri"),
+                    F.lit(None).cast("string").alias("o_dt"), *gsel,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     gcol = [F.col("g")] if with_g else []
     if isinstance(path, PathInv):
         rel = _path_rel(triples, path.elt, with_g)
@@ -1994,32 +2068,49 @@ class _Compiler:
         """-> {'updated', 'inserted', 'deleted'} TRIPLE_SCHEMA frames.
         Deltas derive exactly like CONSTRUCT graphs (ground DATA rows,
         or templates instantiated per WHERE solution); application is
-        set-semantics on full term identity — DELETE removes every
-        matching row regardless of provenance, INSERT adds triples not
-        already present (src 'sparql://update'). The deltas are the
+        set-semantics on full term identity — an un-targeted DELETE
+        removes every matching row regardless of provenance, an
+        un-targeted INSERT adds triples not already present in ANY
+        graph (src 'sparql://update'). ``GRAPH <g> { ... }`` template
+        blocks (and the ``WITH <g>`` scope) target one named graph —
+        the src_url provenance column: targeted deletes remove only
+        rows OF that graph, targeted inserts carry src_url = g and
+        dedup against that graph alone (quad-store semantics: the same
+        triple may coexist in another graph). WITH additionally scopes
+        the WHERE evaluation to GRAPH g (§3.1.3). The deltas are the
         same shape the incremental maintainers consume
         (operators/ivm.py, operators/incremental_kg.py), so an update
         can maintain views instead of recomputing them."""
-        def delta(template: list) -> DataFrame | None:
-            if not template:
-                return None
-            if q.where is None:  # ground DATA form
-                rows = []
-                for t in template:
-                    if isinstance(t.o, Iri):
-                        rows.append((t.s.value, t.p.value, t.o.value,
-                                     True, None, "sparql://update"))
-                    else:
-                        rows.append((t.s.value, t.p.value, t.o.value,
-                                     False, _lit_datatype(t.o),
-                                     "sparql://update"))
-                return self.spark.createDataFrame(
-                    sorted(set(rows)),  # a graph is a SET: self-dedup
-                    "subj string, pred string, obj string, obj_is_iri boolean,"
-                    " obj_datatype string, src_url string",
-                )
-            sub = ConstructQuery(list(template), q.where, None)
-            return _Compiler(self.triples).compile_construct(sub)
+        def deltas(template: list) -> list:
+            """[(graph | None, TRIPLE_SCHEMA frame)] — one delta frame
+            per distinct GRAPH/WITH target in the template."""
+            by_g: dict = {}
+            for g, t in template:
+                by_g.setdefault(g, []).append(t)
+            out = []
+            for g, tpls in by_g.items():
+                if q.where is None:  # ground DATA form
+                    src = g if g is not None else "sparql://update"
+                    rows = []
+                    for t in tpls:
+                        if isinstance(t.o, Iri):
+                            rows.append((t.s.value, t.p.value, t.o.value,
+                                         True, None, src))
+                        else:
+                            rows.append((t.s.value, t.p.value, t.o.value,
+                                         False, _lit_datatype(t.o), src))
+                    out.append((g, self.spark.createDataFrame(
+                        sorted(set(rows)),  # a graph is a SET: self-dedup
+                        "subj string, pred string, obj string,"
+                        " obj_is_iri boolean, obj_datatype string,"
+                        " src_url string",
+                    )))
+                else:
+                    sub = ConstructQuery(list(tpls), q.where, None)
+                    out.append(
+                        (g, _Compiler(self.triples).compile_construct(sub))
+                    )
+            return out
 
         def dtk(frame: DataFrame) -> DataFrame:
             return frame.withColumn(
@@ -2029,22 +2120,38 @@ class _Compiler:
         key = ["subj", "pred", "obj", "obj_is_iri", "__dtk"]
         updated = self.triples
         deleted = None
-        del_delta = delta(q.delete_template)
-        if del_delta is not None:
+        for g, del_delta in deltas(q.delete_template):
             dd = dtk(del_delta).select(*key).distinct()
-            deleted = dtk(updated).join(dd, key, "left_semi").drop("__dtk")
-            updated = dtk(updated).join(dd, key, "left_anti").drop("__dtk")
+            scoped = dtk(updated)
+            if g is not None:
+                # GRAPH/WITH-targeted delete: only rows OF that graph
+                in_g = scoped.filter(F.col("src_url").eqNullSafe(g))
+                out_g = scoped.filter(~F.col("src_url").eqNullSafe(g))
+                part = in_g.join(dd, key, "left_semi").drop("__dtk")
+                updated = out_g.drop("__dtk").unionByName(
+                    in_g.join(dd, key, "left_anti").drop("__dtk")
+                )
+            else:
+                # provenance-blind (pinned default): every graph
+                part = scoped.join(dd, key, "left_semi").drop("__dtk")
+                updated = scoped.join(dd, key, "left_anti").drop("__dtk")
+            deleted = part if deleted is None else deleted.unionByName(part)
         inserted = None
-        ins_delta = delta(q.insert_template)
-        if ins_delta is not None:
-            existing = dtk(updated).select(*key).distinct()
-            inserted = (
+        for g, ins_delta in deltas(q.insert_template):
+            src = g if g is not None else "sparql://update"
+            existing = dtk(updated)
+            if g is not None:
+                # a quad store dedups per graph: the same triple may
+                # coexist in another graph
+                existing = existing.filter(F.col("src_url").eqNullSafe(g))
+            part = (
                 dtk(ins_delta)
-                .join(existing, key, "left_anti")
+                .join(existing.select(*key).distinct(), key, "left_anti")
                 .drop("__dtk")
-                .withColumn("src_url", F.lit("sparql://update"))
+                .withColumn("src_url", F.lit(src))
             )
-            updated = updated.unionByName(inserted)
+            updated = updated.unionByName(part)
+            inserted = part if inserted is None else inserted.unionByName(part)
         empty = self.spark.createDataFrame(
             [],
             "subj string, pred string, obj string, obj_is_iri boolean,"

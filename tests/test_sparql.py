@@ -1028,3 +1028,78 @@ def test_datetime_accessors_and_hashes(graph):
     assert r["iri"] == "http://e/x"
     import hashlib
     assert r["h384"] == hashlib.sha384(b"abc").hexdigest()
+
+
+def test_negated_property_set_inverse_members(graph):
+    """§9.1 NPS with inverse members: forward members negate forward
+    edges, ^members negate inverted edges (alt/inv translation)."""
+    # forward: any edge from alice that is NOT knows/type
+    got = sorted(r["o"] for r in sparql_select(graph, PRE + """
+        SELECT ?o WHERE {
+          ex:alice !(ex:knows|<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>) ?o .
+        }
+    """).collect())
+    assert got == ["31", "Alice"]  # age + label only
+    # pure inverse NPS: arrive at carol backwards over NOT-type edges
+    got = sorted(r["s"] for r in sparql_select(graph, PRE + """
+        SELECT ?s WHERE {
+          ex:carol !(^<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>) ?s .
+        }
+    """).collect())
+    assert got == [EX + "alice", EX + "bob"]  # knowers, not the Robot class
+    # mixed: forward non-knows edges UNION inverse non-knows edges
+    got = sorted(tuple(r) for r in sparql_select(graph, PRE + """
+        SELECT ?x WHERE { ex:bob !(ex:knows|^ex:knows) ?x . }
+    """).collect())
+    flat = sorted(x for (x,) in got)
+    # forward: type/label/age objects; inverse: nothing points at bob
+    # except alice's knows (excluded)
+    assert flat == ["9", "Bob", EX + "Person"]
+
+
+def test_update_graph_targets_and_with(spark):
+    """GRAPH <g> template blocks and WITH <g>: targeted deletes remove
+    only that graph's rows, targeted inserts dedup per graph, and WITH
+    scopes WHERE + plain templates to the graph (§3.1.3)."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    def t(s, p, o, g):
+        return (EX + s, EX + p, EX + o, True, None, g)
+
+    g1, g2 = "http://g/one", "http://g/two"
+    base = spark.createDataFrame(
+        [t("a", "p", "x", g1), t("a", "p", "x", g2), t("b", "p", "y", g1)],
+        TRIPLE_SCHEMA,
+    )
+    # targeted DELETE DATA: only g1's copy of (a,p,x) goes
+    res = sparql_update(base, PRE + """
+        DELETE DATA { GRAPH <http://g/one> { ex:a ex:p ex:x . } }
+    """)
+    left = sorted((r.subj, r.src_url) for r in res["updated"].collect())
+    assert left == [(EX + "a", g2), (EX + "b", g1)]
+    # targeted INSERT: triple exists in g2, NOT in g1 -> inserted into g1
+    res = sparql_update(base, PRE + """
+        INSERT { GRAPH <http://g/one> { ?s ex:q ?o . } }
+        WHERE { ?s ex:p ?o . }
+    """)
+    ins = {(r.subj, r.pred, r.src_url) for r in res["inserted"].collect()}
+    assert ins == {(EX + "a", EX + "q", g1), (EX + "b", EX + "q", g1)}
+    # WITH scopes WHERE to g2 (only a matches) and targets the template
+    res = sparql_update(base, PRE + """
+        WITH <http://g/two> DELETE { ?s ex:p ?o } WHERE { ?s ex:p ?o . }
+    """)
+    gone = [(r.subj, r.src_url) for r in res["deleted"].collect()]
+    assert gone == [(EX + "a", g2)]
+    assert res["updated"].count() == 2  # both g1 rows survive
+    # per-graph insert dedup: re-inserting g2's copy is a no-op, g1 new
+    res = sparql_update(base, PRE + """
+        INSERT DATA {
+          GRAPH <http://g/two> { ex:a ex:p ex:x . }
+          GRAPH <http://g/one> { ex:c ex:p ex:z . }
+        }
+    """)
+    ins = {(r.subj, r.src_url) for r in res["inserted"].collect()}
+    assert ins == {(EX + "c", g1)}
+    # WITH on a DATA form is rejected (spec: modify forms only)
+    with pytest.raises(SparqlSyntaxError):
+        sparql_update(base, PRE + "WITH <http://g/one> INSERT DATA { ex:a ex:p ex:x . }")
