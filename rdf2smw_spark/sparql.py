@@ -23,7 +23,11 @@ raises SparqlSyntaxError rather than mis-executing):
   incremental maintainers); ``GRAPH <g> { ... }`` template blocks and
   ``WITH <g>`` target one named graph (the src_url column) with
   quad-store per-graph dedup/delete scoping, and WITH also scopes the
-  WHERE to GRAPH g (§3.1.3);
+  WHERE to GRAPH g (§3.1.3); graph management (§3.2)
+  ``CLEAR|DROP [SILENT] (GRAPH <g> | ALL)`` and
+  ``ADD|COPY|MOVE [GRAPH] <src> TO [GRAPH] <dst>`` as src_url
+  filter/union plans (DEFAULT/NAMED targets rejected — the queryable
+  graph is the union of named graphs, there is no separate default);
 - ``PREFIX`` declarations, ``a`` for rdf:type, ``;``/``,`` predicate and
   object lists; blank nodes in patterns — ``_:label`` (an existential:
   a non-projectable variable, leniently unified query-wide), ``[]``,
@@ -326,6 +330,18 @@ class UpdateQuery:
     with_graph: str | None = None
 
 
+@dataclass(frozen=True)
+class GraphUpdate:
+    """SPARQL 1.1 Update §3.2 graph management over the src_url
+    provenance column: CLEAR/DROP remove a graph's rows (identical
+    here — graphs exist implicitly), ADD inserts src's triples into
+    dst (per-graph dedup), COPY replaces dst with src, MOVE is COPY
+    plus dropping src. ``CLEAR ALL`` empties the store."""
+    op: str                 # CLEAR | DROP | ADD | COPY | MOVE
+    src: str | None         # graph IRI ('ALL' ops: None)
+    dst: str | None = None  # ADD/COPY/MOVE target
+
+
 @dataclass
 class DescribeQuery:
     terms: list          # [Iri | Var]
@@ -358,6 +374,7 @@ _KEYWORDS = {
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
     "INSERT", "DELETE", "DATA", "IN", "WITH",
+    "CLEAR", "DROP", "COPY", "MOVE", "ADD", "TO", "SILENT", "ALL",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -535,6 +552,8 @@ class _Parser:
             self.prefixes[ns] = iri[1:-1]
         if self.accept("KW", "CONSTRUCT"):
             return self._parse_construct()
+        if self.peek()[1] in ("CLEAR", "DROP", "COPY", "MOVE", "ADD"):
+            return self._parse_graph_update()
         if self.peek()[1] in ("INSERT", "DELETE", "WITH"):
             return self._parse_update()
         if self.accept("KW", "ASK"):
@@ -657,6 +676,35 @@ class _Parser:
                 out.extend((with_g, tp) for tp in self.parse_triples_block())
             self.accept("OP", ".")
         return out
+
+    def _parse_graph_update(self) -> GraphUpdate:
+        """CLEAR|DROP [SILENT] (GRAPH <g> | ALL) — or —
+        ADD|COPY|MOVE [SILENT] [GRAPH] <src> TO [GRAPH] <dst>.
+        DEFAULT/NAMED targets are rejected: the engine's queryable
+        graph is the union of named graphs (src_url); there is no
+        separate default graph to address."""
+        op = self.next()[1]
+        self.accept("KW", "SILENT")
+
+        def graph_iri() -> str:
+            self.accept("KW", "GRAPH")
+            term = self.parse_term(allow_literal=False)
+            if not isinstance(term, Iri):
+                raise SparqlSyntaxError(f"{op} takes a graph IRI")
+            return term.value
+
+        if op in ("CLEAR", "DROP"):
+            if self.accept("KW", "ALL"):
+                self.expect("EOF")
+                return GraphUpdate(op, None)
+            g = graph_iri()
+            self.expect("EOF")
+            return GraphUpdate(op, g)
+        src = graph_iri()
+        self.expect("KW", "TO")
+        dst = graph_iri()
+        self.expect("EOF")
+        return GraphUpdate(op, src, dst)
 
     def _parse_update(self) -> UpdateQuery:
         """[WITH <g>] INSERT DATA {..} | DELETE DATA {..} |
@@ -2199,7 +2247,57 @@ def sparql_query(triples: DataFrame, query: str) -> tuple[str, DataFrame]:
         return "describe", comp.compile_describe(q)
     if isinstance(q, UpdateQuery):
         return "update", comp.compile_update(q)["updated"]
+    if isinstance(q, GraphUpdate):
+        return "update", _apply_graph_update(triples, q)["updated"]
     return "select", comp.compile_query(q)
+
+
+def _apply_graph_update(triples: DataFrame, q: GraphUpdate) -> dict:
+    """§3.2 graph management over src_url: one filter/union plan, no
+    template instantiation. Returns the same {'updated', 'inserted',
+    'deleted'} contract as compile_update."""
+    g = F.col("src_url")
+    empty = triples.limit(0)
+    if q.op in ("CLEAR", "DROP"):
+        if q.src is None:  # CLEAR/DROP ALL
+            return {"updated": empty, "inserted": empty, "deleted": triples}
+        return {
+            "updated": triples.filter(~g.eqNullSafe(q.src)),
+            "inserted": empty,
+            "deleted": triples.filter(g.eqNullSafe(q.src)),
+        }
+    src_rows = triples.filter(g.eqNullSafe(q.src))
+    relabeled = src_rows.withColumn("src_url", F.lit(q.dst))
+    dst_rows = triples.filter(g.eqNullSafe(q.dst))
+    if q.op == "ADD":
+        # insert src's triples into dst, keeping dst's existing rows:
+        # per-graph set semantics on full term identity
+        key = ["subj", "pred", "obj", "obj_is_iri", "__dtk"]
+
+        def dtk(f):
+            return f.withColumn(
+                "__dtk", F.coalesce(F.col("obj_datatype"), F.lit("\x00"))
+            )
+        inserted = (
+            dtk(relabeled)
+            .join(dtk(dst_rows).select(*key).distinct(), key, "left_anti")
+            .drop("__dtk")
+        )
+        return {
+            "updated": triples.unionByName(inserted),
+            "inserted": inserted,
+            "deleted": empty,
+        }
+    # COPY / MOVE: dst := src (dst's prior rows go); MOVE drops src too
+    keep = ~g.eqNullSafe(q.dst)
+    if q.op == "MOVE":
+        keep = keep & ~g.eqNullSafe(q.src)
+    deleted = triples.filter(~keep)
+    return {
+        "updated": triples.filter(keep).unionByName(relabeled),
+        "inserted": relabeled,
+        "deleted": deleted,
+    }
 
 
 def sparql_update(triples: DataFrame, query: str) -> dict:
@@ -2207,6 +2305,8 @@ def sparql_update(triples: DataFrame, query: str) -> dict:
     {'updated', 'inserted', 'deleted'} TRIPLE_SCHEMA frames — the
     deltas feed the incremental maintainers (ivm / incremental_kg)."""
     q = parse_sparql(query)
+    if isinstance(q, GraphUpdate):
+        return _apply_graph_update(triples, q)
     if not isinstance(q, UpdateQuery):
         raise SparqlSyntaxError("not an update request")
     return _Compiler(triples).compile_update(q)

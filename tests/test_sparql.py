@@ -81,7 +81,7 @@ def test_parse_a_keyword_and_typed_literal():
 def test_parse_rejects_out_of_subset():
     for bad in [
         "SELECT ?s WHERE { ?s <http://p> ?o } SERVICE",  # trailing junk
-        "CLEAR ALL",                                     # unsupported update form
+        "LOAD <http://remote/data.nt>",                  # unsupported update form
         "SELECT WHERE { ?s <http://p> ?o }",             # no projection
         "SELECT ?s WHERE { ?s undeclared:p ?o }",
     ]:
@@ -1103,3 +1103,49 @@ def test_update_graph_targets_and_with(spark):
     # WITH on a DATA form is rejected (spec: modify forms only)
     with pytest.raises(SparqlSyntaxError):
         sparql_update(base, PRE + "WITH <http://g/one> INSERT DATA { ex:a ex:p ex:x . }")
+
+
+def test_graph_management_updates(spark):
+    """§3.2 CLEAR/DROP/ADD/COPY/MOVE over the src_url provenance."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    def t(s, o, g):
+        return (EX + s, EX + "p", EX + o, True, None, g)
+
+    g1, g2 = "http://g/one", "http://g/two"
+    base = spark.createDataFrame(
+        [t("a", "x", g1), t("b", "y", g1), t("a", "x", g2), t("c", "z", g2)],
+        TRIPLE_SCHEMA,
+    )
+
+    res = sparql_update(base, "CLEAR GRAPH <http://g/one>")
+    assert {r.src_url for r in res["updated"].collect()} == {g2}
+    assert res["deleted"].count() == 2
+
+    res = sparql_update(base, "DROP SILENT GRAPH <http://g/two>")
+    assert {r.src_url for r in res["updated"].collect()} == {g1}
+
+    res = sparql_update(base, "CLEAR ALL")
+    assert res["updated"].count() == 0 and res["deleted"].count() == 4
+
+    # ADD: g1's (a,x) already in g2 -> only (b,y) inserted
+    res = sparql_update(base, "ADD GRAPH <http://g/one> TO GRAPH <http://g/two>")
+    ins = [(r.subj, r.src_url) for r in res["inserted"].collect()]
+    assert ins == [(EX + "b", g2)]
+    assert res["updated"].count() == 5
+
+    # COPY: g2 := g1 exactly (c,z vanishes from g2)
+    res = sparql_update(base, "COPY <http://g/one> TO <http://g/two>")
+    g2_rows = sorted(r.subj for r in res["updated"]
+                     .filter("src_url = 'http://g/two'").collect())
+    assert g2_rows == [EX + "a", EX + "b"]
+    assert res["updated"].count() == 4
+
+    # MOVE: g1 gone, g2 := old g1
+    res = sparql_update(base, "MOVE <http://g/one> TO <http://g/two>")
+    rows = sorted((r.subj, r.src_url) for r in res["updated"].collect())
+    assert rows == [(EX + "a", g2), (EX + "b", g2)]
+
+    # DEFAULT target: no separate default graph -> loud error
+    with pytest.raises(SparqlSyntaxError):
+        sparql_update(base, "CLEAR DEFAULT")
