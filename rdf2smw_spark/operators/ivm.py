@@ -623,15 +623,18 @@ def _minmax_view_query(query_text: str) -> tuple:
                     (it.alias, arg.name if isinstance(arg, Var) else "*")
                 )
                 continue
-            if (it.expr.fn in ("MIN", "MAX") and len(it.expr.args) == 1
+            if (it.expr.fn in ("MIN", "MAX", "SAMPLE")
+                    and len(it.expr.args) == 1
                     and isinstance(it.expr.args[0], Var)):
-                (mins if it.expr.fn == "MIN" else maxs).append(
+                # SAMPLE is pinned deterministic = MIN in this engine
+                # (sparql.py), so it maintains exactly like one
+                (mins if it.expr.fn in ("MIN", "SAMPLE") else maxs).append(
                     (it.alias, it.expr.args[0].name)
                 )
                 continue
         raise SparqlSyntaxError(
             "min/max views project keys, bare COUNTs, and bare "
-            "MIN(?v)/MAX(?v)s only"
+            "MIN/MAX/SAMPLE(?v)s only"
         )
     if not mins and not maxs:
         raise SparqlSyntaxError("no MIN/MAX — use count_view/sum_view")

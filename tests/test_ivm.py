@@ -968,3 +968,27 @@ def test_streaming_distinct_view_across_drains(spark, tmp_path):
     got = {r["s"]: r["n_vals"] for r in read_distinct_view(
         spark.read.parquet(work + "/view/v=2"), view_q).collect()}
     assert got == {EX + "a": 2, EX + "b": 1}  # re-seen "3" adds nothing
+
+
+def test_sample_view_rides_minmax_machinery(spark):
+    """SAMPLE is pinned deterministic (= MIN), so a SAMPLE view
+    maintains exactly like a MIN view — including the extremum-touch
+    rescan when a delete removes the sampled value."""
+    from rdf2smw_spark.operators.ivm import (
+        is_minmax_delta_decomposable, maintain_minmax_view, minmax_view,
+        read_minmax_view,
+    )
+
+    sq = PRE + """
+    SELECT ?s (SAMPLE(?v) AS ?pick) WHERE { ?s ex:amt ?v . } GROUP BY ?s
+    """
+    assert is_minmax_delta_decomposable(sq)
+    base = _mm(spark, [("a", "3"), ("a", "5")])
+    minus = _mm(spark, [("a", "3")])  # deletes the sampled (min) value
+    upd = _mm(spark, [("a", "5")])
+    v = maintain_minmax_view(minmax_view(base, sq), sq, upd,
+                             delta_minus=minus)
+    assert _rows(read_minmax_view(v)) == _rows(
+        read_minmax_view(minmax_view(upd, sq))
+    )
+    assert read_minmax_view(v).collect()[0]["pick"] == "5"
