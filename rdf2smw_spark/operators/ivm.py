@@ -1,4 +1,20 @@
-"""Incremental view maintenance for SPARQL count-aggregate views.
+"""Incremental view maintenance for SPARQL aggregate views.
+
+Five maintainer families cover every aggregate the engine's SPARQL
+dialect supports except GROUP_CONCAT:
+
+  * count_view            — COUNT            (additive both ways)
+  * sum_view              — SUM / AVG        (hidden count supports)
+  * minmax_view           — MIN / MAX / SAMPLE (insert merge;
+                            extremum-touch partial rescan on delete)
+  * distinct_view         — COUNT/SUM(DISTINCT) (value-frequency
+                            support relation)
+  * join_count_partials   — N-pattern JOIN COUNT views (the counting
+                            algorithm over per-pattern partials)
+
+Each family rejects out-of-shape queries loudly (HAVING, slicing,
+DISTINCT solutions, paths, EXISTS) so callers route those to
+recompute. The original design notes follow.
 
 A KG service materializes aggregate views (per-class member counts,
 per-predicate usage, per-graph sizes) and must keep them current as
