@@ -3277,8 +3277,13 @@ def q_kg_sparql_ivm_minmax(spark, sf_dir):
     removed = t.filter(h.startswith("ab"))  # ⊂ delta: present when removed
     after_insert = t  # base ⊎ delta
     final = t.filter(~h.startswith("ab"))
-    view = minmax_view(base, view_q)
-    view = maintain_minmax_view(view, view_q, after_insert, delta_plus=delta)
+    # a deployment reads each maintained snapshot from storage — the
+    # localCheckpoints stand in for that, keeping every maintain step
+    # a merge over a MATERIALIZED view rather than a lineage replay
+    view = minmax_view(base, view_q).localCheckpoint()
+    view = maintain_minmax_view(
+        view, view_q, after_insert, delta_plus=delta
+    ).localCheckpoint()
     view = maintain_minmax_view(view, view_q, final, delta_minus=removed)
     return read_minmax_view(view)
 
