@@ -1,14 +1,17 @@
 """Incremental view maintenance for SPARQL aggregate views.
 
-Five maintainer families cover every aggregate the engine's SPARQL
-dialect supports except GROUP_CONCAT:
+Five maintainer families cover EVERY aggregate the engine's SPARQL
+dialect supports:
 
   * count_view            — COUNT            (additive both ways)
   * sum_view              — SUM / AVG        (hidden count supports)
   * minmax_view           — MIN / MAX / SAMPLE (insert merge;
                             extremum-touch partial rescan on delete)
-  * distinct_view         — COUNT/SUM(DISTINCT) (value-frequency
-                            support relation)
+  * distinct_view         — COUNT/SUM(DISTINCT) and
+                            GROUP_CONCAT([DISTINCT]) (value-frequency
+                            support relation; the concat re-expands
+                            values × multiplicity before the pinned
+                            lexicographic join)
   * join_count_partials   — N-pattern JOIN COUNT views (the counting
                             algorithm over per-pattern partials)
 
@@ -821,12 +824,16 @@ def maintain_minmax_view(
 # |S| + |S(Δ)| slim rows, never the base.
 
 def _distinct_view_query(query_text: str) -> tuple:
-    """Parse + validate a distinct-aggregate view: single-source
-    group, projections are keys / COUNT(DISTINCT ?v) / SUM(DISTINCT
-    ?v) / bare COUNT(?v)/COUNT(*) — all aggregates over the SAME
-    variable — with at least one DISTINCT aggregate. Returns
-    (query, keys, var, specs) where specs is [(alias, kind)] in
-    projection order, kind ∈ {key, cdist, sdist, count_v, count_star}."""
+    """Parse + validate a support-relation view: single-source group,
+    projections are keys / COUNT(DISTINCT ?v) / SUM(DISTINCT ?v) /
+    GROUP_CONCAT([DISTINCT] ?v; ...) / bare COUNT(?v)/COUNT(*) — all
+    aggregates over the SAME variable — with at least one aggregate
+    that NEEDS the support (a DISTINCT one, or any GROUP_CONCAT: a
+    concat of the full bag re-derives from values × multiplicities).
+    Returns (query, keys, var, specs) with specs = [(alias, kind,
+    sep)] in projection order, kind ∈ {key, cdist, sdist, gc,
+    gc_dist, count_v, count_star} (sep is the GROUP_CONCAT separator,
+    None elsewhere)."""
     q = _view_query(query_text)
     if not _single_source_group(q.where):
         raise SparqlSyntaxError("distinct views must be single-source")
@@ -837,7 +844,7 @@ def _distinct_view_query(query_text: str) -> tuple:
             "HAVING drops groups from the materialization — not "
             "maintainable; recompute instead"
         )
-    keys, specs, var, has_distinct = [], [], None, False
+    keys, specs, var, needs_support = [], [], None, False
 
     def _use(v: str):
         nonlocal var
@@ -852,30 +859,44 @@ def _distinct_view_query(query_text: str) -> tuple:
     for it in q.items:
         if isinstance(it.expr, Var):
             keys.append(it.alias)
-            specs.append((it.alias, "key"))
+            specs.append((it.alias, "key", None))
             continue
         if isinstance(it.expr, Call):
             c = it.expr
             if (c.fn in ("COUNT", "SUM") and c.distinct
                     and len(c.args) == 1 and isinstance(c.args[0], Var)):
                 _use(c.args[0].name)
-                has_distinct = True
-                specs.append((it.alias, "cdist" if c.fn == "COUNT" else "sdist"))
+                needs_support = True
+                specs.append(
+                    (it.alias, "cdist" if c.fn == "COUNT" else "sdist", None)
+                )
+                continue
+            if (c.fn == "GROUP_CONCAT" and len(c.args) == 1
+                    and isinstance(c.args[0], Var)):
+                _use(c.args[0].name)
+                needs_support = True
+                specs.append((
+                    it.alias, "gc_dist" if c.distinct else "gc",
+                    c.sep if c.sep is not None else " ",
+                ))
                 continue
             if c.fn == "COUNT" and not c.distinct:
                 if c.args == ("*",) or not c.args:
-                    specs.append((it.alias, "count_star"))
+                    specs.append((it.alias, "count_star", None))
                     continue
                 if len(c.args) == 1 and isinstance(c.args[0], Var):
                     _use(c.args[0].name)
-                    specs.append((it.alias, "count_v"))
+                    specs.append((it.alias, "count_v", None))
                     continue
         raise SparqlSyntaxError(
-            "distinct views project keys, COUNT/SUM(DISTINCT ?v), and "
-            "bare COUNT(?v)/COUNT(*) only"
+            "distinct views project keys, COUNT/SUM(DISTINCT ?v), "
+            "GROUP_CONCAT([DISTINCT] ?v), and bare COUNT(?v)/COUNT(*) "
+            "only"
         )
-    if not has_distinct:
-        raise SparqlSyntaxError("no DISTINCT aggregate — use count_view")
+    if not needs_support:
+        raise SparqlSyntaxError(
+            "no DISTINCT/GROUP_CONCAT aggregate — use count_view"
+        )
     return q, keys, var, specs
 
 
@@ -912,7 +933,7 @@ def read_distinct_view(support: DataFrame, query_text: str) -> DataFrame:
     _q, keys, _var, specs = _distinct_view_query(query_text)
     nn = F.col("__v").isNotNull()
     cols = []
-    for alias, kind in specs:
+    for alias, kind, sep in specs:
         if kind == "key":
             cols.append(F.first(alias).alias(alias))  # placeholder, replaced
         elif kind == "cdist":
@@ -922,6 +943,26 @@ def read_distinct_view(support: DataFrame, query_text: str) -> DataFrame:
             cols.append(
                 F.sum(F.when(nn, F.col("__v").cast("double"))).alias(alias)
             )
+        elif kind == "gc_dist":
+            # engine pins GROUP_CONCAT lexicographic; support rows ARE
+            # the distinct values
+            cols.append(F.array_join(
+                F.sort_array(F.collect_list(F.when(nn, F.col("__v")))), sep
+            ).alias(alias))
+        elif kind == "gc":
+            # full-bag concat: each value repeated its multiplicity,
+            # sorted — repeating AFTER the sort keeps equal values
+            # adjacent, identical to sorting the flat bag
+            entries = F.array_sort(F.collect_list(
+                F.when(nn, F.struct(F.col("__v"), F.col("__c")))
+            ))
+            flat = F.flatten(F.transform(
+                entries,
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), s["__c"]), lambda _i: s["__v"]
+                ),
+            ))
+            cols.append(F.array_join(flat, sep).alias(alias))
         elif kind == "count_v":
             cols.append(F.coalesce(
                 F.sum(F.when(nn, F.col("__c")).otherwise(F.lit(0))), F.lit(0)
@@ -930,10 +971,10 @@ def read_distinct_view(support: DataFrame, query_text: str) -> DataFrame:
             cols.append(
                 F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias(alias)
             )
-    aggs = [c for (_a, k), c in zip(specs, cols) if k != "key"]
+    aggs = [c for (_a, k, _s), c in zip(specs, cols) if k != "key"]
     gdf = support.groupBy(*keys) if keys else support.groupBy()
     out = gdf.agg(*aggs)
-    return out.select(*[a for a, _k in specs])
+    return out.select(*[a for a, _k, _s in specs])
 
 
 def maintain_distinct_view(

@@ -673,10 +673,11 @@ def run_stream_sparql_view(
     the published projection), a single-source MIN/MAX view
     (ivm.minmax_view — the stream is append-only, and extrema are
     exactly maintainable under pure inserts without ever reading the
-    accumulated base), a DISTINCT-aggregate view (ivm.distinct_view:
-    the snapshot stores the per-group value-frequency support and
-    readers derive COUNT/SUM(DISTINCT) from it), or an N-pattern JOIN
-    view maintained by the counting algorithm (ivm.join_count_*: the snapshot then stores the
+    accumulated base), a DISTINCT-aggregate / GROUP_CONCAT view
+    (ivm.distinct_view: the snapshot stores the per-group
+    value-frequency support and readers derive the aggregates from
+    it), or an N-pattern JOIN view maintained by the counting
+    algorithm (ivm.join_count_*: the snapshot then stores the
     per-pattern PARTIAL COUNT relations alongside the derived view,
     and each drain merges the partials and re-derives the view from
     them alone — the accumulated triples are still never re-scanned).

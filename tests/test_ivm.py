@@ -992,3 +992,36 @@ def test_sample_view_rides_minmax_machinery(spark):
         read_minmax_view(minmax_view(upd, sq))
     )
     assert read_minmax_view(v).collect()[0]["pick"] == "5"
+
+
+def test_group_concat_view_from_support(spark):
+    """GROUP_CONCAT([DISTINCT]) derives exactly from the value-
+    frequency support — the full bag re-expands values × multiplicity
+    before the pinned lexicographic join."""
+    from rdf2smw_spark.operators.ivm import (
+        distinct_view, is_distinct_delta_decomposable,
+        maintain_distinct_view, read_distinct_view,
+    )
+
+    gq = PRE + """
+    SELECT ?s (GROUP_CONCAT(?v; SEPARATOR="|") AS ?bag)
+           (GROUP_CONCAT(DISTINCT ?v; SEPARATOR="|") AS ?set) WHERE {
+      ?s ex:amt ?v .
+    } GROUP BY ?s
+    """
+    assert is_distinct_delta_decomposable(gq)
+    base = _mm(spark, [("a", "3"), ("a", "3"), ("a", "5")])
+    plus = _mm(spark, [("a", "1"), ("a", "3")])
+    minus = _mm(spark, [("a", "3")])
+    upd = _mm(spark, [("a", "3"), ("a", "5"), ("a", "1"), ("a", "3")])
+    s = distinct_view(base, gq)
+    s = maintain_distinct_view(s, gq, delta_plus=plus, delta_minus=minus)
+    got = read_distinct_view(s, gq).collect()
+    assert got[0]["bag"] == "1|3|3|5" and got[0]["set"] == "1|3|5"
+    # equals both the engine's own aggregate and a recompute
+    from rdf2smw_spark.sparql import sparql_select
+    direct = sparql_select(upd, gq).collect()
+    assert (direct[0]["bag"], direct[0]["set"]) == ("1|3|3|5", "1|3|5")
+    assert _rows(read_distinct_view(s, gq)) == _rows(
+        read_distinct_view(distinct_view(upd, gq), gq)
+    )
