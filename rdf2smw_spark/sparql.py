@@ -24,7 +24,8 @@ raises SparqlSyntaxError rather than mis-executing):
   ``WITH <g>`` target one named graph (the src_url column) with
   quad-store per-graph dedup/delete scoping, and WITH also scopes the
   WHERE to GRAPH g (§3.1.3); graph management (§3.2)
-  ``CLEAR|DROP [SILENT] (GRAPH <g> | ALL)`` and
+  ``CLEAR|DROP [SILENT] (GRAPH <g> | ALL)``,
+  ``CREATE [SILENT] GRAPH <g>`` (a no-op: graphs exist implicitly) and
   ``ADD|COPY|MOVE [GRAPH] <src> TO [GRAPH] <dst>`` as src_url
   filter/union plans (DEFAULT/NAMED targets rejected — the queryable
   graph is the union of named graphs, there is no separate default);
@@ -32,8 +33,10 @@ raises SparqlSyntaxError rather than mis-executing):
   object lists; blank nodes in patterns — ``_:label`` (an existential:
   a non-projectable variable, leniently unified query-wide), ``[]``,
   and property lists ``[ p o ; ... ]`` (fresh existentials with nested
-  patterns); blank labels in CONSTRUCT templates mint §16.2 fresh
-  blanks, one per distinct solution;
+  patterns); RDF collections ``( t1 t2 ... )`` expand to their
+  rdf:first/rdf:rest existential chains (``()`` is rdf:nil); blank
+  labels in CONSTRUCT templates mint §16.2 fresh blanks, one per
+  distinct solution;
 - ``SELECT [DISTINCT] ?v ... | *`` with ``(expr AS ?alias)`` projections
   and aggregates ``COUNT(*) | COUNT([DISTINCT] ?v) | SUM/AVG/MIN/MAX |
   GROUP_CONCAT(...; SEPARATOR="..") | SAMPLE`` (GROUP_CONCAT order and
@@ -117,6 +120,9 @@ from pyspark.sql import functions as F
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 # the numeric XSD datatypes the ingest paths can emit (N-Triples keeps
 # the written datatype; Turtle numeric shorthand produces
@@ -336,8 +342,9 @@ class GraphUpdate:
     provenance column: CLEAR/DROP remove a graph's rows (identical
     here — graphs exist implicitly), ADD inserts src's triples into
     dst (per-graph dedup), COPY replaces dst with src, MOVE is COPY
-    plus dropping src. ``CLEAR ALL`` empties the store."""
-    op: str                 # CLEAR | DROP | ADD | COPY | MOVE
+    plus dropping src, CREATE is a no-op (implicit graphs need no
+    creation). ``CLEAR ALL`` empties the store."""
+    op: str                 # CLEAR | DROP | ADD | COPY | MOVE | CREATE
     src: str | None         # graph IRI ('ALL' ops: None)
     dst: str | None = None  # ADD/COPY/MOVE target
 
@@ -375,6 +382,7 @@ _KEYWORDS = {
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
     "INSERT", "DELETE", "DATA", "IN", "WITH",
     "CLEAR", "DROP", "COPY", "MOVE", "ADD", "TO", "SILENT", "ALL",
+    "CREATE",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -552,7 +560,8 @@ class _Parser:
             self.prefixes[ns] = iri[1:-1]
         if self.accept("KW", "CONSTRUCT"):
             return self._parse_construct()
-        if self.peek()[1] in ("CLEAR", "DROP", "COPY", "MOVE", "ADD"):
+        if self.peek()[1] in ("CLEAR", "DROP", "COPY", "MOVE", "ADD",
+                              "CREATE"):
             return self._parse_graph_update()
         if self.peek()[1] in ("INSERT", "DELETE", "WITH"):
             return self._parse_update()
@@ -693,8 +702,8 @@ class _Parser:
                 raise SparqlSyntaxError(f"{op} takes a graph IRI")
             return term.value
 
-        if op in ("CLEAR", "DROP"):
-            if self.accept("KW", "ALL"):
+        if op in ("CLEAR", "DROP", "CREATE"):
+            if op != "CREATE" and self.accept("KW", "ALL"):
                 self.expect("EOF")
                 return GraphUpdate(op, None)
             g = graph_iri()
@@ -956,9 +965,10 @@ class _Parser:
         return
 
     def _term_or_bnpl(self, out: list, allow_literal: bool = True):
-        """A term, or a blank node '[]' / property list '[ p o ; ... ]'
-        — both stand for a fresh existential variable; a property
-        list's nested patterns are appended to ``out``."""
+        """A term, a blank node '[]' / property list '[ p o ; ... ]'
+        (fresh existential variables; nested patterns appended to
+        ``out``), or an RDF collection '( t1 t2 ... )' expanded to its
+        rdf:first/rdf:rest chain of fresh existentials."""
         if self.accept("OP", "["):
             var = Var(f"__anon_{self._anon_n}")
             self._anon_n += 1
@@ -966,6 +976,22 @@ class _Parser:
                 self._parse_pred_obj_list(var, out)
                 self.expect("OP", "]")
             return var
+        if self.peek() == ("OP", "("):
+            self.next()
+            items = []
+            while not self.accept("OP", ")"):
+                items.append(self._term_or_bnpl(out))
+            if not items:
+                return Iri(RDF_NIL)  # '()' IS rdf:nil
+            nodes = []
+            for _ in items:
+                nodes.append(Var(f"__anon_{self._anon_n}"))
+                self._anon_n += 1
+            for i, (node, item) in enumerate(zip(nodes, items)):
+                out.append(TriplePattern(node, Iri(RDF_FIRST), item))
+                rest = nodes[i + 1] if i + 1 < len(items) else Iri(RDF_NIL)
+                out.append(TriplePattern(node, Iri(RDF_REST), rest))
+            return nodes[0]
         return self.parse_term(allow_literal)
 
     # -- expressions ---------------------------------------------------------
@@ -2258,6 +2284,11 @@ def _apply_graph_update(triples: DataFrame, q: GraphUpdate) -> dict:
     'deleted'} contract as compile_update."""
     g = F.col("src_url")
     empty = triples.limit(0)
+    if q.op == "CREATE":
+        # graphs exist implicitly (a graph IS its src_url rows), so
+        # CREATE is a no-op — the SILENT-less "already exists" error
+        # would need graph metadata the model deliberately lacks
+        return {"updated": triples, "inserted": empty, "deleted": empty}
     if q.op in ("CLEAR", "DROP"):
         if q.src is None:  # CLEAR/DROP ALL
             return {"updated": empty, "inserted": empty, "deleted": triples}

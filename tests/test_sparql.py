@@ -1149,3 +1149,33 @@ def test_graph_management_updates(spark):
     # DEFAULT target: no separate default graph -> loud error
     with pytest.raises(SparqlSyntaxError):
         sparql_update(base, "CLEAR DEFAULT")
+
+
+def test_collection_pattern_and_create(spark):
+    """RDF collections in patterns expand to their rdf:first/rest
+    chain of existentials; CREATE GRAPH is an accepted no-op."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        (EX + "menu", EX + "items", "_:l1", False, None, "g"),
+        ("_:l1", RDF + "first", "soup", False, XSD_STR, "g"),
+        ("_:l1", RDF + "rest", "_:l2", False, None, "g"),
+        ("_:l2", RDF + "first", "bread", False, XSD_STR, "g"),
+        ("_:l2", RDF + "rest", RDF + "nil", True, None, "g"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    got = sparql_select(t, PRE + """
+        SELECT ?s WHERE { ?s ex:items ("soup" "bread") . }
+    """).collect()
+    assert [r["s"] for r in got] == [EX + "menu"]
+    # wrong order must NOT match
+    assert sparql_select(t, PRE + """
+        SELECT ?s WHERE { ?s ex:items ("bread" "soup") . }
+    """).count() == 0
+    # '()' is rdf:nil itself
+    assert sparql_select(t, PRE + """
+        SELECT ?l WHERE { ?l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> () . }
+    """).count() == 1
+    res = sparql_update(t, "CREATE SILENT GRAPH <http://g/new>")
+    assert res["updated"].count() == 5 and res["inserted"].count() == 0
