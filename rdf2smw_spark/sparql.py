@@ -2107,12 +2107,16 @@ class _Compiler:
         return sol.groupBy().agg((F.count(F.lit(1)) > 0).alias("ask"))
 
     def compile_describe(self, q: DescribeQuery) -> DataFrame:
-        """DESCRIBE -> all triples whose SUBJECT is a described
-        resource (subject-based concise description; the description
-        form is implementation-defined per SPARQL 1.1 §16.4). Fixed
-        IRIs are a broadcast-size driver list; DESCRIBE ?var unions the
+        """DESCRIBE -> a Concise Bounded Description: all triples whose
+        SUBJECT is a described resource, closed over blank-node objects
+        (a blank reachable from the description is described too, to
+        fixpoint — the description form is implementation-defined per
+        SPARQL 1.1 §16.4; CBD is the conventional choice). Fixed IRIs
+        are a broadcast-size driver list; DESCRIBE ?var unions the
         variable's distinct solution values and semi-joins the triple
-        table on subj — one hash semi-join however many resources."""
+        table on subj — one hash semi-join however many resources, plus
+        one bounded semi-join per blank-chain level (document-scoped
+        blank chains are shallow; the loop guard is the collect)."""
         parts = []
         iris = [t.value for t in q.terms if isinstance(t, Iri)]
         if iris:
@@ -2132,8 +2136,34 @@ class _Compiler:
         res = res.distinct()
         if q.where is None:
             res = F.broadcast(res)  # a literal IRI list is always tiny
-        return self.triples.join(
+        desc = self.triples.join(
             res, self.triples["subj"] == res["r"], "left_semi"
+        )
+        # CBD closure over blank-node objects (term model: blank =
+        # not-IRI with NULL datatype and a '_:' lexical form)
+        seen = res.select("r")
+        for _i in range(32):
+            blanks = (
+                desc.filter(
+                    ~F.col("obj_is_iri") & F.col("obj_datatype").isNull()
+                    & F.col("obj").startswith("_:")
+                )
+                .select(F.col("obj").alias("r")).distinct()
+                .join(seen, "r", "left_anti")
+                .localCheckpoint()
+            )
+            if not blanks.limit(1).count():
+                return desc
+            seen = seen.unionByName(blanks).localCheckpoint()
+            desc = desc.unionByName(
+                self.triples.join(
+                    F.broadcast(blanks),
+                    self.triples["subj"] == blanks["r"], "left_semi",
+                )
+            ).localCheckpoint()
+        raise RuntimeError(
+            "DESCRIBE: blank-node chain deeper than 32 levels — "
+            "refusing to truncate the bounded description silently"
         )
 
 

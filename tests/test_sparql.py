@@ -1179,3 +1179,23 @@ def test_collection_pattern_and_create(spark):
     """).count() == 1
     res = sparql_update(t, "CREATE SILENT GRAPH <http://g/new>")
     assert res["updated"].count() == 5 and res["inserted"].count() == 0
+
+
+def test_describe_is_concise_bounded(spark):
+    """DESCRIBE closes over blank-node objects (CBD): the blank list
+    structure hanging off a described subject comes along; another
+    IRI's triples do not."""
+    from rdf2smw_spark.sparql import sparql_query
+
+    rows = [
+        (EX + "menu", EX + "items", "_:l1", False, None, "g"),
+        ("_:l1", EX + "first", "soup", False, XSD_STR, "g"),
+        ("_:l1", EX + "rest", "_:l2", False, None, "g"),
+        ("_:l2", EX + "first", "bread", False, XSD_STR, "g"),
+        (EX + "other", EX + "p", "x", False, XSD_STR, "g"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    form, df = sparql_query(t, PRE + "DESCRIBE ex:menu")
+    assert form == "describe"
+    got = sorted(r.subj for r in df.collect())
+    assert got == ["_:l1", "_:l1", "_:l2", EX + "menu"]
