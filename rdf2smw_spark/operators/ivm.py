@@ -740,6 +740,21 @@ def maintain_minmax_view(
     count_cols = [alias for alias, _v in counts]
     agg_cols = count_cols + [a for a, _ in mins] + [a for a, _ in maxs]
     cur = old_view
+    # inserts merge FIRST: with both deltas in one call the delete
+    # arm's rescan reads ``base`` (the FINAL base, inserts included),
+    # so the view must already carry the inserts when counts subtract
+    # — insert-after-rescan would double-count touched groups. The
+    # touch test is also exact this way: Δ- ⊆ old base ⊆ final base,
+    # so min(Δ-_g) ≥ min(final_g) with equality iff the delete removes
+    # the current extremum.
+    if delta_plus is not None:
+        dpv = minmax_view(delta_plus, query_text)
+        merged = cur.unionByName(dpv)
+        aggs = [F.sum(c).cast("long").alias(c) for c in count_cols]
+        aggs += [F.min(a).alias(a) for a, _ in mins]
+        aggs += [F.max(a).alias(a) for a, _ in maxs]
+        aggs.append(F.sum(_HIDDEN_N).cast("long").alias(_HIDDEN_N))
+        cur = merged.groupBy(*keys).agg(*aggs)
     if delta_minus is not None:
         dmv = minmax_view(delta_minus, query_text)
         d_cols = {c: f"__d_{c}" for c in agg_cols + [_HIDDEN_N]}
@@ -789,14 +804,6 @@ def maintain_minmax_view(
             ).limit(1).count()
             cur = (flat.groupBy().agg(*_minmax_agg_exprs(counts, mins, maxs))
                    if probe else kept)
-    if delta_plus is not None:
-        dpv = minmax_view(delta_plus, query_text)
-        merged = cur.unionByName(dpv)
-        aggs = [F.sum(c).cast("long").alias(c) for c in count_cols]
-        aggs += [F.min(a).alias(a) for a, _ in mins]
-        aggs += [F.max(a).alias(a) for a, _ in maxs]
-        aggs.append(F.sum(_HIDDEN_N).cast("long").alias(_HIDDEN_N))
-        cur = merged.groupBy(*keys).agg(*aggs)
     cur = cur.select(*old_view.columns)
     if not keys:
         return cur  # global view: the single row stays even at __n = 0

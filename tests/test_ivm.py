@@ -1025,3 +1025,24 @@ def test_group_concat_view_from_support(spark):
     assert _rows(read_distinct_view(s, gq)) == _rows(
         read_distinct_view(distinct_view(upd, gq), gq)
     )
+
+
+def test_minmax_both_deltas_touching_same_group(spark):
+    """Regression: both deltas in ONE call where the delete touches a
+    group the insert also feeds — the rescan over the FINAL base must
+    not double-count the inserted rows (inserts merge first)."""
+    from rdf2smw_spark.operators.ivm import (
+        maintain_minmax_view, minmax_view, read_minmax_view,
+    )
+
+    base = _mm(spark, [("a", "3"), ("a", "5")])
+    plus = _mm(spark, [("a", "7")])
+    minus = _mm(spark, [("a", "3")])  # touches a's MIN
+    upd = _mm(spark, [("a", "5"), ("a", "7")])
+    v = maintain_minmax_view(minmax_view(base, MMVIEW), MMVIEW, upd,
+                             delta_plus=plus, delta_minus=minus)
+    got = read_minmax_view(v).collect()
+    assert [(r["lo"], r["hi"], r["n"]) for r in got] == [("5", "7", 2)]
+    assert _rows(read_minmax_view(v)) == _rows(
+        read_minmax_view(minmax_view(upd, MMVIEW))
+    )
