@@ -107,7 +107,11 @@ def _single_source_group(g: Group) -> bool:
     return producers <= 1
 
 
-def _view_query(query_text: str) -> SelectQuery:
+def _view_query(query_text: str | SelectQuery) -> SelectQuery:
+    # the epilogue wrapper passes an already-rewritten AST through the
+    # family functions — accept it unchanged
+    if isinstance(query_text, SelectQuery):
+        return query_text
     q = parse_sparql(query_text)
     if not isinstance(q, SelectQuery):
         raise SparqlSyntaxError("IVM views must be SELECT queries")
@@ -158,6 +162,10 @@ def count_view(triples: DataFrame, query_text: str) -> DataFrame:
             "view is not delta-decomposable (multi-pattern join, path, "
             "DISTINCT, non-COUNT aggregate, or slice) — recompute instead"
         )
+    if isinstance(query_text, SelectQuery):
+        from rdf2smw_spark.sparql import _Compiler
+
+        return _Compiler(triples).compile_query(query_text)
     return sparql_select(triples, query_text)
 
 
@@ -1010,3 +1018,216 @@ def maintain_distinct_view(
         F.sum("__c").cast("long").alias("__c")
     )
     return out.filter(F.col("__c") > 0).select(*support.columns)
+
+
+# --------------------------------------------------------------------------
+# Epilogue views — HAVING / ORDER BY / LIMIT / OFFSET at read time (r5)
+# --------------------------------------------------------------------------
+#
+# HAVING and slicing change what a view PUBLISHES, not what must be
+# MAINTAINED. The maintained support is the same query with the
+# epilogue stripped (every group survives, unordered, unsliced) —
+# exactly the shape one of the five families keeps exact — and the
+# epilogue is re-applied at read time over the |V|-row maintained
+# support, never the base. A group crossing a HAVING threshold (either
+# direction) or entering/leaving a top-k slice is therefore handled for
+# free: its true partial aggregates were never dropped. Aggregates (or
+# GROUP BY keys) that appear only in the epilogue are carried as hidden
+# projected columns of the support and dropped from the published view.
+#
+# Scale shape: read-time cost is one filter + (when ordered) one
+# TakeOrderedAndProject over the slim support — no base scan, no extra
+# shuffle beyond the family merge itself.
+
+
+def _epilogue_rewrite(query_text: str) -> tuple:
+    """Split a view query into its maintainable core and its epilogue.
+
+    Returns (core_q, having_rw, order_rw, limit, offset, public) where
+    core_q is the query with HAVING/ORDER BY/LIMIT/OFFSET stripped and
+    epilogue-only aggregates/keys appended as hidden items, having_rw /
+    order_rw are the epilogue expressions rewritten to reference the
+    support's columns (aggregate calls -> their projected aliases), and
+    public is the original projection (the columns the read publishes).
+    Raises SparqlSyntaxError when the query has no epilogue, or uses
+    DISTINCT solutions / an epilogue term that cannot be carried."""
+    import dataclasses
+
+    from rdf2smw_spark.sparql import _AGG_FNS, BinOp, Not
+
+    q = _view_query(query_text)
+    if (q.having is None and not q.order_by and q.limit is None
+            and q.offset is None):
+        raise SparqlSyntaxError(
+            "view has no HAVING/ORDER BY/slice — use the family directly"
+        )
+    if q.distinct:
+        raise SparqlSyntaxError("DISTINCT solutions are not additive")
+    items = list(q.items)
+    aliases = {it.alias for it in q.items}
+
+    def rw(e):
+        if isinstance(e, Call) and e.fn in _AGG_FNS:
+            for it in items:
+                if isinstance(it.expr, Call) and it.expr == e:
+                    return Var(it.alias)
+            alias = f"__ep{len(items) - len(q.items)}"
+            items.append(SelectItem(e, alias))
+            return Var(alias)
+        if isinstance(e, Var):
+            if e.name in aliases:
+                return e
+            for it in items:
+                if isinstance(it.expr, Var) and it.expr.name == e.name:
+                    return Var(it.alias)
+            if e.name not in q.group_by:
+                raise SparqlSyntaxError(
+                    f"?{e.name} in HAVING/ORDER BY is neither projected "
+                    "nor a GROUP BY key"
+                )
+            items.append(SelectItem(e, e.name))
+            aliases.add(e.name)
+            return e
+        if isinstance(e, BinOp):
+            return BinOp(e.op, rw(e.left), rw(e.right))
+        if isinstance(e, Not):
+            return Not(rw(e.arg))
+        if isinstance(e, Call):  # non-aggregate builtin
+            return dataclasses.replace(
+                e, args=tuple(a if a == "*" else rw(a) for a in e.args)
+            )
+        return e  # Lit / Iri
+
+    having_rw = rw(q.having) if q.having is not None else None
+    order_rw = [(rw(e), d) for e, d in q.order_by]
+    core = dataclasses.replace(
+        q, items=items, having=None, order_by=[], limit=None, offset=None,
+    )
+    public = [it.alias for it in q.items]
+    return core, having_rw, order_rw, q.limit, q.offset, public
+
+
+_EPILOGUE_FAMILIES: tuple = (
+    ("count", None), ("sum", None), ("minmax", None),
+    ("distinct", None), ("join", None),
+)
+
+
+def _epilogue_family(core_q: SelectQuery) -> str:
+    """Route the epilogue-stripped core to its maintainer family (the
+    first family whose shape check accepts it — the checks are mutually
+    exclusive on aggregates, so order only breaks COUNT-only ties in
+    favour of the cheapest maintainer)."""
+    for name, check in (
+        ("count", is_delta_decomposable),
+        ("sum", is_sum_delta_decomposable),
+        ("minmax", is_minmax_delta_decomposable),
+        ("distinct", is_distinct_delta_decomposable),
+        ("join", is_join_delta_decomposable),
+    ):
+        if check(core_q):
+            return name
+    raise SparqlSyntaxError(
+        "core view (epilogue stripped) fits no maintainer family — "
+        "recompute instead"
+    )
+
+
+def is_epilogue_decomposable(query_text: str) -> bool:
+    """True when the query HAS an epilogue (HAVING/ORDER BY/slice) and
+    its stripped core is maintainable by one of the five families."""
+    try:
+        core = _epilogue_rewrite(query_text)[0]
+        _epilogue_family(core)
+        return True
+    except SparqlSyntaxError:
+        return False
+
+
+def epilogue_view(triples: DataFrame, query_text: str):
+    """Materialize the maintained support of an epilogue view: the
+    family materialization of the stripped core. A DataFrame for
+    count/sum/minmax/distinct cores; a tuple of partial-count frames
+    for join cores. Callers persist this and publish
+    ``read_epilogue_view``."""
+    core = _epilogue_rewrite(query_text)[0]
+    fam = _epilogue_family(core)
+    if fam == "count":
+        return count_view(triples, core)
+    if fam == "sum":
+        return sum_view(triples, core)
+    if fam == "minmax":
+        return minmax_view(triples, core)
+    if fam == "distinct":
+        return distinct_view(triples, core)
+    return join_count_partials(triples, core)
+
+
+def maintain_epilogue_view(
+    support,
+    query_text: str,
+    delta_plus: DataFrame | None = None,
+    delta_minus: DataFrame | None = None,
+    base: DataFrame | None = None,
+):
+    """Advance the support by a triple delta via its family maintainer.
+    ``base`` (the UPDATED base) is required only for min/max cores —
+    their delete path rescans extremum-touched groups."""
+    core = _epilogue_rewrite(query_text)[0]
+    fam = _epilogue_family(core)
+    if fam == "count":
+        return maintain_count_view(support, core, delta_plus, delta_minus)
+    if fam == "sum":
+        return maintain_sum_view(support, core, delta_plus, delta_minus)
+    if fam == "minmax":
+        if base is None:
+            raise SparqlSyntaxError(
+                "min/max epilogue views need the updated base for "
+                "extremum-touch rescans"
+            )
+        return maintain_minmax_view(support, core, base, delta_plus,
+                                    delta_minus)
+    if fam == "distinct":
+        return maintain_distinct_view(support, core, delta_plus, delta_minus)
+    return maintain_join_count_partials(support, core, delta_plus,
+                                        delta_minus)
+
+
+def read_epilogue_view(support, query_text: str) -> DataFrame:
+    """Publish the view: the family read over the maintained support,
+    then the epilogue — HAVING filter, ORDER BY, OFFSET/LIMIT — over
+    the slim |V|-row result. Exactly equals recomputing the full query
+    (epilogue included) over the updated base; pytest asserts both
+    directions and the registry hash-checks vs a full-recompute
+    oracle."""
+    from rdf2smw_spark.sparql import _Compiler
+
+    core, having_rw, order_rw, limit, offset, public = (
+        _epilogue_rewrite(query_text)
+    )
+    fam = _epilogue_family(core)
+    if fam == "count":
+        df = support
+    elif fam == "sum":
+        df = read_sum_view(support)
+    elif fam == "minmax":
+        df = read_minmax_view(support)
+    elif fam == "distinct":
+        df = read_distinct_view(support, core)
+    else:
+        df = join_count_view_from_partials(support, core)
+    comp = _Compiler(df)
+    if having_rw is not None:
+        df = df.filter(comp.expr(having_rw, df))
+    if order_rw:
+        keys = [
+            comp.expr(e, df).desc() if d == "desc" else comp.expr(e, df).asc()
+            for e, d in order_rw
+        ]
+        df = df.orderBy(*keys)  # + limit below => TakeOrderedAndProject
+    df = df.select(*public)
+    if offset is not None:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df

@@ -2762,6 +2762,46 @@ WHERE pred = '{_BGP_TYPE}' GROUP BY obj
 """
 
 
+def q_kg_sparql_ivm_having(spark, sf_dir):
+    """Epilogue-view IVM (operators/ivm.py epilogue_view family): a
+    HAVING + ORDER BY + LIMIT view is maintained by keeping the
+    epilogue-STRIPPED core exact (here the per-class count view — every
+    group survives with its true partial count) and re-applying the
+    epilogue over the slim |V|-row support at read time. A class
+    crossing the HAVING threshold or entering the top-k under the delta
+    therefore surfaces with its true total, not just its delta count.
+    The oracle recomputes the full query (epilogue included) over the
+    updated base, so a green row proves maintained == recomputed. The
+    tiebreak key makes the LIMIT slice deterministic at any
+    parallelism."""
+    from rdf2smw_spark.operators.ivm import (
+        epilogue_view,
+        maintain_epilogue_view,
+        read_epilogue_view,
+    )
+
+    view_q = _SPARQL_PRE + """
+        SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s a ?c . }
+        GROUP BY ?c HAVING (COUNT(?s) > 2)
+        ORDER BY DESC(?n) ?c LIMIT 20
+    """
+    t = testdata_triples(spark, sf_dir)
+    delta_cond = F.md5(F.concat("subj", "pred", "obj")).startswith("a")
+    base, delta = t.filter(~delta_cond), t.filter(delta_cond)
+    support = epilogue_view(base, view_q)
+    support = maintain_epilogue_view(support, view_q, delta_plus=delta)
+    return read_epilogue_view(support, view_q)
+
+
+QUERIES["kg_sparql_ivm_having"] = q_kg_sparql_ivm_having
+ORACLES["kg_sparql_ivm_having"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT obj AS c, COUNT(subj) AS n FROM t
+WHERE pred = '{_BGP_TYPE}' GROUP BY obj
+HAVING COUNT(subj) > 2 ORDER BY n DESC, c LIMIT 20
+"""
+
+
 _BOILER = "subscribe to our newsletter accept all cookies all rights reserved"
 
 
@@ -3526,7 +3566,10 @@ _DRIVER_WINDOW = [
     "kg_triples", "kg_fact_rows", "kg_pages_xml",
     # r4 flagship: SPARQL 1.1 engine surface
     "kg_sparql_select", "kg_sparql_construct", "kg_sparql_ask",
-    "kg_sparql_describe", "kg_sparql_update", "kg_sparql_ivm",
+    # kg_sparql_ivm rotated out for kg_sparql_ivm_having, which runs
+    # the same count-view maintainer as its core PLUS the read-time
+    # HAVING/ORDER/LIMIT epilogue (r5)
+    "kg_sparql_describe", "kg_sparql_update", "kg_sparql_ivm_having",
     "kg_sparql_graph", "kg_sparql_subquery", "kg_sparql_path_seq",
     "kg_sparql_path_plus", "kg_sparql_path_values", "kg_sparql_union_agg",
     # round-5 subset-edge closures + builtin/feature widening
