@@ -1107,12 +1107,6 @@ def _epilogue_rewrite(query_text: str) -> tuple:
     return core, having_rw, order_rw, q.limit, q.offset, public
 
 
-_EPILOGUE_FAMILIES: tuple = (
-    ("count", None), ("sum", None), ("minmax", None),
-    ("distinct", None), ("join", None),
-)
-
-
 def _epilogue_family(core_q: SelectQuery) -> str:
     """Route the epilogue-stripped core to its maintainer family (the
     first family whose shape check accepts it — the checks are mutually
@@ -1193,29 +1187,17 @@ def maintain_epilogue_view(
                                         delta_minus)
 
 
-def read_epilogue_view(support, query_text: str) -> DataFrame:
-    """Publish the view: the family read over the maintained support,
-    then the epilogue — HAVING filter, ORDER BY, OFFSET/LIMIT — over
-    the slim |V|-row result. Exactly equals recomputing the full query
-    (epilogue included) over the updated base; pytest asserts both
-    directions and the registry hash-checks vs a full-recompute
-    oracle."""
+def apply_epilogue(df: DataFrame, query_text: str) -> DataFrame:
+    """Apply the view's epilogue — HAVING filter, ORDER BY,
+    OFFSET/LIMIT — over an already-derived family read of its
+    maintained support, then project the published columns (hidden
+    epilogue carriers dropped). Cost: one filter + (when ordered) one
+    TakeOrderedAndProject over the slim |V|-row frame."""
     from rdf2smw_spark.sparql import _Compiler
 
-    core, having_rw, order_rw, limit, offset, public = (
+    _core, having_rw, order_rw, limit, offset, public = (
         _epilogue_rewrite(query_text)
     )
-    fam = _epilogue_family(core)
-    if fam == "count":
-        df = support
-    elif fam == "sum":
-        df = read_sum_view(support)
-    elif fam == "minmax":
-        df = read_minmax_view(support)
-    elif fam == "distinct":
-        df = read_distinct_view(support, core)
-    else:
-        df = join_count_view_from_partials(support, core)
     comp = _Compiler(df)
     if having_rw is not None:
         df = df.filter(comp.expr(having_rw, df))
@@ -1231,3 +1213,24 @@ def read_epilogue_view(support, query_text: str) -> DataFrame:
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def read_epilogue_view(support, query_text: str) -> DataFrame:
+    """Publish the view: the family read over the maintained support,
+    then the epilogue over the slim |V|-row result. Exactly equals
+    recomputing the full query (epilogue included) over the updated
+    base; pytest asserts both directions and the registry hash-checks
+    vs a full-recompute oracle."""
+    core = _epilogue_rewrite(query_text)[0]
+    fam = _epilogue_family(core)
+    if fam == "count":
+        df = support
+    elif fam == "sum":
+        df = read_sum_view(support)
+    elif fam == "minmax":
+        df = read_minmax_view(support)
+    elif fam == "distinct":
+        df = read_distinct_view(support, core)
+    else:
+        df = join_count_view_from_partials(support, core)
+    return apply_epilogue(df, query_text)

@@ -681,8 +681,13 @@ def run_stream_sparql_view(
     per-pattern PARTIAL COUNT relations alongside the derived view,
     and each drain merges the partials and re-derives the view from
     them alone — the accumulated triples are still never re-scanned).
-    Anything else raises loudly (a non-additive view belongs on the
-    recompute path).
+    A view carrying a HAVING / ORDER BY / LIMIT epilogue is accepted
+    when its STRIPPED core fits one of those families: snapshots store
+    the full support (every group with its true partials) and readers
+    get the epilogue re-applied over the slim snapshot
+    (ivm.apply_epilogue), so threshold crossings and top-k membership
+    track the stream exactly. Anything else raises loudly (a
+    non-additive view belongs on the recompute path).
     Versioned view snapshots (v=N) make each write atomic relative to
     the read of the previous version; only the latest is kept. Each
     snapshot records the set of FILES it has applied: foreachBatch is
@@ -720,8 +725,23 @@ def run_stream_sparql_view(
         read_sum_view,
         sum_view,
     )
+    from rdf2smw_spark.operators.ivm import (
+        _epilogue_rewrite,
+        apply_epilogue,
+        is_epilogue_decomposable,
+    )
     from rdf2smw_spark.sources.ntriples import parse_ntriples_lines
     from rdf2smw_spark.sparql import SparqlSyntaxError
+
+    orig_query = view_query
+    epilogue_mode = False
+    if is_epilogue_decomposable(view_query):
+        # a HAVING/ORDER BY/LIMIT view: maintain the epilogue-STRIPPED
+        # core through the family machinery below (snapshots store the
+        # full support — every group with its true partials) and
+        # re-apply the epilogue over the slim snapshot at read time
+        epilogue_mode = True
+        view_query = _epilogue_rewrite(view_query)[0]
 
     join_mode = sum_mode = minmax_mode = distinct_mode = False
     n_pats = 0
@@ -793,11 +813,13 @@ def run_stream_sparql_view(
             _os.path.join(vdir, "view") if join_mode else vdir
         )
         if sum_mode:
-            return read_sum_view(df)
-        if minmax_mode:
-            return read_minmax_view(df)
-        if distinct_mode:
-            return read_distinct_view(df, view_query)
+            df = read_sum_view(df)
+        elif minmax_mode:
+            df = read_minmax_view(df)
+        elif distinct_mode:
+            df = read_distinct_view(df, view_query)
+        if epilogue_mode:
+            df = apply_epilogue(df, orig_query)
         return df
 
     def _process(batch, batch_id):
