@@ -3004,6 +3004,36 @@ FROM del
 """
 
 
+def q_kg_sparql_update_gvar(spark, sf_dir):
+    """Variable graph targets in update templates (r5 — sparql.py
+    §3.1.3 QuadPattern): ``GRAPH ?g`` in DELETE/INSERT templates
+    instantiates the target per WHERE solution, so one update renames
+    ont:priority to ont:importance WITHIN each named graph in place —
+    the new facts land in the graph the old ones came from (src_url
+    rides the solution; quad-store per-(triple, graph) dedup). The
+    oracle applies the same per-graph rename in SQL over src_url."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    t = testdata_triples(spark, sf_dir)
+    res = sparql_update(t, _SPARQL_PRE + """
+        DELETE { GRAPH ?g { ?o ont:priority ?p } }
+        INSERT { GRAPH ?g { ?o ont:importance ?p } }
+        WHERE  { GRAPH ?g { ?o ont:priority ?p } }
+    """)
+    return res["updated"]
+
+
+QUERIES["kg_sparql_update_gvar"] = q_kg_sparql_update_gvar
+ORACLES["kg_sparql_update_gvar"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT * FROM t WHERE pred <> '{_BGP_ONT}priority'
+UNION ALL
+SELECT DISTINCT subj, '{_BGP_ONT}importance' AS pred, obj,
+       obj_is_iri, obj_datatype, src_url
+FROM t WHERE pred = '{_BGP_ONT}priority'
+"""
+
+
 def q_kg_class_rollup(spark, sf_dir):
     """Hierarchy-aware member rollup: per class, the count of DISTINCT
     members including every subclass's members — the OLAP cube a KG

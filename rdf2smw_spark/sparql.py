@@ -23,7 +23,10 @@ raises SparqlSyntaxError rather than mis-executing):
   incremental maintainers); ``GRAPH <g> { ... }`` template blocks and
   ``WITH <g>`` target one named graph (the src_url column) with
   quad-store per-graph dedup/delete scoping, and WITH also scopes the
-  WHERE to GRAPH g (§3.1.3); graph management (§3.2)
+  WHERE to GRAPH g (§3.1.3); ``GRAPH ?var { ... }`` template blocks
+  instantiate the target per solution (QuadPattern — src_url carries
+  the binding; non-IRI bindings skip the quad), and ``DELETE WHERE``
+  accepts GRAPH blocks as quad patterns; graph management (§3.2)
   ``CLEAR|DROP [SILENT] (GRAPH <g> | ALL)``,
   ``CREATE [SILENT] GRAPH <g>`` (a no-op: graphs exist implicitly) and
   ``ADD|COPY|MOVE [GRAPH] <src> TO [GRAPH] <dst>`` as src_url
@@ -662,23 +665,27 @@ class _Parser:
                            order_by, limit, offset)
 
     def _parse_template_block(self, with_g: str | None = None) -> list:
-        """An update template: triples and/or ``GRAPH <g> { triples }``
-        blocks. Returns [(graph | None, TriplePattern)] — plain triples
-        carry the ``WITH`` scope (None without one)."""
+        """An update template: triples and/or ``GRAPH <g>|?var
+        { triples }`` blocks. Returns [(graph | None, TriplePattern)]
+        where graph is a str (constant IRI target, or the ``WITH``
+        scope) or a Var (per-solution target, bound in WHERE — §3.1.3
+        QuadPattern); plain triples carry the ``WITH`` scope (None
+        without one)."""
         self.expect("OP", "{")
-        out: list[tuple[str | None, TriplePattern]] = []
+        out: list[tuple[str | Var | None, TriplePattern]] = []
         while not self.accept("OP", "}"):
             if self.accept("KW", "GRAPH"):
                 term = self.parse_term(allow_literal=False)
-                if not isinstance(term, Iri):
+                if not isinstance(term, (Iri, Var)):
                     raise SparqlSyntaxError(
-                        "update templates take GRAPH <iri> blocks only "
-                        "(a GRAPH ?var target is not supported)"
+                        "update templates take GRAPH <iri> or GRAPH ?var "
+                        f"blocks, not {term!r}"
                     )
+                key = term.value if isinstance(term, Iri) else term
                 self.expect("OP", "{")
                 while not self.accept("OP", "}"):
                     out.extend(
-                        (term.value, tp) for tp in self.parse_triples_block()
+                        (key, tp) for tp in self.parse_triples_block()
                     )
                     self.accept("OP", ".")
             else:
@@ -742,6 +749,16 @@ class _Parser:
                     (with_g, el) for el in where.elements
                     if isinstance(el, TriplePattern)
                 ]
+                # §3.1.3 QuadPattern: GRAPH <g>|?g blocks in DELETE
+                # WHERE delete from the graph they matched in
+                for el in where.elements:
+                    if isinstance(el, GraphPattern):
+                        tgt = (el.term.value if isinstance(el.term, Iri)
+                               else el.term)
+                        delete_t.extend(
+                            (tgt, tp) for tp in el.group.elements
+                            if isinstance(tp, TriplePattern)
+                        )
                 if not delete_t:
                     raise SparqlSyntaxError("DELETE WHERE needs triple patterns")
             else:
@@ -770,6 +787,10 @@ class _Parser:
     @staticmethod
     def _require_ground(template: list, form: str) -> None:
         for _g, t in template:
+            if isinstance(_g, Var):
+                raise SparqlSyntaxError(
+                    f"{form} takes ground graph targets only"
+                )
             for term in (t.s, t.p, t.o):
                 if isinstance(term, Var):
                     raise SparqlSyntaxError(f"{form} takes ground triples only")
@@ -1987,10 +2008,17 @@ class _Compiler:
 
 
     # -- CONSTRUCT ----------------------------------------------------------------
-    def compile_construct(self, q: ConstructQuery) -> DataFrame:
+    def compile_construct(self, q: ConstructQuery,
+                          graph_var: str | None = None) -> DataFrame:
         """CONSTRUCT -> a TRIPLE_SCHEMA DataFrame (a graph: distinct
         triples), so the result plugs straight back into the engine —
         conversion, rendering, entailment, another SPARQL query.
+
+        ``graph_var`` (update templates with a ``GRAPH ?var`` target,
+        §3.1.3): src_url is instantiated per solution from that
+        variable instead of the constant construct provenance;
+        solutions where the variable is unbound or bound to a
+        non-IRI produce no quad (same skip rule as invalid triples).
 
         Template instantiation follows SPARQL 1.1 §16.2: solutions with
         an unbound template variable produce no triple for that
@@ -2015,7 +2043,13 @@ class _Compiler:
             for term in (t.s, t.p, t.o)
             if isinstance(term, Var)
         }
+        if graph_var is not None:
+            self.capture.add(graph_var)
         df = self.compile_group(q.where)
+        if graph_var is not None and graph_var not in df.columns:
+            raise SparqlSyntaxError(
+                f"GRAPH ?{graph_var} template target never bound in WHERE"
+            )
         # blank labels in the TEMPLATE that the WHERE never binds are
         # §16.2 fresh blanks: minted once per (distinct) solution —
         # same label, same solution -> same blank; different solutions
@@ -2078,21 +2112,30 @@ class _Compiler:
                 obj, is_iri, dt = F.lit(t.o.value), F.lit(True), F.lit(None).cast("string")
             else:
                 obj, is_iri = F.lit(t.o.value), F.lit(False)
-                dt = F.lit(t.o.datatype).cast("string")
-            parts.append(
-                df.select(
-                    subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
-                    is_iri.alias("obj_is_iri"), dt.alias("obj_datatype"),
-                ).filter(
-                    F.col("subj").isNotNull()
-                    & F.col("pred").isNotNull()
-                    & F.col("obj").isNotNull()
-                )
-            )
+                # ground-literal identity: plain -> xsd:string, @lang ->
+                # rdf:langString — the ingest paths' canonical form, so
+                # template constants match stored rows (same rule as the
+                # ground DATA forms)
+                dt = F.lit(_lit_datatype(t.o)).cast("string")
+            sel = [subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
+                   is_iri.alias("obj_is_iri"), dt.alias("obj_datatype")]
+            guard = (F.col("subj").isNotNull()
+                     & F.col("pred").isNotNull()
+                     & F.col("obj").isNotNull())
+            if graph_var is not None:
+                # graph names are IRIs: skip quads whose target bound a
+                # literal (companion guard, like subject/predicate
+                # slots) or a blank node
+                sel.append(iri_slot(Var(graph_var)).alias("src_url"))
+                guard = guard & F.col("src_url").isNotNull() \
+                    & ~F.col("src_url").startswith("_:")
+            parts.append(df.select(*sel).filter(guard))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out = out.distinct().withColumn("src_url", F.lit("sparql://construct"))
+        out = out.distinct()
+        if graph_var is None:
+            out = out.withColumn("src_url", F.lit("sparql://construct"))
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
@@ -2187,13 +2230,23 @@ class _Compiler:
         can maintain views instead of recomputing them."""
         def deltas(template: list) -> list:
             """[(graph | None, TRIPLE_SCHEMA frame)] — one delta frame
-            per distinct GRAPH/WITH target in the template."""
+            per distinct GRAPH/WITH target in the template. A Var
+            target (``GRAPH ?g { ... }``) yields ONE frame whose
+            src_url is instantiated per WHERE solution."""
             by_g: dict = {}
             for g, t in template:
                 by_g.setdefault(g, []).append(t)
             out = []
             for g, tpls in by_g.items():
-                if q.where is None:  # ground DATA form
+                if isinstance(g, Var):
+                    # per-solution graph target: the delta frame carries
+                    # its own src_url column (parser rejects Var targets
+                    # in ground DATA forms, so q.where is present here)
+                    sub = ConstructQuery(list(tpls), q.where, None)
+                    out.append((g, _Compiler(self.triples).compile_construct(
+                        sub, graph_var=g.name
+                    )))
+                elif q.where is None:  # ground DATA form
                     src = g if g is not None else "sparql://update"
                     rows = []
                     for t in tpls:
@@ -2225,6 +2278,16 @@ class _Compiler:
         updated = self.triples
         deleted = None
         for g, del_delta in deltas(q.delete_template):
+            if isinstance(g, Var):
+                # per-solution graph: match on (triple key, graph) — each
+                # quad removes rows of exactly the graph it names
+                qkey = key + ["src_url"]
+                dd = dtk(del_delta).select(*qkey).distinct()
+                scoped = dtk(updated)
+                part = scoped.join(dd, qkey, "left_semi").drop("__dtk")
+                updated = scoped.join(dd, qkey, "left_anti").drop("__dtk")
+                deleted = part if deleted is None else deleted.unionByName(part)
+                continue
             dd = dtk(del_delta).select(*key).distinct()
             scoped = dtk(updated)
             if g is not None:
@@ -2242,6 +2305,20 @@ class _Compiler:
             deleted = part if deleted is None else deleted.unionByName(part)
         inserted = None
         for g, ins_delta in deltas(q.insert_template):
+            if isinstance(g, Var):
+                # per-solution graph: quad-store dedup per (triple, graph)
+                # — the delta's own src_url IS the provenance
+                qkey = key + ["src_url"]
+                part = (
+                    dtk(ins_delta)
+                    .join(dtk(updated).select(*qkey).distinct(),
+                          qkey, "left_anti")
+                    .drop("__dtk")
+                )
+                updated = updated.unionByName(part)
+                inserted = (part if inserted is None
+                            else inserted.unionByName(part))
+                continue
             src = g if g is not None else "sparql://update"
             existing = dtk(updated)
             if g is not None:

@@ -1199,3 +1199,119 @@ def test_describe_is_concise_bounded(spark):
     assert form == "describe"
     got = sorted(r.subj for r in df.collect())
     assert got == ["_:l1", "_:l1", "_:l2", EX + "menu"]
+
+
+# -- GRAPH ?var update templates (§3.1.3 QuadPattern, r5) ---------------------
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    """Two named graphs holding priority facts plus a marker triple
+    present only in g1 — the fixture for per-solution graph targets."""
+    XI = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (EX + "s1", EX + "priority", "5", False, XI, "g://1"),
+        (EX + "s2", EX + "priority", "7", False, XI, "g://2"),
+        (EX + "s3", EX + "other", "x", False, XSD_STR, "g://1"),
+        # the same triple in BOTH graphs (quad-store coexistence)
+        (EX + "dup", EX + "flag", "y", False, XSD_STR, "g://1"),
+        (EX + "dup", EX + "flag", "y", False, XSD_STR, "g://2"),
+        # marker only in g1
+        (EX + "dup", EX + "marked", "m", False, XSD_STR, "g://1"),
+    ]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_update_graph_var_rename_in_place(quads):
+    """DELETE/INSERT { GRAPH ?g {..} } renames a predicate WITHIN each
+    graph: the new facts land in the graph the old ones came from."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(quads, PRE + """
+        DELETE { GRAPH ?g { ?o ex:priority ?p } }
+        INSERT { GRAPH ?g { ?o ex:importance ?p } }
+        WHERE  { GRAPH ?g { ?o ex:priority ?p } }
+    """)
+    got = {(r.subj, r.pred, r.obj, r.src_url)
+           for r in res["updated"].collect()}
+    assert (EX + "s1", EX + "importance", "5", "g://1") in got
+    assert (EX + "s2", EX + "importance", "7", "g://2") in got
+    assert not any(p == EX + "priority" for _, p, _, _ in got)
+    assert res["inserted"].count() == 2 and res["deleted"].count() == 2
+    # untouched rows keep their provenance
+    assert (EX + "s3", EX + "other", "x", "g://1") in got
+
+
+def test_update_graph_var_delete_scoped_to_bound_graph(quads):
+    """A quad delete removes the row from exactly the graph ?g bound —
+    the same triple's copy in the other graph survives."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(quads, PRE + """
+        DELETE { GRAPH ?g { ?s ex:flag "y" } }
+        WHERE  { GRAPH ?g { ?s ex:marked ?m } }
+    """)
+    flags = [(r.src_url) for r in res["updated"]
+             .filter("pred = '%sflag'" % EX).collect()]
+    assert flags == ["g://2"]
+    assert res["deleted"].count() == 1
+
+
+def test_update_graph_var_insert_dedup_per_graph(quads):
+    """Quad-store dedup: inserting a triple already present in the
+    TARGET graph is a no-op, but the same triple is insertable into a
+    graph that lacks it."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    # dup/flag/y exists in g://1 already -> re-insert there is dropped
+    res = sparql_update(quads, PRE + """
+        INSERT { GRAPH ?g { ?s ex:flag "y" } }
+        WHERE  { GRAPH ?g { ?s ex:marked ?m } }
+    """)
+    assert res["inserted"].count() == 0
+    # ... but inserting into the graph where only s2 lives does insert
+    res2 = sparql_update(quads, PRE + """
+        INSERT { GRAPH ?g { ?o ex:flagged "1" } }
+        WHERE  { GRAPH ?g { ?o ex:priority ?p } }
+    """)
+    ins = {(r.subj, r.src_url) for r in res2["inserted"].collect()}
+    assert ins == {(EX + "s1", "g://1"), (EX + "s2", "g://2")}
+
+
+def test_update_graph_var_non_iri_target_skipped(quads):
+    """Solutions binding the graph var to a literal produce no quad
+    (graph names are IRIs) — same skip rule as invalid triples."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(quads, PRE + """
+        INSERT { GRAPH ?p { ?o ex:copied "1" } }
+        WHERE  { ?o ex:priority ?p }
+    """)  # ?p binds literals "5"/"7"
+    assert res["inserted"].count() == 0
+    assert res["updated"].count() == quads.count()
+
+
+def test_update_graph_var_unbound_raises(quads):
+    from rdf2smw_spark.sparql import sparql_update
+
+    with pytest.raises(SparqlSyntaxError, match="never bound"):
+        sparql_update(quads, PRE + """
+            INSERT { GRAPH ?g { ?o ex:copied "1" } }
+            WHERE  { ?o ex:priority ?p }
+        """)
+
+
+def test_delete_where_graph_var_quads(quads):
+    """DELETE WHERE { GRAPH ?g { .. } } is a QuadPattern: rows are
+    deleted from the graph they matched in."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(quads, PRE + """
+        DELETE WHERE { GRAPH ?g { ?o ex:priority ?p } }
+    """)
+    assert res["deleted"].count() == 2
+    assert res["updated"].count() == quads.count() - 2
+
+
+def test_update_data_rejects_graph_var():
+    with pytest.raises(SparqlSyntaxError, match="ground graph"):
+        parse_sparql(PRE + 'INSERT DATA { GRAPH ?g { ex:s ex:p "1" } }')
