@@ -28,10 +28,13 @@ raises SparqlSyntaxError rather than mis-executing):
   the binding; non-IRI bindings skip the quad), and ``DELETE WHERE``
   accepts GRAPH blocks as quad patterns; graph management (§3.2)
   ``CLEAR|DROP [SILENT] (GRAPH <g> | ALL)``,
-  ``CREATE [SILENT] GRAPH <g>`` (a no-op: graphs exist implicitly) and
+  ``CREATE [SILENT] GRAPH <g>`` (a no-op: graphs exist implicitly),
   ``ADD|COPY|MOVE [GRAPH] <src> TO [GRAPH] <dst>`` as src_url
-  filter/union plans (DEFAULT/NAMED targets rejected — the queryable
-  graph is the union of named graphs, there is no separate default);
+  filter/union plans, and ``LOAD [SILENT] <doc> [INTO GRAPH <g>]``
+  (§3.1.4 — extension-dispatched document read, per-graph dedup;
+  SILENT turns an unreadable document into a no-op) (DEFAULT/NAMED
+  targets rejected — the queryable graph is the union of named
+  graphs, there is no separate default);
 - ``PREFIX`` declarations, ``a`` for rdf:type, ``;``/``,`` predicate and
   object lists; blank nodes in patterns — ``_:label`` (an existential:
   a non-projectable variable, leniently unified query-wide), ``[]``,
@@ -346,10 +349,13 @@ class GraphUpdate:
     here — graphs exist implicitly), ADD inserts src's triples into
     dst (per-graph dedup), COPY replaces dst with src, MOVE is COPY
     plus dropping src, CREATE is a no-op (implicit graphs need no
-    creation). ``CLEAR ALL`` empties the store."""
-    op: str                 # CLEAR | DROP | ADD | COPY | MOVE | CREATE
-    src: str | None         # graph IRI ('ALL' ops: None)
-    dst: str | None = None  # ADD/COPY/MOVE target
+    creation), LOAD reads an RDF document (§3.1.4 — file: IRIs or
+    plain paths, extension-dispatched) into dst or a graph named by
+    the document IRI. ``CLEAR ALL`` empties the store."""
+    op: str                 # CLEAR | DROP | ADD | COPY | MOVE | CREATE | LOAD
+    src: str | None         # graph IRI / LOAD document IRI ('ALL' ops: None)
+    dst: str | None = None  # ADD/COPY/MOVE/LOAD-INTO target
+    silent: bool = False    # LOAD SILENT: unreadable document -> no-op
 
 
 @dataclass
@@ -385,7 +391,7 @@ _KEYWORDS = {
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
     "INSERT", "DELETE", "DATA", "IN", "WITH",
     "CLEAR", "DROP", "COPY", "MOVE", "ADD", "TO", "SILENT", "ALL",
-    "CREATE",
+    "CREATE", "LOAD", "INTO",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -564,7 +570,7 @@ class _Parser:
         if self.accept("KW", "CONSTRUCT"):
             return self._parse_construct()
         if self.peek()[1] in ("CLEAR", "DROP", "COPY", "MOVE", "ADD",
-                              "CREATE"):
+                              "CREATE", "LOAD"):
             return self._parse_graph_update()
         if self.peek()[1] in ("INSERT", "DELETE", "WITH"):
             return self._parse_update()
@@ -695,12 +701,13 @@ class _Parser:
 
     def _parse_graph_update(self) -> GraphUpdate:
         """CLEAR|DROP [SILENT] (GRAPH <g> | ALL) — or —
-        ADD|COPY|MOVE [SILENT] [GRAPH] <src> TO [GRAPH] <dst>.
+        ADD|COPY|MOVE [SILENT] [GRAPH] <src> TO [GRAPH] <dst> — or —
+        LOAD [SILENT] <doc> [INTO GRAPH <g>] (§3.1.4).
         DEFAULT/NAMED targets are rejected: the engine's queryable
         graph is the union of named graphs (src_url); there is no
         separate default graph to address."""
         op = self.next()[1]
-        self.accept("KW", "SILENT")
+        silent = bool(self.accept("KW", "SILENT"))
 
         def graph_iri() -> str:
             self.accept("KW", "GRAPH")
@@ -709,6 +716,13 @@ class _Parser:
                 raise SparqlSyntaxError(f"{op} takes a graph IRI")
             return term.value
 
+        if op == "LOAD":
+            doc = graph_iri()
+            dst = None
+            if self.accept("KW", "INTO"):
+                dst = graph_iri()
+            self.expect("EOF")
+            return GraphUpdate(op, doc, dst, silent)
         if op in ("CLEAR", "DROP", "CREATE"):
             if op != "CREATE" and self.accept("KW", "ALL"):
                 self.expect("EOF")
@@ -2396,6 +2410,50 @@ def _apply_graph_update(triples: DataFrame, q: GraphUpdate) -> dict:
         # CREATE is a no-op — the SILENT-less "already exists" error
         # would need graph metadata the model deliberately lacks
         return {"updated": triples, "inserted": empty, "deleted": empty}
+    if q.op == "LOAD":
+        # §3.1.4: read an RDF document (extension-dispatched — .nt/.ttl/
+        # .nq/.jsonld) into the INTO graph, or a graph named by the
+        # document IRI itself (pinned: the engine has no default graph,
+        # and the doc IRI is the conventional implicit target). file:
+        # scheme or a plain path; dedup per target graph like ADD.
+        import os
+
+        path = q.src
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        try:
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+            from rdf2smw_spark.plans.pipeline import read_rdf_any
+
+            doc, _bad = read_rdf_any(triples.sparkSession, path)
+        except Exception:
+            if q.silent:
+                return {"updated": triples, "inserted": empty,
+                        "deleted": empty}
+            raise
+        tgt = q.dst if q.dst is not None else q.src
+        doc = doc.select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+        ).distinct().withColumn("src_url", F.lit(tgt))
+        key = ["subj", "pred", "obj", "obj_is_iri", "__dtk"]
+
+        def _dtk(f):
+            return f.withColumn(
+                "__dtk", F.coalesce(F.col("obj_datatype"), F.lit("\x00"))
+            )
+
+        inserted = (
+            _dtk(doc)
+            .join(_dtk(triples.filter(g.eqNullSafe(tgt)))
+                  .select(*key).distinct(), key, "left_anti")
+            .drop("__dtk")
+        )
+        return {
+            "updated": triples.unionByName(inserted),
+            "inserted": inserted,
+            "deleted": empty,
+        }
     if q.op in ("CLEAR", "DROP"):
         if q.src is None:  # CLEAR/DROP ALL
             return {"updated": empty, "inserted": empty, "deleted": triples}

@@ -1315,3 +1315,42 @@ def test_delete_where_graph_var_quads(quads):
 def test_update_data_rejects_graph_var():
     with pytest.raises(SparqlSyntaxError, match="ground graph"):
         parse_sparql(PRE + 'INSERT DATA { GRAPH ?g { ex:s ex:p "1" } }')
+
+
+# -- LOAD (§3.1.4, r5) --------------------------------------------------------
+
+def test_load_into_graph(quads, tmp_path):
+    """LOAD reads an RDF document into the INTO graph with per-graph
+    dedup; rows already in the target graph are not re-inserted."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    doc = tmp_path / "inc.nt"
+    doc.write_text(
+        f'<{EX}s9> <{EX}p> "new" .\n'
+        # duplicate of a row already in g://1 (xsd:string identity)
+        f'<{EX}dup> <{EX}flag> "y" .\n'
+    )
+    res = sparql_update(quads, f"LOAD <file://{doc}> INTO GRAPH <g://1>")
+    ins = {(r.subj, r.src_url) for r in res["inserted"].collect()}
+    assert ins == {(EX + "s9", "g://1")}
+    assert res["updated"].count() == quads.count() + 1
+
+
+def test_load_defaults_to_document_iri_graph(quads, tmp_path):
+    from rdf2smw_spark.sparql import sparql_update
+
+    doc = tmp_path / "doc.nt"
+    doc.write_text(f'<{EX}s9> <{EX}p> "v" .\n')
+    res = sparql_update(quads, f"LOAD <file://{doc}>")
+    ins = [(r.subj, r.src_url) for r in res["inserted"].collect()]
+    assert ins == [(EX + "s9", f"file://{doc}")]
+
+
+def test_load_silent_missing_document_is_noop(quads):
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(quads, "LOAD SILENT <file:///nonexistent/x.nt>")
+    assert res["inserted"].count() == 0
+    assert res["updated"].count() == quads.count()
+    with pytest.raises(Exception):
+        sparql_update(quads, "LOAD <file:///nonexistent/x.nt>")
