@@ -3034,6 +3034,35 @@ FROM t WHERE pred = '{_BGP_ONT}priority'
 """
 
 
+def q_kg_sparql_from(spark, sf_dir):
+    """Dataset clauses (r5 — sparql.py §13.2): FROM merges the listed
+    graphs into the default graph for plain patterns while FROM NAMED
+    scopes GRAPH patterns to exactly its list — one query counts
+    label facts from two FROM graphs and type facts via GRAPH over a
+    third. The oracle applies the same src_url memberships in SQL."""
+    from rdf2smw_spark.sparql import sparql_select
+
+    t = testdata_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_PRE + """
+        SELECT ?g (COUNT(?s) AS ?n)
+        FROM <testdata://orders>
+        FROM NAMED <testdata://customer>
+        FROM NAMED <testdata://nation>
+        WHERE { GRAPH ?g { ?s a ?c } }
+        GROUP BY ?g
+    """)
+
+
+QUERIES["kg_sparql_from"] = q_kg_sparql_from
+ORACLES["kg_sparql_from"] = f"""
+WITH t AS MATERIALIZED (SELECT * FROM {TRIPLES_SQL})
+SELECT src_url AS g, COUNT(subj) AS n FROM t
+WHERE pred = '{_BGP_TYPE}'
+  AND src_url IN ('testdata://customer', 'testdata://nation')
+GROUP BY src_url
+"""
+
+
 def q_kg_class_rollup(spark, sf_dir):
     """Hierarchy-aware member rollup: per class, the count of DISTINCT
     members including every subclass's members — the OLAP cube a KG

@@ -314,6 +314,7 @@ class SelectQuery:
     order_by: list       # [(expr, 'asc'|'desc')]
     limit: int | None
     offset: int | None
+    dataset: tuple | None = None  # §13.2 (FROM iris, FROM NAMED iris)
 
 
 @dataclass
@@ -321,11 +322,13 @@ class ConstructQuery:
     template: list       # [TriplePattern]
     where: Group
     limit: int | None
+    dataset: tuple | None = None
 
 
 @dataclass
 class AskQuery:
     where: Group
+    dataset: tuple | None = None
 
 
 @dataclass
@@ -340,6 +343,7 @@ class UpdateQuery:
     insert_template: list
     where: Group | None
     with_graph: str | None = None
+    using: tuple | None = None  # §3.1.3 (USING iris, USING NAMED iris)
 
 
 @dataclass(frozen=True)
@@ -362,6 +366,7 @@ class GraphUpdate:
 class DescribeQuery:
     terms: list          # [Iri | Var]
     where: Group | None  # None for DESCRIBE <iri> with no pattern
+    dataset: tuple | None = None
 
 
 # --------------------------------------------------------------------------
@@ -391,7 +396,7 @@ _KEYWORDS = {
     "AS", "NOT", "EXISTS", "UNDEF", "A", "SEPARATOR", "GRAPH",
     "INSERT", "DELETE", "DATA", "IN", "WITH",
     "CLEAR", "DROP", "COPY", "MOVE", "ADD", "TO", "SILENT", "ALL",
-    "CREATE", "LOAD", "INTO",
+    "CREATE", "LOAD", "INTO", "FROM", "NAMED", "USING",
 }
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -575,29 +580,51 @@ class _Parser:
         if self.peek()[1] in ("INSERT", "DELETE", "WITH"):
             return self._parse_update()
         if self.accept("KW", "ASK"):
+            ds = self._parse_dataset()
             g = self.parse_group()
             self.expect("EOF")
-            return AskQuery(g)
+            return AskQuery(g, ds)
         if self.accept("KW", "DESCRIBE"):
             terms = []
             while self.peek()[0] in ("VAR", "IRIREF", "PNAME"):
                 terms.append(self.parse_term(allow_literal=False))
             if not terms:
                 raise SparqlSyntaxError("DESCRIBE needs at least one IRI or variable")
+            ds = self._parse_dataset()
             where = None
             if self.accept("KW", "WHERE") or self.peek() == ("OP", "{"):
                 where = self.parse_group()
             self.expect("EOF")
             if where is None and any(isinstance(t, Var) for t in terms):
                 raise SparqlSyntaxError("DESCRIBE ?var requires a WHERE pattern")
-            return DescribeQuery(terms, where)
-        q = self._parse_select_core()
+            return DescribeQuery(terms, where, ds)
+        q = self._parse_select_core(dataset_ok=True)
         self.expect("EOF")
         return q
 
-    def _parse_select_core(self) -> SelectQuery:
+    def _parse_dataset(self, kw: str = "FROM") -> tuple | None:
+        """DatasetClause* (§13.2): ``FROM <g>`` graphs merge into the
+        default graph, ``FROM NAMED <g>`` lists the graphs GRAPH
+        patterns range over (``USING`` spells the same for updates,
+        §3.1.3). Returns (default_iris, named_iris), or None when no
+        clause appears — the engine's pinned dataset (every named
+        graph is both queryable and GRAPH-addressable)."""
+        default: list[str] = []
+        named: list[str] = []
+        seen = False
+        while self.accept("KW", kw):
+            seen = True
+            tgt = named if self.accept("KW", "NAMED") else default
+            term = self.parse_term(allow_literal=False)
+            if not isinstance(term, Iri):
+                raise SparqlSyntaxError(f"{kw} takes a graph IRI")
+            tgt.append(term.value)
+        return (default, named) if seen else None
+
+    def _parse_select_core(self, dataset_ok: bool = False) -> SelectQuery:
         """SELECT clause + WHERE group + solution modifiers — shared by
-        the top-level query and { SELECT ... } subqueries (§12)."""
+        the top-level query and { SELECT ... } subqueries (§12, which
+        the grammar gives no dataset clause)."""
         self.expect("KW", "SELECT")
         distinct = self.accept("KW", "DISTINCT")
         items, star = [], False
@@ -620,6 +647,7 @@ class _Parser:
                     break
             if not items:
                 raise SparqlSyntaxError("SELECT needs variables, (expr AS ?v), or *")
+        dataset = self._parse_dataset() if dataset_ok else None
         self.accept("KW", "WHERE")
         where = self.parse_group()
 
@@ -668,7 +696,7 @@ class _Parser:
             else:
                 break
         return SelectQuery(distinct, items, star, where, group_by, having,
-                           order_by, limit, offset)
+                           order_by, limit, offset, dataset)
 
     def _parse_template_block(self, with_g: str | None = None) -> list:
         """An update template: triples and/or ``GRAPH <g>|?var
@@ -751,6 +779,7 @@ class _Parser:
         delete_t: list = []
         insert_t: list = []
         where: Group | None = None
+        using: tuple | None = None
         if self.accept("KW", "DELETE"):
             if self.accept("KW", "DATA"):
                 if with_g is not None:
@@ -779,6 +808,7 @@ class _Parser:
                 delete_t = self._parse_template_block(with_g)
                 if self.accept("KW", "INSERT"):
                     insert_t = self._parse_template_block(with_g)
+                using = self._parse_dataset("USING")
                 self.expect("KW", "WHERE")
                 where = self.parse_group()
         else:
@@ -790,13 +820,17 @@ class _Parser:
                 self._require_ground(insert_t, "INSERT DATA")
             else:
                 insert_t = self._parse_template_block(with_g)
+                using = self._parse_dataset("USING")
                 self.expect("KW", "WHERE")
                 where = self.parse_group()
         self.expect("EOF")
+        if with_g is not None and using is not None:
+            # §3.1.3: "an operation MUST NOT use both USING and WITH"
+            raise SparqlSyntaxError("WITH and USING cannot be combined")
         if with_g is not None and where is not None:
             # §3.1.3: WITH also scopes the WHERE evaluation to graph g
             where = Group([GraphPattern(Iri(with_g), where)])
-        return UpdateQuery(delete_t, insert_t, where, with_g)
+        return UpdateQuery(delete_t, insert_t, where, with_g, using)
 
     @staticmethod
     def _require_ground(template: list, form: str) -> None:
@@ -819,13 +853,14 @@ class _Parser:
             self.accept("OP", ".")
         if not template:
             raise SparqlSyntaxError("CONSTRUCT template is empty")
+        ds = self._parse_dataset()
         self.expect("KW", "WHERE")
         where = self.parse_group()
         limit = None
         if self.accept("KW", "LIMIT"):
             limit = int(self.expect("NUMBER"))
         self.expect("EOF")
-        return ConstructQuery(template, where, limit)
+        return ConstructQuery(template, where, limit, ds)
 
     # -- group graph pattern ------------------------------------------------
     def parse_group(self) -> Group:
@@ -1521,6 +1556,26 @@ class _Compiler:
         self.capture = capture_obj_meta if capture_obj_meta is not None else set()
         # active GRAPH scope (Iri | Var | None) — inherited by nested groups
         self.graph = None
+        # FROM NAMED scope: the frame GRAPH patterns range over when a
+        # dataset clause is present (None = no clause, GRAPH sees all)
+        self.named: DataFrame | None = None
+
+    def _scope_dataset(self, ds: tuple | None) -> None:
+        """Apply a §13.2 dataset clause (or an update's USING, §3.1.3):
+        plain patterns read the merge of the FROM graphs, GRAPH
+        patterns range over exactly the FROM NAMED graphs. A present
+        clause that lists no FROM (or no FROM NAMED) makes that side
+        EMPTY, per spec — absent clause keeps the engine's pinned
+        dataset where every named graph is both."""
+        if ds is None:
+            return
+        default_g, named_g = ds
+        base = self.triples
+        g = F.col("src_url")
+        self.named = (base.filter(g.isin(list(named_g))) if named_g
+                      else base.limit(0))
+        self.triples = (base.filter(g.isin(list(default_g))) if default_g
+                        else base.limit(0))
 
     # -- groups --------------------------------------------------------------
     @staticmethod
@@ -1571,8 +1626,13 @@ class _Compiler:
                 bound = sum(
                     not isinstance(t, Var) for t in (el.s, el.o)
                 ) + (0 if isinstance(el.p, Var) else 1)
+                # dataset scoping (§13.2): inside GRAPH the pattern
+                # ranges over the FROM NAMED frame; outside, over the
+                # default (FROM-merged) frame
+                frame = (self.named if self.graph is not None
+                         and self.named is not None else self.triples)
                 pending.append(
-                    (_pattern_df(self.triples, el, self.capture, self.graph),
+                    (_pattern_df(frame, el, self.capture, self.graph),
                      bound)
                 )
             elif isinstance(el, GraphPattern):
@@ -1940,6 +2000,7 @@ class _Compiler:
 
     # -- full query -------------------------------------------------------------
     def compile_query(self, q: SelectQuery) -> DataFrame:
+        self._scope_dataset(q.dataset)
         # DATATYPE/ISIRI/ISLITERAL read a binding's term metadata: make
         # the binding patterns emit companion columns (CONSTRUCT's
         # capture machinery)
@@ -2059,6 +2120,7 @@ class _Compiler:
         }
         if graph_var is not None:
             self.capture.add(graph_var)
+        self._scope_dataset(q.dataset)
         df = self.compile_group(q.where)
         if graph_var is not None and graph_var not in df.columns:
             raise SparqlSyntaxError(
@@ -2160,6 +2222,7 @@ class _Compiler:
         """ASK -> a one-row DataFrame (ask: boolean). The pattern is
         capped at one solution BEFORE the existence aggregate, so the
         plan stops at the first match instead of enumerating all."""
+        self._scope_dataset(q.dataset)
         sol = self.compile_group(q.where).limit(1)
         return sol.groupBy().agg((F.count(F.lit(1)) > 0).alias("ask"))
 
@@ -2174,6 +2237,7 @@ class _Compiler:
         table on subj — one hash semi-join however many resources, plus
         one bounded semi-join per blank-chain level (document-scoped
         blank chains are shallow; the loop guard is the collect)."""
+        self._scope_dataset(q.dataset)
         parts = []
         iris = [t.value for t in q.terms if isinstance(t, Iri)]
         if iris:
@@ -2242,6 +2306,13 @@ class _Compiler:
         same shape the incremental maintainers consume
         (operators/ivm.py, operators/incremental_kg.py), so an update
         can maintain views instead of recomputing them."""
+        def _where_compiler() -> "_Compiler":
+            # §3.1.3 USING scopes the WHERE evaluation only — the
+            # store the deltas apply against stays the full frame
+            c = _Compiler(self.triples)
+            c._scope_dataset(q.using)
+            return c
+
         def deltas(template: list) -> list:
             """[(graph | None, TRIPLE_SCHEMA frame)] — one delta frame
             per distinct GRAPH/WITH target in the template. A Var
@@ -2257,7 +2328,7 @@ class _Compiler:
                     # its own src_url column (parser rejects Var targets
                     # in ground DATA forms, so q.where is present here)
                     sub = ConstructQuery(list(tpls), q.where, None)
-                    out.append((g, _Compiler(self.triples).compile_construct(
+                    out.append((g, _where_compiler().compile_construct(
                         sub, graph_var=g.name
                     )))
                 elif q.where is None:  # ground DATA form
@@ -2279,7 +2350,7 @@ class _Compiler:
                 else:
                     sub = ConstructQuery(list(tpls), q.where, None)
                     out.append(
-                        (g, _Compiler(self.triples).compile_construct(sub))
+                        (g, _where_compiler().compile_construct(sub))
                     )
             return out
 

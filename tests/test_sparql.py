@@ -81,7 +81,7 @@ def test_parse_a_keyword_and_typed_literal():
 def test_parse_rejects_out_of_subset():
     for bad in [
         "SELECT ?s WHERE { ?s <http://p> ?o } SERVICE",  # trailing junk
-        "LOAD <http://remote/data.nt>",                  # unsupported update form
+        "SELECT ?s FROM ?g WHERE { ?s <http://p> ?o }",  # FROM takes an IRI
         "SELECT WHERE { ?s <http://p> ?o }",             # no projection
         "SELECT ?s WHERE { ?s undeclared:p ?o }",
     ]:
@@ -1354,3 +1354,58 @@ def test_load_silent_missing_document_is_noop(quads):
     assert res["updated"].count() == quads.count()
     with pytest.raises(Exception):
         sparql_update(quads, "LOAD <file:///nonexistent/x.nt>")
+
+
+# -- FROM / FROM NAMED / USING dataset clauses (§13.2 + §3.1.3, r5) -----------
+
+def test_from_merges_default_graph(quads):
+    df = sparql_select(quads, PRE + """
+        SELECT ?s FROM <g://1> WHERE { ?s ex:priority ?p }
+    """)
+    assert [r.s for r in df.collect()] == [EX + "s1"]  # g://2's s2 excluded
+
+
+def test_from_named_scopes_graph_patterns(quads):
+    # GRAPH ranges over exactly the FROM NAMED list
+    df = sparql_select(quads, PRE + """
+        SELECT ?g FROM NAMED <g://2> WHERE { GRAPH ?g { ?s ex:priority ?p } }
+    """)
+    assert [r.g for r in df.collect()] == ["g://2"]
+    # a present clause with no FROM leaves the default graph EMPTY
+    assert sparql_select(quads, PRE + """
+        SELECT ?s FROM NAMED <g://2> WHERE { ?s ex:priority ?p }
+    """).count() == 0
+    # and FROM without NAMED leaves GRAPH patterns empty
+    assert sparql_select(quads, PRE + """
+        SELECT ?s FROM <g://1> WHERE { GRAPH ?g { ?s ex:priority ?p } }
+    """).count() == 0
+
+
+def test_using_scopes_update_where_only(quads):
+    """USING restricts the WHERE evaluation; the delete still applies
+    store-wide (provenance-blind template)."""
+    from rdf2smw_spark.sparql import sparql_update
+
+    res = sparql_update(quads, PRE + """
+        DELETE { ?s ex:flag "y" }
+        USING <g://1>
+        WHERE { ?s ex:marked ?m . ?s ex:flag "y" }
+    """)
+    # WHERE matched in g://1 (marker lives there); the blind delete
+    # removes BOTH graphs' copies of the matched triple
+    assert res["deleted"].count() == 2
+    # ... but a USING graph without the marker matches nothing
+    res2 = sparql_update(quads, PRE + """
+        DELETE { ?s ex:flag "y" }
+        USING <g://2>
+        WHERE { ?s ex:marked ?m . ?s ex:flag "y" }
+    """)
+    assert res2["deleted"].count() == 0
+
+
+def test_with_and_using_conflict():
+    with pytest.raises(SparqlSyntaxError, match="USING"):
+        parse_sparql(PRE + """
+            WITH <g://1> DELETE { ?s ex:p ?o } USING <g://2>
+            WHERE { ?s ex:p ?o }
+        """)
