@@ -1409,3 +1409,18 @@ def test_with_and_using_conflict():
             WITH <g://1> DELETE { ?s ex:p ?o } USING <g://2>
             WHERE { ?s ex:p ?o }
         """)
+
+
+def test_dataset_clause_on_ask_construct_describe(quads):
+    from rdf2smw_spark.sparql import sparql_construct, sparql_query
+
+    form, df = sparql_query(quads, PRE + """
+        ASK FROM <g://2> { ?s ex:marked ?m }
+    """)  # marker lives only in g://1
+    assert form == "ask" and df.collect()[0].ask is False
+    g = sparql_construct(quads, PRE + """
+        CONSTRUCT { ?s ex:seen "1" } FROM <g://1> WHERE { ?s ex:priority ?p }
+    """)
+    assert [r.subj for r in g.collect()] == [EX + "s1"]
+    form, df = sparql_query(quads, PRE + f"DESCRIBE <{EX}s2> FROM <g://1>")
+    assert form == "describe" and df.count() == 0  # s2's rows live in g://2
