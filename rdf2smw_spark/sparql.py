@@ -407,7 +407,7 @@ _BUILTIN_FNS = {
     "DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
     "SAMETERM", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "ENCODE_FOR_URI", "IRI", "URI",
-    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
 }
 
 # builtins that read a variable's term METADATA (kind/datatype) — their
@@ -1891,6 +1891,16 @@ class _Compiler:
                 "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
             }[c.fn]
             return accessor(ts).cast("long")
+        if c.fn == "TZ":
+            # §17.4.5.8: the timezone PART of the lexical form — 'Z',
+            # '+hh:mm'/'-hh:mm', or '' when absent; non-date input is
+            # a type error -> unbound (gated on the same ISO parse as
+            # the other accessors)
+            s = args[0].cast("string")
+            ok = F.try_to_timestamp(s).isNotNull()
+            return F.when(
+                ok, F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1)
+            )
         if c.fn == "ENCODE_FOR_URI":
             # url_encode is application/x-www-form-urlencoded (Java
             # URLEncoder): space->'+', '~'->%7E, '*' kept.  §17.4.2.8

@@ -1424,3 +1424,18 @@ def test_dataset_clause_on_ask_construct_describe(quads):
     assert [r.subj for r in g.collect()] == [EX + "s1"]
     form, df = sparql_query(quads, PRE + f"DESCRIBE <{EX}s2> FROM <g://1>")
     assert form == "describe" and df.count() == 0  # s2's rows live in g://2
+
+
+def test_tz_accessor(spark):
+    rows_ = [
+        (EX + "a", EX + "at", "2024-03-01T10:00:00Z", False, None, "g"),
+        (EX + "b", EX + "at", "2024-03-01T10:00:00+05:30", False, None, "g"),
+        (EX + "c", EX + "at", "2024-03-01T10:00:00", False, None, "g"),
+        (EX + "d", EX + "at", "not a date", False, None, "g"),
+    ]
+    t = spark.createDataFrame(rows_, TRIPLE_SCHEMA)
+    df = sparql_select(t, PRE + """
+        SELECT ?s (TZ(?d) AS ?tz) WHERE { ?s ex:at ?d }
+    """)
+    got = {r.s.rsplit("/", 1)[1]: r.tz for r in df.collect()}
+    assert got == {"a": "Z", "b": "+05:30", "c": "", "d": None}
