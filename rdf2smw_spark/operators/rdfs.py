@@ -90,12 +90,83 @@ def synth_rdfs_schema_values_sql() -> str:
     )
 
 
-def _transitive_closure(edges: DataFrame, max_iter: int) -> DataFrame:
-    """(uri, anc) reachability closure of an edge frame — frontier
-    iteration with per-round localCheckpoint (the class_ancestors
-    loop without the depth column; depths are a path property, plain
-    reachability dedups harder)."""
-    edges = scoped_persist(edges.distinct())
+# Edge sets up to this size close on the driver (the class_depth
+# guarded-collect discipline); larger sets use the distributed loop.
+CLOSURE_COLLECT_LIMIT = 250_000
+# Driver closures larger than this fall back mid-flight (a pathological
+# dense graph can square a small edge set).
+CLOSURE_PAIR_LIMIT = 5_000_000
+
+
+def _closure_pairs(
+    edge_list: list[tuple[str, str]], max_iter: int
+) -> set[tuple[str, str]] | None:
+    """Exact hop-capped reachability closure of a driver-side edge
+    list: {(u, v): v reachable from u in <= max_iter+1 edges} — the
+    same set the distributed frontier loop produces. Returns None when
+    the closure exceeds CLOSURE_PAIR_LIMIT (pathologically dense)."""
+    adj: dict[str, list[str]] = {}
+    for u, a in edge_list:
+        adj.setdefault(u, []).append(a)
+    pairs: set[tuple[str, str]] = set()
+    cap = max_iter + 1
+    for src in adj:
+        seen = {src}
+        frontier = [src]
+        d = 0
+        while frontier and d < cap:
+            d += 1
+            nxt = []
+            for node in frontier:
+                for m in adj.get(node, ()):
+                    if m not in seen:
+                        seen.add(m)
+                        nxt.append(m)
+                        pairs.add((src, m))
+                    elif m == src:
+                        # cycle back to the source: (src, src) is in the
+                        # closure; no re-expansion needed (anything
+                        # on/past the cycle was reached on a shorter
+                        # path already explored)
+                        pairs.add((src, src))
+            frontier = nxt
+        if len(pairs) > CLOSURE_PAIR_LIMIT:
+            return None
+    return pairs
+
+
+def _local_closure_df(spark, pairs: set[tuple[str, str]]) -> DataFrame:
+    return spark.createDataFrame(sorted(pairs), "uri string, anc string")
+
+
+def _transitive_closure(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int | None]:
+    """(uri, anc) reachability closure of an edge frame, bounded at
+    max_iter+1 hops. Returns (closure, n_rows) where n_rows is known
+    exactly on the driver path and None on the distributed path.
+
+    Schema layers are tiny in any curated ontology (10^3-10^5 edges
+    against 10^12 instance triples), so the default path collects the
+    edge set — guarded by a limit probe, the class_depth discipline —
+    and runs an exact hop-capped BFS on the driver: ONE Spark job
+    instead of ~3 per frontier round (measured: the per-round
+    localCheckpoint + limit-probe jobs dominated kg_rdfs_entailed at
+    bench scale, 80 jobs/query). Oversized or adversarially dense
+    layers fall back to the distributed frontier iteration; both paths
+    yield exactly {(u, v): v reachable from u in <= max_iter+1 edges}."""
+    edges = edges.distinct()
+    pdf = edges.limit(CLOSURE_COLLECT_LIMIT + 1).toPandas()
+    if len(pdf) <= CLOSURE_COLLECT_LIMIT:
+        pairs = _closure_pairs(list(zip(pdf["uri"], pdf["anc"])), max_iter)
+        if pairs is not None:
+            return _local_closure_df(edges.sparkSession, pairs), len(pairs)
+    return _transitive_closure_distributed(edges, max_iter), None
+
+
+def _transitive_closure_distributed(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed fallback — frontier iteration with per-round
+    localCheckpoint (the class_ancestors loop without the depth column;
+    depths are a path property, plain reachability dedups harder)."""
+    edges = scoped_persist(edges)
     closure = edges.localCheckpoint()
     frontier = closure
     for _ in range(max_iter):
@@ -109,6 +180,27 @@ def _transitive_closure(edges: DataFrame, max_iter: int) -> DataFrame:
         closure = closure.unionByName(fresh).localCheckpoint()
         frontier = fresh
     return closure
+
+
+def _collect_small(
+    df: DataFrame, limit: int = CLOSURE_COLLECT_LIMIT
+) -> tuple[DataFrame, int | None]:
+    """Guarded-collect of a schema-sized frame to a LocalRelation
+    (limit probe, Arrow transfer) so downstream broadcasts build from
+    local rows instead of re-running the distributed plan per consumer;
+    oversized frames return unchanged with unknown count."""
+    pdf = df.limit(limit + 1).toPandas()
+    if len(pdf) <= limit:
+        return df.sparkSession.createDataFrame(pdf, df.schema), len(pdf)
+    return df, None
+
+
+def _broadcast_known(df: DataFrame, n: int | None) -> DataFrame:
+    """maybe_broadcast without the probe job when the row count is
+    already known (driver-closed schema layers)."""
+    if n is not None:
+        return F.broadcast(df) if n <= SCHEMA_BROADCAST_LIMIT else df
+    return maybe_broadcast(df, SCHEMA_BROADCAST_LIMIT)
 
 
 def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
@@ -129,14 +221,124 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
             (F.col("pred") == pred_uri) & F.col("obj_is_iri")
         ).select(F.col("subj").alias("uri"), F.col("obj").alias("anc"))
 
-    subc = _transitive_closure(_schema_edges(SUBCLASS_PROPERTY_URI), max_iter)
-    subp = _transitive_closure(_schema_edges(SUBPROPERTY_URI), max_iter)
-    dom = _schema_edges(DOMAIN_URI).distinct()
-    rng = _schema_edges(RANGE_URI).distinct()
-    b_subc = maybe_broadcast(subc, SCHEMA_BROADCAST_LIMIT)
-    b_subp = maybe_broadcast(subp, SCHEMA_BROADCAST_LIMIT)
-    b_dom = maybe_broadcast(dom, SCHEMA_BROADCAST_LIMIT)
-    b_rng = maybe_broadcast(rng, SCHEMA_BROADCAST_LIMIT)
+    # ONE probe pass pulls all four schema layers (subClassOf,
+    # subPropertyOf, domain, range) — four separate guarded collects
+    # each re-scanned the raw corpus (~1s apiece at sf0.1, guide §2.4:
+    # don't repeat passes whose union is one predicate-pushed scan).
+    spark = triples.sparkSession
+    probe = (
+        triples.filter(F.col("pred").isin(list(SCHEMA_PREDS)) & F.col("obj_is_iri"))
+        .select("pred", "subj", "obj")
+        .limit(CLOSURE_COLLECT_LIMIT + 1)
+        .toPandas()
+    )
+    fused = None
+    if len(probe) <= CLOSURE_COLLECT_LIMIT:
+        def _edges_of(pred_uri: str) -> list[tuple[str, str]]:
+            sel = probe[probe["pred"] == pred_uri]
+            return list(dict.fromkeys(zip(sel["subj"], sel["obj"])))
+
+        subc_pairs = _closure_pairs(_edges_of(SUBCLASS_PROPERTY_URI), max_iter)
+        subp_pairs = _closure_pairs(_edges_of(SUBPROPERTY_URI), max_iter)
+        dom_edges = _edges_of(DOMAIN_URI)
+        rng_edges = _edges_of(RANGE_URI)
+        if subc_pairs is not None and subp_pairs is not None:
+            fused = _fused_actions(subc_pairs, subp_pairs, dom_edges, rng_edges)
+        if fused is not None:
+            # --- fused single-pass formulation (schema layers local) ----
+            # The generic join formulation below re-scans `base` once per
+            # rule branch (11 cached-corpus passes, measured: the whole
+            # count phase at sf0.1). With every schema layer on the
+            # driver, the composition d2/d3-through-subp and d9-over-
+            # d2/d3 is precomputed per PREDICATE into one broadcast
+            # action table, so the instance corpus is touched exactly
+            # 3x: the action join (rdfs7/2/3 + their rdfs9 closures),
+            # the asserted-type rdfs9 join, and the anti-join probe.
+            # Result set and rule tags are identical by construction:
+            # every composed action carries the same tag the chained
+            # rules would have produced, and the final min-rule groupBy
+            # collapses duplicates exactly as before (pytested against
+            # the unfused oracle).
+            acts, subc_pairs, subp_pairs = fused
+            act_df = spark.createDataFrame(
+                sorted((p, k, a, r) for (p, k, a), r in acts.items()),
+                "pred string, kind string, arg string, rule string",
+            )
+            subc = _local_closure_df(spark, subc_pairs)
+            subp = _local_closure_df(spark, subp_pairs)
+            ext = base.join(F.broadcast(act_df), "pred")
+            d_pred = ext.filter(
+                (F.col("kind") != "rng") | F.col("obj_is_iri")
+            ).select(
+                F.when(F.col("kind") == "rng", F.col("obj"))
+                .otherwise(F.col("subj")).alias("subj"),
+                F.when(F.col("kind") == "d7", F.col("arg"))
+                .otherwise(F.lit(TYPE_PROPERTY_URI)).alias("pred"),
+                F.when(F.col("kind") == "d7", F.col("obj"))
+                .otherwise(F.col("arg")).alias("obj"),
+                F.when(F.col("kind") == "d7", F.col("obj_is_iri"))
+                .otherwise(F.lit(True)).alias("obj_is_iri"),
+                "rule",
+            )
+            d9a = (
+                base.filter(
+                    (F.col("pred") == TYPE_PROPERTY_URI) & F.col("obj_is_iri")
+                )
+                .join(F.broadcast(subc), base.obj == subc.uri)
+                .select(
+                    "subj", F.lit(TYPE_PROPERTY_URI).alias("pred"),
+                    F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+                    F.lit("rdfs9").alias("rule"),
+                )
+            )
+            d11 = subc.select(
+                F.col("uri").alias("subj"),
+                F.lit(SUBCLASS_PROPERTY_URI).alias("pred"),
+                F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+                F.lit("rdfs11").alias("rule"),
+            )
+            d5 = subp.select(
+                F.col("uri").alias("subj"),
+                F.lit(SUBPROPERTY_URI).alias("pred"),
+                F.col("anc").alias("obj"), F.lit(True).alias("obj_is_iri"),
+                F.lit("rdfs5").alias("rule"),
+            )
+            derived = (
+                d_pred.unionByName(d9a).unionByName(d11).unionByName(d5)
+                .groupBy("subj", "pred", "obj", "obj_is_iri")
+                .agg(F.min("rule").alias("rule"))
+            )
+            derivable = sorted(
+                {a for (u, a) in subp_pairs}
+                | {TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI, SUBPROPERTY_URI}
+            )
+            asserted = base.filter(F.col("pred").isin(derivable))
+            return derived.join(
+                asserted.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"], "anti",
+            )
+
+        def _layer(pred_uri: str, pairs, edge_list) -> tuple[DataFrame, int | None]:
+            if pairs is None and edge_list is None:  # dense closure blow-up
+                return _transitive_closure_distributed(
+                    _schema_edges(pred_uri).distinct(), max_iter
+                ), None
+            rows = pairs if pairs is not None else set(edge_list)
+            return _local_closure_df(spark, rows), len(rows)
+
+        subc, n_subc = _layer(SUBCLASS_PROPERTY_URI, subc_pairs, None if subc_pairs is None else [])
+        subp, n_subp = _layer(SUBPROPERTY_URI, subp_pairs, None if subp_pairs is None else [])
+        dom, n_dom = _layer(DOMAIN_URI, None, dom_edges)
+        rng, n_rng = _layer(RANGE_URI, None, rng_edges)
+    else:  # oversized schema layer: per-layer guarded paths as before
+        subc, n_subc = _transitive_closure(_schema_edges(SUBCLASS_PROPERTY_URI), max_iter)
+        subp, n_subp = _transitive_closure(_schema_edges(SUBPROPERTY_URI), max_iter)
+        dom, n_dom = _collect_small(_schema_edges(DOMAIN_URI).distinct())
+        rng, n_rng = _collect_small(_schema_edges(RANGE_URI).distinct())
+    b_subc = _broadcast_known(subc, n_subc)
+    b_subp = _broadcast_known(subp, n_subp)
+    b_dom = _broadcast_known(dom, n_dom)
+    b_rng = _broadcast_known(rng, n_rng)
 
     d7 = base.join(b_subp, base.pred == b_subp.uri).select(
         "subj", F.col("anc").alias("pred"), "obj", "obj_is_iri",
@@ -207,6 +409,57 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
     )
 
 
+# Composed action tables beyond this row count stay on the generic
+# join formulation (a pathological schema can square dom x subc).
+ACTION_TABLE_LIMIT = 2_000_000
+
+
+def _fused_actions(subc_pairs, subp_pairs, dom_edges, rng_edges):
+    """Compose, per predicate, every rule consequence the schema layers
+    imply — rdfs7 (subp ancestors), rdfs2/rdfs3 through superproperties,
+    and rdfs9 over the d2/d3-derived types — into (pred, kind, arg) ->
+    min rule tag. Returns (acts, subc_pairs, subp_pairs) or None when
+    the composition exceeds ACTION_TABLE_LIMIT."""
+    subp_adj: dict[str, set[str]] = {}
+    for u, a in subp_pairs:
+        subp_adj.setdefault(u, set()).add(a)
+    subc_adj: dict[str, set[str]] = {}
+    for u, a in subc_pairs:
+        subc_adj.setdefault(u, set()).add(a)
+    dom_map: dict[str, set[str]] = {}
+    for u, a in dom_edges:
+        dom_map.setdefault(u, set()).add(a)
+    rng_map: dict[str, set[str]] = {}
+    for u, a in rng_edges:
+        rng_map.setdefault(u, set()).add(a)
+
+    acts: dict[tuple[str, str, str], str] = {}
+
+    def _act(p: str, kind: str, arg: str, rule: str) -> None:
+        k = (p, kind, arg)
+        r = acts.get(k)
+        if r is None or rule < r:
+            acts[k] = rule
+
+    preds = set(subp_adj) | set(dom_map) | set(rng_map)
+    for p in preds:
+        ancs = subp_adj.get(p, set())
+        for q in ancs:
+            _act(p, "d7", q, "rdfs7")
+        for q in {p} | ancs:
+            for c in dom_map.get(q, ()):
+                _act(p, "dom", c, "rdfs2")
+                for d in subc_adj.get(c, ()):
+                    _act(p, "dom", d, "rdfs9")
+            for c in rng_map.get(q, ()):
+                _act(p, "rng", c, "rdfs3")
+                for d in subc_adj.get(c, ()):
+                    _act(p, "rng", d, "rdfs9")
+        if len(acts) > ACTION_TABLE_LIMIT:
+            return None
+    return acts, subc_pairs, subp_pairs
+
+
 SCHEMA_PREDS = (SUBCLASS_PROPERTY_URI, SUBPROPERTY_URI, DOMAIN_URI, RANGE_URI)
 
 
@@ -258,14 +511,14 @@ def rdfs_entail_incremental(
             (F.col("pred") == pred_uri) & F.col("obj_is_iri")
         ).select(F.col("subj").alias("uri"), F.col("obj").alias("anc"))
 
-    subc = _transitive_closure(_schema_edges(base, SUBCLASS_PROPERTY_URI), max_iter)
-    subp = _transitive_closure(_schema_edges(base, SUBPROPERTY_URI), max_iter)
-    dom = _schema_edges(base, DOMAIN_URI).distinct()
-    rng = _schema_edges(base, RANGE_URI).distinct()
-    b_subc = maybe_broadcast(subc, SCHEMA_BROADCAST_LIMIT)
-    b_subp = maybe_broadcast(subp, SCHEMA_BROADCAST_LIMIT)
-    b_dom = maybe_broadcast(dom, SCHEMA_BROADCAST_LIMIT)
-    b_rng = maybe_broadcast(rng, SCHEMA_BROADCAST_LIMIT)
+    subc, n_subc = _transitive_closure(_schema_edges(base, SUBCLASS_PROPERTY_URI), max_iter)
+    subp, n_subp = _transitive_closure(_schema_edges(base, SUBPROPERTY_URI), max_iter)
+    dom, n_dom = _collect_small(_schema_edges(base, DOMAIN_URI).distinct())
+    rng, n_rng = _collect_small(_schema_edges(base, RANGE_URI).distinct())
+    b_subc = _broadcast_known(subc, n_subc)
+    b_subp = _broadcast_known(subp, n_subp)
+    b_dom = _broadcast_known(dom, n_dom)
+    b_rng = _broadcast_known(rng, n_rng)
 
     d = delta.select("subj", "pred", "obj", "obj_is_iri").distinct()
     d7 = d.join(b_subp, d.pred == b_subp.uri).select(

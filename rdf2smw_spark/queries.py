@@ -42,6 +42,7 @@ from rdf2smw_spark.operators.dimensions import (
     subject_types,
 )
 from rdf2smw_spark.schemas import TYPE_PROPERTY_URI, URI_TYPE_PREDICATE
+from rdf2smw_spark.session import read_parquet_cached_schema as _rp
 from rdf2smw_spark.sources.testdata import duckdb_triples_sql, testdata_triples
 from rdf2smw_spark.sources.webpages import duckdb_pages_sql, synth_pages
 from rdf2smw_spark.triplify import duckdb_triplify_sql, triplify
@@ -319,7 +320,7 @@ def q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis -------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _rp(spark, f"{sf_dir}/documents.parquet")
 
 
 def q_ta_lang_id(spark, sf_dir):
@@ -468,7 +469,7 @@ def q_dd_simhash_near_dups(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _rp(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_dd_embed_cosine(spark, sf_dir):
@@ -604,7 +605,7 @@ def q_ev_asof_join(spark, sf_dir):
     sessionize plan shape). Oracle = DuckDB's NATIVE ASOF JOIN."""
     from rdf2smw_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rp(spark, f"{sf_dir}/events.parquet")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -677,7 +678,7 @@ def q_link_sorted_neighborhood(spark, sf_dir):
 # --- events: windows / sessionization ----------------------------------------------
 
 def q_ev_window_counts(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rp(spark, f"{sf_dir}/events.parquet")
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
@@ -687,7 +688,7 @@ def q_ev_window_counts(spark, sf_dir):
 
 
 def q_ev_sessionize(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id")
+    ev = _rp(spark, f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     flagged = ev.withColumn(
@@ -715,7 +716,7 @@ def q_ev_rolling(spark, sf_dir):
     to integer cents BEFORE the frame sum, so the running total is
     exact at any parallelism; the window is user-partitioned (the
     sessionize key) — never global."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rp(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_id", F.expr(_CENTS).alias("cents")
     )
     w = (
@@ -734,7 +735,7 @@ def q_ev_rollup(spark, sf_dir):
     aggregates via ROLLUP grouping sets — Catalyst expands the sets and
     the partial aggregation is map-side combined, so the cost is one
     shuffle, not four scans. gid disambiguates the NULL group keys."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rp(spark, f"{sf_dir}/events.parquet").select(
         F.date_trunc("day", "ts").alias("day"),
         F.date_trunc("hour", "ts").alias("hour"),
         "event_type",
@@ -757,7 +758,7 @@ def q_ev_range_join(spark, sf_dir):
     of a per-key nested loop. Oracle = DuckDB's native IEJoin plan."""
     from rdf2smw_spark.operators.asof import range_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rp(spark, f"{sf_dir}/events.parquet")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -836,7 +837,7 @@ def q_ev_anomaly(spark, sf_dir):
     cross-multiplied — (v*n - s)^2 > 9*(q*n - s^2) — so the flag is
     exact (no float mean/std) and hash-matches at any parallelism.
     Window is user-partitioned (the sessionize key), never global."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rp(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_id", F.expr(_CENTS).alias("cents")
     )
     w = (
@@ -943,7 +944,7 @@ def q_ev_funnel(spark, sf_dir):
     filter pushed to the scan) — no per-user event buffering, no
     self-join on the raw stream. ts stays integer, so the chain is
     exact at any parallelism."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rp(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_type"
     )
 
@@ -1777,7 +1778,7 @@ def q_ev_retention(spark, sf_dir):
     with an e6-integer retention ratio. Classic product-analytics OLAP:
     two slim shuffles (per-user min, per-(cohort, offset) distinct
     count) + one broadcast-size cohort join — no windows, no quadratic."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rp(spark, f"{sf_dir}/events.parquet").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
@@ -1865,10 +1866,10 @@ def _fusion_claims(spark, sf_dir):
     supplier on an order asserts the order ships from ITS nation —
     ~92% of sf0.01 orders carry conflicting assertions, so the fusion
     dynamics (not just the happy path) are exercised."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _rp(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey"
     )
-    su = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    su = _rp(spark, f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_nationkey"
     )
     return (
@@ -1943,7 +1944,7 @@ def _temporal_claims(spark, sf_dir):
     """Time-stamped claims from the event stream: each event asserts
     the user's current status (its event_type) at ts — consecutive
     equal statuses collapse into validity intervals."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rp(spark, f"{sf_dir}/events.parquet")
     return ev.select(
         F.concat(F.lit(_USER_NS), F.col("user_id")).alias("subj"),
         F.lit(_STATUS_PRED).alias("pred"),
@@ -2813,7 +2814,7 @@ def q_ta_paragraph_dedup(spark, sf_dir):
     md5-min) keeps the boilerplate ONCE corpus-wide; documents are
     rebuilt with survivors in original order. One slim hash-keyed
     shuffle + one per-doc rebuild (PLANS.md §65)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     words = F.split(F.coalesce("text", F.lit("")), " ")
     para_docs = docs.select(
         "doc_id",
@@ -2848,7 +2849,7 @@ def q_web_blocklist_filter(spark, sf_dir):
     never example.org itself) are what the hash checks."""
     from rdf2smw_spark.extract import blocklist_filter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     pages = docs.select(
         "doc_id",
         F.concat(
@@ -2898,7 +2899,7 @@ def q_web_robots_gate(spark, sf_dir):
     literal prefix wins, allow beats deny on ties, unruled hosts pass."""
     from rdf2smw_spark.extract import robots_gate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     pages = docs.select(
         F.concat(
             F.when(F.col("doc_id") % 5 == 0, F.lit("https://tracker."))
@@ -3549,7 +3550,7 @@ def q_kg_ppr(spark, sf_dir):
     from rdf2smw_spark.sources.testdata import REGION as _R
 
     t = testdata_triples(spark, sf_dir)
-    seeds = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+    seeds = _rp(spark, f"{sf_dir}/region.parquet").select(
         F.concat(F.lit(_R), F.col("r_regionkey").cast("string")).alias("uri")
     )
     return gr.personalized_pagerank(gr.link_edges(t), seeds)

@@ -111,6 +111,29 @@ def get_spark(
     )
     return builder.getOrCreate()
 
+# --- immutable-input parquet reader with schema memo -------------------------
+#
+# Every spark.read.parquet() without an explicit schema pays a driver-side
+# footer read + schema inference per call (~0.1s each, measured). The
+# testdata inputs are immutable for a process lifetime, so the inferred
+# StructType is memoized per path and re-reads go through
+# spark.read.schema(...) — PLAN metadata only: no rows, no results, no
+# cached data survive between runs (each action still scans parquet).
+# Only used for immutable inputs (testdata); mutable work dirs (streaming
+# snapshots, pipeline checkpoints) keep plain reads.
+
+_PARQUET_SCHEMAS: dict[str, object] = {}
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    sch = _PARQUET_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def maybe_broadcast(df: DataFrame, limit: int | None):
     """F.broadcast(df) when df has at most `limit` rows (cheap
     limit-count probe), plain df otherwise — the shared guard for

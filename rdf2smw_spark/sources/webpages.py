@@ -64,11 +64,27 @@ def _html_col() -> F.Column:
     )
 
 
+# Plan memo per (application, sf_dir) — same discipline as
+# testdata_triples: caches the constructed logical plan only, never rows.
+_PAGES_PLAN: dict[tuple[str, str], DataFrame] = {}
+
+
 def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAGES_PLAN.get(key)
+    if cached is None:
+        cached = _build_synth_pages(spark, sf_dir)
+        _PAGES_PLAN[key] = cached
+    return cached
+
+
+def _build_synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> pages(url, warc_ts, html BINARY, text, lang).
     `text` is NULL here — EXTRACT fills it; the raw document text is
     recoverable from html, which is the invariant under test."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from rdf2smw_spark.session import read_parquet_cached_schema
+
+    docs = read_parquet_cached_schema(spark, f"{sf_dir}/documents.parquet")
     base = docs.select(
         F.concat(F.lit("https://example.org/"), "source", F.lit("/doc/"), F.col("doc_id").cast("string")).alias("url"),
         F.expr(f"timestampadd(SECOND, doc_id, timestamp'{BASE_TS}')").alias("warc_ts"),

@@ -217,3 +217,21 @@ def test_cyclic_schema_terminates(spark):
     # and x picks up type B; x type A is asserted
     assert ("x", TYPE, "B") in d
     assert ("A", SUBC, "A") in d and ("B", SUBC, "B") in d
+
+
+def test_fused_equals_generic_formulation(spark, monkeypatch):
+    """The fused action-table plan (schema layers composed on the
+    driver, r6 optimization) must emit exactly the rows + rule tags of
+    the generic join formulation AND of the distributed-closure
+    fallback, on a fixture where every rule fires."""
+    import rdf2smw_spark.operators.rdfs as rdfs_mod
+
+    df = spark.createDataFrame(T, TRIPLE_SCHEMA)
+    fused = _entail_set(rdfs_entail(df))
+    # force the generic join formulation (action table disabled)
+    monkeypatch.setattr(rdfs_mod, "ACTION_TABLE_LIMIT", -1)
+    generic = _entail_set(rdfs_entail(df))
+    # force the fully distributed path (no driver collects at all)
+    monkeypatch.setattr(rdfs_mod, "CLOSURE_COLLECT_LIMIT", -1)
+    distributed = _entail_set(rdfs_entail(df))
+    assert fused == generic == distributed
