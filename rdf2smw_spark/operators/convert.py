@@ -36,10 +36,9 @@ from rdf2smw_spark.functions.textnorm import (
 )
 from rdf2smw_spark.operators.aggregate import dedup_sorted
 from rdf2smw_spark.operators.dimensions import (
-    best_titles,
     class_depth,
     pred_smw_types,
-    subject_types,
+    subject_types_and_titles,
 )
 from rdf2smw_spark.schemas import (
     SUBCLASS_PROPERTY_URI,
@@ -50,6 +49,26 @@ from rdf2smw_spark.schemas import (
 )
 
 EQUIVALENT_URI_PROP = "Equivalent URI"  # triplestowikipageconv.go:148-150
+
+
+def _persist_coalesced(df: DataFrame) -> DataFrame:
+    """scoped_persist with a bounded-ratio coalesce: the conversion
+    cache is re-read by ~10 downstream stages, so its partition count
+    is pure per-stage scheduling overhead once partitions are small.
+    The 12-branch union source inherits ~cores splits PER BRANCH from
+    the files.minPartitionNum floor (measured: a 112-partition cache of
+    5k-row partitions at sf0.1, ~0.3-0.5s of task-launch overhead per
+    re-scan). Coalesce (no shuffle) to max(defaultParallelism, n/8):
+    locally that is `cores` partitions; at scale the n/8 bound keeps
+    partitions >= cores and at most 8x larger than the scan splits, so
+    a 100 TB cache keeps ~GB partitions instead of collapsing to
+    total-cores."""
+    spark = df.sparkSession
+    n = df.rdd.getNumPartitions()
+    target = max(spark.sparkContext.defaultParallelism, n // 8)
+    if n > target:
+        df = df.coalesce(target)
+    return scoped_persist(df)
 
 
 def _title_expr(raw_col: str) -> F.Column:
@@ -93,10 +112,17 @@ def conversion_dims(
         F.col("pred").isin(TITLE_PROPERTIES + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI])
     )
     if cache:
-        dim_src = scoped_persist(dim_src)
+        dim_src = _persist_coalesced(dim_src)
 
-    st = subject_types(dim_src)
-    bt = best_titles(dim_src)
+    # ONE subj-keyed aggregation replaces the separate subject_types
+    # groupBy + best_titles window over the same slice (guide §2.4);
+    # null uri_type / raw_title rows carry the exact semantics the
+    # absent rows had (every consumer left-joins + coalesces).
+    stbt = subject_types_and_titles(dim_src)
+    if cache:
+        stbt = scoped_persist(stbt)
+    st = stbt.select("subj", "uri_type")
+    bt = stbt.select("subj", "raw_title")
     cd = class_depth(spark, dim_src)
     pt = pred_titles(triples, bt)
     pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
@@ -132,12 +158,24 @@ def triples_to_pages(
     bc = F.broadcast if broadcast_dims else (lambda df: df)
 
     # The triple stream feeds five dimension derivations plus the main
-    # enrichment — persist it once instead of recomputing the source plan
-    # per consumer (the reference's ResourceIndexFanOut D1 is exactly this
-    # DAG-reuse, residxfanout.go:15-25). MEMORY_AND_DISK: at cluster scale
-    # a 100 TB stream would instead be a checkpointed table (plans/lineage).
+    # enrichment — materialize it once instead of recomputing the source
+    # plan per consumer (the reference's ResourceIndexFanOut D1 is
+    # exactly this DAG-reuse, residxfanout.go:15-25). localCheckpoint
+    # rather than persist (r6): a persist leaves the full source
+    # subtree in every consumer's analyzed plan — with the 12-branch
+    # union source, Catalyst re-analyzed ~300 KB of plan per conversion
+    # (measured ~1.5s driver gap per query at sf0.1) — while the
+    # checkpoint truncates lineage so every consumer plans against a
+    # small scan. Same materialized footprint as the persist it
+    # replaces; at cluster scale a 100 TB stream would instead be a
+    # checkpointed table (plans/lineage).
     if cache:
-        triples = scoped_persist(triples)
+        spark_ctx = spark.sparkContext
+        n_parts = triples.rdd.getNumPartitions()
+        target = max(spark_ctx.defaultParallelism, n_parts // 8)
+        if n_parts > target:
+            triples = triples.coalesce(target)
+        triples = triples.localCheckpoint(eager=True)
 
     if dims is None:
         dims = conversion_dims(spark, triples, cache=cache)

@@ -69,6 +69,38 @@ def best_titles(triples: DataFrame) -> DataFrame:
     )
 
 
+def subject_types_and_titles(dim_src: DataFrame) -> DataFrame:
+    """T1 + J2 fused into ONE subj-keyed aggregation over the
+    pred-filtered dim slice -> (subj, uri_type, raw_title), either
+    nullable. Replaces two separate shuffles of the same slice (a
+    groupBy for types plus a window for titles) with one groupBy that
+    partial-aggregates map-side (guide §2.3/§2.4); the window's
+    row_number-over-(prio, raw_title) pick is exactly min(struct(prio,
+    raw_title)) because struct ordering is lexicographic. Pytested
+    equal to subject_types/best_titles."""
+    type_rank = F.when(
+        (F.col("pred") == TYPE_PROPERTY_URI)
+        & F.col("obj").isin(PROPERTY_TYPES + CATEGORY_TYPES),
+        F.when(F.col("obj").isin(PROPERTY_TYPES), F.lit(URI_TYPE_PREDICATE))
+        .otherwise(F.lit(URI_TYPE_CLASS)),
+    )
+    prio = F.array_position(
+        F.array(*[F.lit(p) for p in TITLE_PROPERTIES]), F.col("pred")
+    )
+    title_cand = F.when(
+        F.col("pred").isin(TITLE_PROPERTIES),
+        F.struct(prio.alias("prio"), F.col("obj").alias("raw_title")),
+    )
+    return (
+        dim_src.groupBy("subj")
+        .agg(
+            F.min(type_rank).alias("uri_type"),
+            F.min(title_cand).alias("__bt"),
+        )
+        .select("subj", "uri_type", F.col("__bt.raw_title").alias("raw_title"))
+    )
+
+
 def pred_smw_types(triples: DataFrame, smw_type_col) -> DataFrame:
     """A3/T2 → (pred, has_types array, sorted): the SMW 'Has type' values
     observed for each predicate across the whole stream. Distinct-first
@@ -200,20 +232,38 @@ def class_depth(
     oversized and switches to class_depth_fixpoint. No separate count
     job (the earlier count-then-collect shape ran the edge derivation
     twice and cost an extra Spark job per conversion)."""
-    edges_df = class_edges(triples)
-    # Arrow transfer (toPandas), not collect(): at the limit this moves
-    # two compact string arrays (~hundreds of MB) instead of 2M Python
-    # Row objects — both the success path and the discarded over-limit
-    # probe stay cheap on the driver.
+    # Fast path (r6): collect the RAW type/subclass edge rows with the
+    # same limit guard and do the dedup + class-layer semi-join in
+    # Python — class_edges' distributed shape (distinct + semi-join)
+    # cost two shuffles and an extra cached-slice scan per conversion
+    # (~1.5s of kg_fact_rows at sf0.1) just to shrink a frame we were
+    # about to collect anyway. The raw row count exceeding the cap is a
+    # stricter trigger than the deduped class layer exceeding it, so
+    # the fallback fires no later than before; the fixpoint path still
+    # uses the distributed class_edges.
+    is_resource = F.col("obj_is_iri") | F.col("obj_datatype").isNull()
+    raw = triples.filter(
+        F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]) & is_resource
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     if collect_limit is not None:
-        edges = edges_df.limit(collect_limit + 1).toPandas()
+        # Arrow transfer (toPandas), not collect(): at the limit this
+        # moves two compact string arrays instead of 2M Row objects.
+        edges = raw.limit(collect_limit + 1).toPandas()
         if len(edges) > collect_limit:
-            return class_depth_fixpoint(spark, edges_df, max_depth)
+            return class_depth_fixpoint(spark, class_edges(triples), max_depth)
     else:
-        edges = edges_df.toPandas()
+        edges = raw.toPandas()
+    # class layer = edges whose source is itself used as a category
+    # value (object of a type/subclass edge) — the python mirror of
+    # class_edges' semi-join, byte-equal by construction.
+    cat_nodes = set(edges["dst"])
     adj: dict[str, list[str]] = {}
     nodes: set[str] = set()
+    seen_pairs: set[tuple[str, str]] = set()
     for src, dst in zip(edges["src"], edges["dst"]):
+        if src not in cat_nodes or (src, dst) in seen_pairs:
+            continue
+        seen_pairs.add((src, dst))
         adj.setdefault(src, []).append(dst)
         nodes.add(src)
         nodes.add(dst)

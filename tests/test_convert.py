@@ -270,3 +270,41 @@ def test_hot_subject_skew_stress(spark):
     )
     assert salted.exceptAll(unsalted).count() == 0
     assert unsalted.exceptAll(salted).count() == 0
+
+
+def test_fused_subject_types_and_titles_equivalent(spark):
+    """The fused one-shuffle dim (r6 optimization) must agree row-for-row
+    with the separate subject_types groupBy and best_titles window on
+    the pred-filtered slice, including subjects with only a type row or
+    only a title row."""
+    from pyspark.sql import functions as F
+
+    from rdf2smw_spark.operators.dimensions import (
+        best_titles,
+        subject_types,
+        subject_types_and_titles,
+    )
+    from rdf2smw_spark.schemas import (
+        SUBCLASS_PROPERTY_URI,
+        TITLE_PROPERTIES,
+        TYPE_PROPERTY_URI,
+    )
+    from rdf2smw_spark.sources.testdata import testdata_triples
+
+    t = testdata_triples(spark, "/root/testdata/sf0.001")
+    dim_src = t.filter(
+        F.col("pred").isin(
+            TITLE_PROPERTIES + [TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]
+        )
+    )
+    fused = subject_types_and_titles(dim_src)
+    st = {(r.subj, r.uri_type) for r in subject_types(dim_src).collect()}
+    bt = {(r.subj, r.raw_title) for r in best_titles(dim_src).collect()}
+    got_st = {
+        (r.subj, r.uri_type) for r in fused.collect() if r.uri_type is not None
+    }
+    got_bt = {
+        (r.subj, r.raw_title) for r in fused.collect() if r.raw_title is not None
+    }
+    assert got_st == st
+    assert got_bt == bt
