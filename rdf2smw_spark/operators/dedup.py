@@ -100,6 +100,17 @@ def char_shingles(docs: DataFrame, n: int = SHINGLE_LEN, max_df: int | None = No
     whole function is ONE raw scan + ONE slim shuffle. (A broadcast-anti
     variant was measured SLOWER — its eager stop-list count forces a
     second raw pass that exchange reuse otherwise avoids.)"""
+    # The normalize+explode below is the CPU-heavy stage; a small doc
+    # corpus arrives as 1-2 scan splits (file-packing floor), leaving
+    # the work on 2 cores while the rest idle (measured 2.8s of
+    # dd_minhash at sf0.1, run twice by the two plan branches). Widen to
+    # the session's parallelism when the input is under it — a no-op at
+    # scale, where the corpus already has >= cores partitions and the
+    # repartition would be a full shuffle.
+    n_parts = docs.rdd.getNumPartitions()
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if n_parts < target:
+        docs = docs.repartition(target)
     normed = docs.select("doc_id", F.expr(norm_text_sql("text")).alias("norm"))
     sh = normed.select(
         "doc_id",

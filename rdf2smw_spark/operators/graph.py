@@ -77,8 +77,10 @@ def pagerank(
     n = nodes.count()
     outdeg = scoped_persist(e.groupBy("src").agg(F.count("*").alias("od")))
     base = (1 - damping) / n  # python IEEE: (1-d) then /n — mirrored in SQL
-    rank = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    prev_ckpt = rank
+    # rank_0 is a literal column over the already-persisted nodes frame:
+    # checkpointing it only copied the node set (one extra job per call)
+    rank = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_ckpt = None
     for _ in range(iters):
         r_od = rank.join(outdeg, rank.uri == outdeg.src, "left")
         contrib = (
@@ -118,7 +120,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        prev_ckpt.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
         prev_ckpt = new_rank
         rank = new_rank
     return rank.select("uri", F.expr(_quant("rank")).alias("rank_e12"))
@@ -992,11 +995,13 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs >= 1 seed in the graph")
     outdeg = scoped_persist(e.groupBy("src").agg(F.count("*").alias("od")))
     base = (1 - damping) / s  # python IEEE: (1-d) then /s — mirrored in SQL
+    # rank_0 is a literal column over the persisted nodes frame:
+    # checkpointing it only copied the node set (one extra job per call)
     rank = nodes.withColumn(
         "rank",
         F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)),
-    ).localCheckpoint(eager=True)
-    prev_ckpt = rank
+    )
+    prev_ckpt = None
     for _ in range(iters):
         r_od = rank.join(outdeg, rank.uri == outdeg.src, "left")
         contrib = (
@@ -1036,7 +1041,8 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        prev_ckpt.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
         prev_ckpt = new_rank
         rank = new_rank
     return rank.select("uri", F.expr(_quant("rank")).alias("rank_e12"))
