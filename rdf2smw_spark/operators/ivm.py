@@ -795,11 +795,22 @@ def maintain_minmax_view(
         )
         flat = _minmax_flat(base, q, keys, counts, mins, maxs)
         if keys:
-            touched_keys = joined.filter(
-                F.coalesce(touched, F.lit(False))
-            ).select(*keys)
+            from rdf2smw_spark.session import maybe_broadcast, scoped_persist
+
+            # touched_keys is bounded by the delta's group count — tiny
+            # for streaming micro-batches, but a BULK delete touching
+            # millions of group extrema would broadcast an unbounded
+            # frame; use the repo-standard counted maybe_broadcast so
+            # oversized key sets fall back to a shuffle semi-join
+            # (VERDICT r5 #3). Persist first: the probe count would
+            # otherwise re-run the old_view ⋈ delta join.
+            touched_keys = scoped_persist(
+                joined.filter(F.coalesce(touched, F.lit(False))).select(*keys)
+            )
             rescan = (
-                flat.join(F.broadcast(touched_keys), on=keys, how="semi")
+                flat.join(
+                    maybe_broadcast(touched_keys, 5_000_000), on=keys, how="semi"
+                )
                 .groupBy(*keys)
                 .agg(*_minmax_agg_exprs(counts, mins, maxs))
             )
