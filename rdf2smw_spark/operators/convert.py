@@ -37,7 +37,6 @@ from rdf2smw_spark.functions.textnorm import (
 from rdf2smw_spark.operators.aggregate import dedup_sorted
 from rdf2smw_spark.operators.dimensions import (
     class_depth,
-    pred_smw_types,
     subject_types_and_titles,
 )
 from rdf2smw_spark.schemas import (
@@ -124,8 +123,29 @@ def conversion_dims(
     st = stbt.select("subj", "uri_type")
     bt = stbt.select("subj", "raw_title")
     cd = class_depth(spark, dim_src)
-    pt = pred_titles(triples, bt)
-    pst = pred_smw_types(triples, F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
+    # ONE pred-keyed pass covers both predicate dims (was: a distinct()
+    # for pred_titles plus a distinct+groupBy for pred_smw_types — two
+    # more full-stream scans and three exchanges). collect_set drops
+    # nulls and sort_array pins order, so has_types is byte-identical;
+    # preds with no typed observation now carry [] instead of being
+    # absent, which every consumer already coalesces to [].
+    pred_inv = triples.groupBy("pred").agg(
+        F.sort_array(
+            F.collect_set(F.expr(sql_smw_type("obj_is_iri", "obj_datatype")))
+        ).alias("has_types")
+    )
+    if cache:
+        pred_inv = scoped_persist(pred_inv)
+    pst = pred_inv
+    pt = (
+        pred_inv.select("pred")
+        .join(bt, F.col("pred") == bt.subj, "left")
+        .select(
+            "pred",
+            F.coalesce(F.col("raw_title"), F.expr(sql_local_name("pred"))).alias("__raw"),
+        )
+        .select("pred", _title_expr("__raw").alias("pred_title"))
+    )
     return st, bt, cd, pt, pst
 
 
