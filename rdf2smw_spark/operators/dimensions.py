@@ -284,4 +284,6 @@ def class_depth(
         return best
 
     rows = [(n, depth(n, set(), 0)) for n in sorted(nodes)]
-    return spark.createDataFrame(rows, "uri string, depth int")
+    from rdf2smw_spark.session import small_local_df
+
+    return small_local_df(spark, rows, "uri string, depth int")

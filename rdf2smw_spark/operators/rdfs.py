@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdf2smw_spark.schemas import SUBCLASS_PROPERTY_URI, TYPE_PROPERTY_URI
-from rdf2smw_spark.session import maybe_broadcast, scoped_persist
+from rdf2smw_spark.session import maybe_broadcast, scoped_persist, small_local_df
 
 SUBPROPERTY_URI = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
 DOMAIN_URI = "http://www.w3.org/2000/01/rdf-schema#domain"
@@ -73,7 +73,9 @@ SYNTH_SCHEMA_TRIPLES: list[tuple] = [
 def synth_rdfs_schema(spark) -> DataFrame:
     from rdf2smw_spark.schemas import TRIPLE_SCHEMA
 
-    return spark.createDataFrame(SYNTH_SCHEMA_TRIPLES, TRIPLE_SCHEMA)
+    from rdf2smw_spark.session import small_local_df
+
+    return small_local_df(spark, SYNTH_SCHEMA_TRIPLES, TRIPLE_SCHEMA)
 
 
 def synth_rdfs_schema_values_sql() -> str:
@@ -136,7 +138,9 @@ def _closure_pairs(
 
 
 def _local_closure_df(spark, pairs: set[tuple[str, str]]) -> DataFrame:
-    return spark.createDataFrame(sorted(pairs), "uri string, anc string")
+    from rdf2smw_spark.session import small_local_df
+
+    return small_local_df(spark, sorted(pairs), "uri string, anc string")
 
 
 def _transitive_closure(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int | None]:
@@ -191,7 +195,16 @@ def _collect_small(
     oversized frames return unchanged with unknown count."""
     pdf = df.limit(limit + 1).toPandas()
     if len(pdf) <= limit:
-        return df.sparkSession.createDataFrame(pdf, df.schema), len(pdf)
+        from rdf2smw_spark.session import small_local_df
+
+        return (
+            small_local_df(
+                df.sparkSession,
+                [tuple(r) for r in pdf.itertuples(index=False)],
+                df.schema,
+            ),
+            len(pdf),
+        )
     return df, None
 
 
@@ -260,7 +273,8 @@ def rdfs_entail(triples: DataFrame, max_iter: int = 10) -> DataFrame:
             # collapses duplicates exactly as before (pytested against
             # the unfused oracle).
             acts, subc_pairs, subp_pairs = fused
-            act_df = spark.createDataFrame(
+            act_df = small_local_df(
+                spark,
                 sorted((p, k, a, r) for (p, k, a), r in acts.items()),
                 "pred string, kind string, arg string, rule string",
             )
@@ -511,10 +525,43 @@ def rdfs_entail_incremental(
             (F.col("pred") == pred_uri) & F.col("obj_is_iri")
         ).select(F.col("subj").alias("uri"), F.col("obj").alias("anc"))
 
-    subc, n_subc = _transitive_closure(_schema_edges(base, SUBCLASS_PROPERTY_URI), max_iter)
-    subp, n_subp = _transitive_closure(_schema_edges(base, SUBPROPERTY_URI), max_iter)
-    dom, n_dom = _collect_small(_schema_edges(base, DOMAIN_URI).distinct())
-    rng, n_rng = _collect_small(_schema_edges(base, RANGE_URI).distinct())
+    # ONE probe pass for all four base schema layers (same r6 shape as
+    # rdfs_entail: four separate guarded collects each re-scanned the
+    # base corpus)
+    spark = base.sparkSession
+    probe = (
+        base.filter(F.col("pred").isin(list(SCHEMA_PREDS)) & F.col("obj_is_iri"))
+        .select("pred", "subj", "obj")
+        .limit(CLOSURE_COLLECT_LIMIT + 1)
+        .toPandas()
+    )
+    if len(probe) <= CLOSURE_COLLECT_LIMIT:
+        def _edges_of(pred_uri: str) -> list[tuple[str, str]]:
+            sel = probe[probe["pred"] == pred_uri]
+            return list(dict.fromkeys(zip(sel["subj"], sel["obj"])))
+
+        def _layer(pred_uri: str, close: bool) -> tuple[DataFrame, int | None]:
+            edge_list = _edges_of(pred_uri)
+            if close:
+                pairs = _closure_pairs(edge_list, max_iter)
+                if pairs is None:
+                    return _transitive_closure_distributed(
+                        _schema_edges(base, pred_uri).distinct(), max_iter
+                    ), None
+                return _local_closure_df(spark, pairs), len(pairs)
+            return small_local_df(
+                spark, sorted(set(edge_list)), "uri string, anc string"
+            ), len(edge_list)
+
+        subc, n_subc = _layer(SUBCLASS_PROPERTY_URI, close=True)
+        subp, n_subp = _layer(SUBPROPERTY_URI, close=True)
+        dom, n_dom = _layer(DOMAIN_URI, close=False)
+        rng, n_rng = _layer(RANGE_URI, close=False)
+    else:
+        subc, n_subc = _transitive_closure(_schema_edges(base, SUBCLASS_PROPERTY_URI), max_iter)
+        subp, n_subp = _transitive_closure(_schema_edges(base, SUBPROPERTY_URI), max_iter)
+        dom, n_dom = _collect_small(_schema_edges(base, DOMAIN_URI).distinct())
+        rng, n_rng = _collect_small(_schema_edges(base, RANGE_URI).distinct())
     b_subc = _broadcast_known(subc, n_subc)
     b_subp = _broadcast_known(subp, n_subp)
     b_dom = _broadcast_known(dom, n_dom)
@@ -591,7 +638,9 @@ SYNTH_OWL_TRIPLES: list[tuple] = [
 def synth_owl_schema(spark) -> DataFrame:
     from rdf2smw_spark.schemas import TRIPLE_SCHEMA
 
-    return spark.createDataFrame(SYNTH_OWL_TRIPLES, TRIPLE_SCHEMA)
+    from rdf2smw_spark.session import small_local_df
+
+    return small_local_df(spark, SYNTH_OWL_TRIPLES, TRIPLE_SCHEMA)
 
 
 def synth_owl_schema_values_sql() -> str:
@@ -621,7 +670,18 @@ def owl_entail(triples: DataFrame, max_iter: int = OWL_MAX_ITER) -> DataFrame:
     path length doubles per round (pointer-doubling bound: max_iter=8
     reaches 2^8-hop chains); per round one localCheckpoint truncates
     lineage. Only IRI-object triples participate (object properties
-    by definition)."""
+    by definition).
+
+    r6: when the relevant edge set fits the guarded-collect limit the
+    joint fixpoint runs on the DRIVER (one probe for declarations, one
+    for relevant edges) — the distributed loop cost ~6 jobs PER ROUND
+    (measured 25s at sf0.01 for a KB-sized closure); the driver mirror
+    reproduces the same bounded-round semantics exactly (pytested
+    against the distributed path) and falls back when either collect
+    overflows or the closure blows past CLOSURE_PAIR_LIMIT."""
+    local = _owl_entail_local(triples, max_iter)
+    if local is not None:
+        return local
     decls = triples.filter(F.col("obj_is_iri"))
     inv_fwd = decls.filter(F.col("pred") == OWL_INVERSE_URI).select(
         F.col("subj").alias("p"), F.col("obj").alias("q")
@@ -688,6 +748,87 @@ def owl_entail(triples: DataFrame, max_iter: int = OWL_MAX_ITER) -> DataFrame:
     return (
         closure.join(base, ["subj", "pred", "obj"], "anti")
         .withColumn("obj_is_iri", F.lit(True))
+    )
+
+
+def _owl_entail_local(triples: DataFrame, max_iter: int) -> DataFrame | None:
+    """Driver-side mirror of owl_entail's joint fixpoint, or None when
+    a guard trips. Semantics are identical to the distributed loop by
+    construction: same relevant-edge base, same per-round
+    inverse/symmetric/transitive step over the WHOLE closure, same
+    early break when a round adds nothing, same round bound."""
+    # probe 1: the declaration layer (schema-sized)
+    decl_pdf = (
+        triples.filter(
+            F.col("obj_is_iri")
+            & (
+                (F.col("pred") == OWL_INVERSE_URI)
+                | (
+                    (F.col("pred") == TYPE_PROPERTY_URI)
+                    & F.col("obj").isin([OWL_SYMMETRIC_URI, OWL_TRANSITIVE_URI])
+                )
+            )
+        )
+        .select("subj", "pred", "obj")
+        .limit(CLOSURE_COLLECT_LIMIT + 1)
+        .toPandas()
+    )
+    if len(decl_pdf) > CLOSURE_COLLECT_LIMIT:
+        return None
+    inv: dict[str, set[str]] = {}
+    sym: set[str] = set()
+    trans: set[str] = set()
+    for s, p, o in zip(decl_pdf["subj"], decl_pdf["pred"], decl_pdf["obj"]):
+        if p == OWL_INVERSE_URI:
+            inv.setdefault(s, set()).add(o)
+            inv.setdefault(o, set()).add(s)
+        elif o == OWL_SYMMETRIC_URI:
+            sym.add(s)
+        else:
+            trans.add(s)
+    relevant = set(inv) | sym | trans
+    if not relevant:
+        spark = triples.sparkSession
+        return small_local_df(
+            spark, [], "subj string, pred string, obj string, obj_is_iri boolean"
+        )
+    # probe 2: the relevant edge set (guarded — corpus-sized on
+    # adversarial data, where the distributed loop takes over)
+    base_pdf = (
+        triples.filter(F.col("obj_is_iri") & F.col("pred").isin(sorted(relevant)))
+        .select("subj", "pred", "obj")
+        .limit(CLOSURE_COLLECT_LIMIT + 1)
+        .toPandas()
+    )
+    if len(base_pdf) > CLOSURE_COLLECT_LIMIT:
+        return None
+    base = set(zip(base_pdf["subj"], base_pdf["pred"], base_pdf["obj"]))
+    closure = set(base)
+    for _ in range(max_iter):
+        stepped: set[tuple[str, str, str]] = set()
+        adj: dict[tuple[str, str], list[str]] = {}
+        for s, p, o in closure:
+            if p in trans:
+                adj.setdefault((p, s), []).append(o)
+        for s, p, o in closure:
+            for q in inv.get(p, ()):
+                stepped.add((o, q, s))
+            if p in sym:
+                stepped.add((o, p, s))
+            if p in trans:
+                for o2 in adj.get((p, o), ()):
+                    stepped.add((s, p, o2))
+        fresh = stepped - closure
+        if not fresh:
+            break
+        closure |= fresh
+        if len(closure) > CLOSURE_PAIR_LIMIT:
+            return None
+    derived = sorted(closure - base)
+    return small_local_df(
+        triples.sparkSession,
+        [(s, p, o, True) for s, p, o in derived],
+        "subj string, pred string, obj string, obj_is_iri boolean",
     )
 
 

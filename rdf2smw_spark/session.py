@@ -134,6 +134,25 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def small_local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """createDataFrame for driver-side row lists as ONE partition.
+    The default path parallelizes a local list into defaultParallelism
+    near-empty slices — every downstream union inherits ~cores extra
+    partitions per local frame (the conversion source union carried 32
+    phantom partitions from the static-triples branch alone), and a
+    cartesian over such unions multiplies task counts (P_l x P_r).
+    Single-slice local frames also keep their planner size estimate
+    sane. Rows must fit on the driver — callers pass guarded or
+    constant-sized lists."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # ~50k rows per slice: tiny frames stay single-partition, larger
+    # guarded collects (closure tables) still spread over a few tasks
+    slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 50_000))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
+
+
 def maybe_broadcast(df: DataFrame, limit: int | None):
     """F.broadcast(df) when df has at most `limit` rows (cheap
     limit-count probe), plain df otherwise — the shared guard for

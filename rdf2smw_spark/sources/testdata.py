@@ -173,7 +173,9 @@ def _build_testdata_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(*_t(order_uri, ONT + "priority", F.col("o_orderpriority"), False, DT_STRING, src_o)),
     ]
 
-    static = spark.createDataFrame(STATIC_TRIPLES, TRIPLE_SCHEMA)
+    from rdf2smw_spark.session import small_local_df
+
+    static = small_local_df(spark, STATIC_TRIPLES, TRIPLE_SCHEMA)
     parts.append(static)
 
     out = parts[0]

@@ -1520,6 +1520,11 @@ def _pattern_df(
     return df.select(*[c.alias(n) for n, c in cols.items()])
 
 
+# disjoint-OPTIONAL branches up to this many rows broadcast (the probe
+# is capped at limit+1 rows, so oversized branches cost no extra scan)
+_DISJOINT_BRANCH_BROADCAST_LIMIT = 1_000_000
+
+
 def _join(left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
     if left is None:
         return right
@@ -1530,12 +1535,16 @@ def _join(left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
         # Disjoint OPTIONAL (no shared variables): SPARQL left-join
         # semantics extend EVERY left solution by every branch solution
         # when the branch is non-empty, and keep left solutions with
-        # the optional variables unbound when it is empty. The branch's
-        # emptiness is decided with one bounded limit(1) probe
-        # (collect-is-the-guard); at scale the probe costs one scan of
-        # the branch's most selective pattern, and the non-empty arm is
-        # the same cross join a VALUES-join would produce.
-        if right.limit(1).count() == 0:
+        # the optional variables unbound when it is empty. ONE bounded
+        # limit probe (collect-is-the-guard) decides both the emptiness
+        # arm AND the join strategy: a small branch broadcasts, so the
+        # cross join plans as BroadcastNestedLoopJoin (left-partitions
+        # tasks) instead of CartesianProduct, whose task count is
+        # P_left x P_right — measured 11s for a 2-row result at sf0.01
+        # when both sides were stat-less unions. An over-limit branch
+        # keeps the plain cross join (inherently quadratic anyway).
+        n = right.limit(_DISJOINT_BRANCH_BROADCAST_LIMIT + 1).count()
+        if n == 0:
             return left.select(
                 "*",
                 *[
@@ -1543,6 +1552,8 @@ def _join(left: DataFrame | None, right: DataFrame, how: str) -> DataFrame:
                     for f in right.schema.fields
                 ],
             )
+        if n <= _DISJOINT_BRANCH_BROADCAST_LIMIT:
+            return left.crossJoin(F.broadcast(right))
         return left.crossJoin(right)
     return left.crossJoin(right)
 

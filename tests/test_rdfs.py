@@ -235,3 +235,15 @@ def test_fused_equals_generic_formulation(spark, monkeypatch):
     monkeypatch.setattr(rdfs_mod, "CLOSURE_COLLECT_LIMIT", -1)
     distributed = _entail_set(rdfs_entail(df))
     assert fused == generic == distributed
+
+
+def test_owl_local_equals_distributed(spark, monkeypatch):
+    """The driver-side OWL fixpoint (r6) must emit exactly the rows of
+    the distributed loop on the fixture where all three rules interact."""
+    import rdf2smw_spark.operators.rdfs as rdfs_mod
+
+    df = spark.createDataFrame(OWL_T, TRIPLE_SCHEMA)
+    local = sorted(map(tuple, owl_entail(df).collect()))
+    monkeypatch.setattr(rdfs_mod, "CLOSURE_COLLECT_LIMIT", -1)
+    dist = sorted(map(tuple, owl_entail(df).collect()))
+    assert local == dist
