@@ -28,6 +28,7 @@ from rdf2smw_spark.session import scoped_persist
 
 NORM_RX = "[^a-z0-9 ]+"
 SHINGLE_LEN = 9
+CC_EDGE_COLLECT_LIMIT = 2_000_000  # near-dup pair lists beyond this stay distributed
 MINHASH_K = 12
 MINHASH_BANDS = 4  # rows per band = MINHASH_K / MINHASH_BANDS = 3
 
@@ -484,8 +485,52 @@ def dedup_clusters(
 
     This is an ITERATIVE algorithm: it runs bounded Spark jobs while
     composing (the convergence test), like the class-depth fixpoint —
-    not a single declarative plan."""
+    not a single declarative plan.
+
+    r6 fast path: the near-dup PAIR list (never the corpus) is usually
+    tiny relative to the corpus, so when it fits the guarded collect
+    the components are computed exactly by driver union-find and only
+    the component-member -> min-id map (bounded by 2x the collected
+    pairs) is broadcast back onto the distributed node set — the
+    per-round edge⋈label + label⋈label shuffles disappear. Labels are
+    identical (min reachable id per component); over-limit pair lists
+    keep the distributed loop."""
     nodes = docs.select(F.col("doc_id").alias("node")).distinct()
+    pdf = edges.select("doc_a", "doc_b").limit(CC_EDGE_COLLECT_LIMIT + 1).toPandas()
+    if len(pdf) <= CC_EDGE_COLLECT_LIMIT:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra if rb < ra else rb] = min(ra, rb)
+        members: dict = {}
+        for n in set(pdf["doc_a"]) | set(pdf["doc_b"]):
+            members.setdefault(find(n), []).append(n)
+        mapping = [
+            (n, root) for root, ns in members.items() for n in ns if n != root
+        ]
+        from rdf2smw_spark.session import small_local_df
+
+        dtype = dict(edges.dtypes)["doc_a"]
+        map_df = small_local_df(
+            edges.sparkSession, sorted(mapping), f"node {dtype}, lbl {dtype}"
+        )
+        return (
+            nodes.join(F.broadcast(map_df), "node", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce("lbl", "node").alias("cluster_id"),
+            )
+        )
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

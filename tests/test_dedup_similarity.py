@@ -290,3 +290,24 @@ def test_ivf_kmeans_trains_and_separates(spark, sf_dir):
     assert n > 0 and same / n >= 0.9
     # trained lists are non-degenerate: more than one list in use
     assert assign.select("list_id").distinct().count() > 1
+
+
+def test_cc_driver_union_find_equals_distributed(spark, monkeypatch):
+    """r6: the guarded driver union-find path of dedup_clusters must
+    label exactly like the distributed hash-to-min loop, including
+    transitive chains and singletons."""
+    import rdf2smw_spark.operators.dedup as dd_mod
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    ).withColumn("text", F.lit("t"))
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 3), (7, 2)], "doc_a long, doc_b long"
+    )
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dd_mod.dedup_clusters(docs, edges).collect()}
+    monkeypatch.setattr(dd_mod, "CC_EDGE_COLLECT_LIMIT", -1)
+    slow = {(r.doc_id, r.cluster_id)
+            for r in dd_mod.dedup_clusters(docs, edges).collect()}
+    assert fast == slow
+    assert (9, 1) in fast and (3, 2) in fast and (7, 2) in fast and (0, 0) in fast
