@@ -91,8 +91,21 @@ def subject_types_and_titles(dim_src: DataFrame) -> DataFrame:
         F.col("pred").isin(TITLE_PROPERTIES),
         F.struct(prio.alias("prio"), F.col("obj").alias("raw_title")),
     )
+    # Keep ONLY rows that can contribute a type rank or a title: rows
+    # that are neither (subclass edges, instance-type edges) would
+    # otherwise occupy a (null, null) GROUP per subject — on an
+    # instance-heavy corpus that multiplied the aggregation's key
+    # domain ~5x and blew the hash-agg memory in the 1-executor scale
+    # probe. Subjects filtered out here were emitted as all-null rows
+    # before, which every consumer left-joins + coalesces — identical
+    # results (pytested).
+    relevant = (
+        (F.col("pred") == TYPE_PROPERTY_URI)
+        & F.col("obj").isin(PROPERTY_TYPES + CATEGORY_TYPES)
+    ) | F.col("pred").isin(TITLE_PROPERTIES)
     return (
-        dim_src.groupBy("subj")
+        dim_src.filter(relevant)
+        .groupBy("subj")
         .agg(
             F.min(type_rank).alias("uri_type"),
             F.min(title_cand).alias("__bt"),
@@ -237,31 +250,42 @@ def class_depth(
     # Python — class_edges' distributed shape (distinct + semi-join)
     # cost two shuffles and an extra cached-slice scan per conversion
     # (~1.5s of kg_fact_rows at sf0.1) just to shrink a frame we were
-    # about to collect anyway. The raw row count exceeding the cap is a
-    # stricter trigger than the deduped class layer exceeding it, so
-    # the fallback fires no later than before; the fixpoint path still
-    # uses the distributed class_edges.
+    # about to collect anyway. When the RAW slice overflows the cap
+    # (instance-heavy corpora — the bench's 32x-replicated probe hits
+    # this at ~14M type rows) the ORIGINAL distributed class_edges
+    # semi-join shrinks it to the class layer first and the guarded
+    # collect retries on that; only a class LAYER over the cap falls
+    # back to the distributed fixpoint — exactly the round-5 trigger.
     is_resource = F.col("obj_is_iri") | F.col("obj_datatype").isNull()
     raw = triples.filter(
         F.col("pred").isin([TYPE_PROPERTY_URI, SUBCLASS_PROPERTY_URI]) & is_resource
     ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    class_layer_collected = False
     if collect_limit is not None:
-        # Arrow transfer (toPandas), not collect(): at the limit this
-        # moves two compact string arrays instead of 2M Row objects.
-        edges = raw.limit(collect_limit + 1).toPandas()
-        if len(edges) > collect_limit:
-            return class_depth_fixpoint(spark, class_edges(triples), max_depth)
+        # Size check BEFORE the transfer (limit-bounded count, no
+        # rows move): an instance-heavy corpus would otherwise ship a
+        # collect_limit-sized Arrow blob to the driver only to discard
+        # it — a pure constant added to both sides of the scaling pair.
+        if raw.limit(collect_limit + 1).count() <= collect_limit:
+            edges = raw.toPandas()  # Arrow transfer of a known-small slice
+        else:
+            edges_df = class_edges(triples)
+            edges = edges_df.limit(collect_limit + 1).toPandas()
+            if len(edges) > collect_limit:
+                return class_depth_fixpoint(spark, edges_df, max_depth)
+            class_layer_collected = True
     else:
         edges = raw.toPandas()
     # class layer = edges whose source is itself used as a category
     # value (object of a type/subclass edge) — the python mirror of
-    # class_edges' semi-join, byte-equal by construction.
-    cat_nodes = set(edges["dst"])
+    # class_edges' semi-join, byte-equal by construction (a no-op when
+    # the distributed semi-join already ran).
+    cat_nodes = None if class_layer_collected else set(edges["dst"])
     adj: dict[str, list[str]] = {}
     nodes: set[str] = set()
     seen_pairs: set[tuple[str, str]] = set()
     for src, dst in zip(edges["src"], edges["dst"]):
-        if src not in cat_nodes or (src, dst) in seen_pairs:
+        if (cat_nodes is not None and src not in cat_nodes) or (src, dst) in seen_pairs:
             continue
         seen_pairs.add((src, dst))
         adj.setdefault(src, []).append(dst)
