@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rdf2smw_spark.session import scoped_persist
+from rdf2smw_spark.session import scoped_local_checkpoint, scoped_persist
 
 from rdf2smw_spark.functions.textnorm import (
     sql_clean_literal,
@@ -195,7 +195,7 @@ def triples_to_pages(
         target = max(spark_ctx.defaultParallelism, n_parts // 8)
         if n_parts > target:
             triples = triples.coalesce(target)
-        triples = triples.localCheckpoint(eager=True)
+        triples = scoped_local_checkpoint(triples)
 
     if dims is None:
         dims = conversion_dims(spark, triples, cache=cache)

@@ -39,10 +39,43 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+class _CheckpointHandle:
+    """Releasable handle for a localCheckpointed DataFrame.
+
+    Dataset.unpersist only clears CacheManager entries (df.persist
+    caches), NOT the checkpoint's backing blocks: a localCheckpoint is a
+    LogicalRDD over an RDD persisted at the RDD level, so releasing it
+    means unpersisting that RDD directly. Verified on Spark 4.1:
+    ck.unpersist(True) leaves the blocks registered;
+    analyzed().rdd().unpersist(True) drops them."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        lp = self._df._jdf.queryExecution().analyzed()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            lp.rdd().unpersist(blocking)
+
+
+def scoped_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + register its backing RDD for bulk release.
+
+    Unlike a scoped persist, a released checkpoint is UNRECOVERABLE (no
+    lineage to recompute from): callers must only release at composition
+    boundaries, after the terminal action — which is the existing
+    release_scoped_caches contract."""
+    ck = df.localCheckpoint(eager=eager)
+    _SCOPED_CACHES.append(_CheckpointHandle(ck))  # type: ignore[arg-type]
+    return ck
+
+
 def release_scoped_caches(blocking: bool = False) -> int:
     """Unpersist every scoped cache; returns how many were released.
     Safe to call repeatedly; recomputation (not wrong answers) is the
-    worst case if a released frame is re-used afterwards."""
+    worst case if a released persisted frame is re-used afterwards
+    (a released scoped_local_checkpoint frame instead fails loudly —
+    release only at composition boundaries)."""
     n = 0
     while _SCOPED_CACHES:
         df = _SCOPED_CACHES.pop()

@@ -130,6 +130,30 @@ def test_registry_sweep_releases_all_scoped_caches(spark, sf_dir):
     assert not (ids() & new_ids), "sweep-registered persists must all be gone"
 
 
+def test_scoped_local_checkpoint_releases_backing_blocks(spark):
+    # Dataset.unpersist on a localCheckpointed frame only clears
+    # CacheManager entries, not the checkpoint's RDD-level blocks; the
+    # scoped handle must unpersist the LogicalRDD's backing RDD so the
+    # conversion-source checkpoint doesn't outlive release_scoped_caches
+    from rdf2smw_spark.session import (
+        release_scoped_caches,
+        scoped_local_checkpoint,
+    )
+
+    def ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    release_scoped_caches(blocking=True)
+    base_ids = ids()
+    ck = scoped_local_checkpoint(spark.range(1000).selectExpr("id", "id * 2 as x"))
+    assert ck.count() == 1000
+    new_ids = ids() - base_ids
+    assert new_ids, "localCheckpoint should register a persistent RDD"
+    release_scoped_caches(blocking=True)
+    assert not (ids() & new_ids), "checkpoint blocks must be gone after release"
+
+
 # --- resume fingerprinting (ADVICE r2, medium) -------------------------------------
 
 
